@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped / windowed operators — SURVEY §2.5–2.6 (A3, A5–A9).
+  *
+  * The reference computes all of these per-partition and relies on an
+  * implicit "one group never spans partitions" contract
+  * (catlas/prediction_steps.py:242 + dask_utils.py:69-118). Spark windows
+  * make the contract explicit: `Window.partitionBy(groupKeys)` hash-shuffles
+  * once on the group key and every grouped op below rides that single
+  * exchange — at 100 TB the window shuffle is the only wide dependency, and
+  * AQE handles skewed groups.
+  */
+object Grouped {
+
+  /** A7 `predictions_filter` (catlas/filters.py:266-350) — grouped EXISTS
+    * with *soft-delete* semantics: if no row in the group satisfies `cond`,
+    * every row of the group gets `filter_reason = reason`; rows of passing
+    * groups keep their existing reason (first writer wins, filters.py:317-324).
+    * The row count is unchanged — this is never a real filter.
+    */
+  def groupedExistsMark(df: DataFrame, groupCols: Seq[String], cond: Column,
+                        reason: String, reasonCol: String = "filter_reason"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val ok = max(when(cond, 1).otherwise(0)).over(w)
+    val existing = if (df.columns.contains(reasonCol)) col(reasonCol) else lit(null).cast("string")
+    df.withColumn(reasonCol, when(ok === 0 && existing.isNull, lit(reason)).otherwise(existing))
+  }
+
+  /** A7 as a hard filter — the left-semi-join reading (SURVEY §2.3 note):
+    * keep only groups where a qualifying row exists. Same single shuffle.
+    */
+  def groupedExistsKeep(df: DataFrame, groupCols: Seq[String], cond: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__ok", max(when(cond, 1).otherwise(0)).over(w))
+      .filter(col("__ok") === 1).drop("__ok")
+  }
+
+  /** A8 surface-property top-k (catlas/filter_utils.py:568-620): per group,
+    * keep the k best rows by `score` (ascending = lowest score wins, like
+    * the reference's argpartition on surface energy). `tieBreak` must make
+    * the order total or the result is nondeterministic.
+    */
+  def groupTopK(df: DataFrame, groupCols: Seq[String], score: Column,
+                tieBreak: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(score +: tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** A8 variant: `top_proportion` — keep ceil(p · |group|) best rows
+    * (filter_utils.py:607-614, top_k XOR top_proportion per the config
+    * schema config_validation.py:194-203).
+    */
+  def groupTopProportion(df: DataFrame, groupCols: Seq[String], score: Column,
+                         tieBreak: Seq[Column], p: Double): DataFrame = {
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(score +: tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rn") <= ceil(col("__n") * lit(p))).drop("__rn", "__n")
+  }
+
+  /** A9 best-shift-per-facet (catlas/filter_utils.py:623-679): keep rows
+    * with score within `thr` *relative* slack of the group minimum
+    * (score ≤ (1+thr)·min). One window min, no self-join.
+    */
+  def withinThresholdOfMin(df: DataFrame, groupCols: Seq[String],
+                           score: Column, thr: Double): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__min", min(score).over(w))
+      .filter(score <= (lit(1.0) + lit(thr)) * col("__min"))
+      .drop("__min")
+  }
+
+  /** A3 per-row array min + argmin (catlas/adslab_predictions.py:323-354):
+    * `array_min` plus 1-based `array_position` of the min — NaN/null-safe
+    * (empty array → nulls, like the reference's NaN row).
+    */
+  def arrayMinArgmin(arr: Column): (Column, Column) =
+    (array_min(arr), array_position(arr, array_min(arr)))
+
+  /** A3 grouped form: argmin row per group via `min_by` (built-in typed
+    * argmin — one partial+final aggregate, no window, no join).
+    */
+  def groupArgmin(df: DataFrame, groupCols: Seq[String], score: Column,
+                  payload: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min(score).as("min_score"), min_by(payload, score).as("argmin"))
+
+  /** A5 grouped OLS (catlas/parity_utils.py:206-243): per group N, MAE and
+    * the regression of y on x — slope/intercept/R² in closed form from
+    * decimal-exact sums (see [[Num]] for why: partial aggregation in any
+    * order stays bit-identical, so this is one map-side-combined aggregate
+    * even on 1000 executors).
+    */
+  def groupedRegression(df: DataFrame, groupCols: Seq[String],
+                        x: Column, y: Column): DataFrame = {
+    val n   = count(lit(1)).cast("double")
+    val sx  = Num.dsum(x);     val sy  = Num.dsum(y)
+    val sxx = Num.dsum(x * x); val sxy = Num.dsum(x * y); val syy = Num.dsum(y * y)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), Num.davg(abs(x - y)).as("mae"),
+        sx.as("sx"), sy.as("sy"), sxx.as("sxx"), sxy.as("sxy"), syy.as("syy"))
+      .select(
+        (groupCols.map(col) ++ Seq(
+          col("n"), col("mae"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope"),
+          ((col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) / col("n"))
+            .as("intercept"),
+          (pow(col("sxy") - col("sx") * col("sy") / col("n"), 2) /
+            ((col("sxx") - col("sx") * col("sx") / col("n")) *
+             (col("syy") - col("sy") * col("sy") / col("n")))).as("r2"))): _*)
+  }
+
+  /** A6 per-frame error curve (bin/optimize_frame.py:73-96): posexplode the
+    * per-row frame array, average per frame index. The explode is narrow;
+    * the per-index aggregate is one shuffle keyed on a tiny domain.
+    */
+  def perIndexMean(df: DataFrame, arr: Column, idCols: Seq[String]): DataFrame =
+    df.select(idCols.map(col) :+ posexplode(arr).as(Seq("pos", "v")): _*)
+      .groupBy("pos").agg(Num.davg(col("v")).as("mean_v"), count(lit(1)).as("n"))
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num
+
+/** SURVEY §2.3 joins. The catlas join surface is: one cartesian fan-out
+  * against a tiny dimension (J1/J2), equi-joins for validation data (J3/J4),
+  * zip-as-columns (J5, a non-join here by design), and the memo-cache
+  * anti-join (J6). Every small side is explicitly `broadcast()` — at 100 TB
+  * the big side never shuffles for these; the only shuffled join in this
+  * pack is none (all dims fit in a broadcast).
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 cross join vs tiny dim = broadcast nested loop, never a shuffle
+    // cartesian (prediction_steps.py:271: surfaces × ≤82 adsorbates).
+    "j1_cross_join_broadcast" -> ((s, d) =>
+      Tables.nation(s, d)
+        .crossJoin(broadcast(Tables.region(s, d)))
+        .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+        .orderBy("n_nationkey", "r_regionkey")),
+
+    // J2 merged projection after the cross join (dict-union semantics of
+    // enumerate_slabs_adslabs.py:180-187): child carries both sides' columns.
+    "j2_merge_combo" -> ((s, d) =>
+      Tables.nation(s, d).crossJoin(broadcast(Tables.region(s, d)))
+        .select(col("n_name"), col("r_name"),
+          concat_ws("/", col("r_name"), col("n_name")).as("combo_id"))
+        .orderBy("combo_id")),
+
+    // J3 inner equi-join ML⋈DFT (process_trajectories_for_validation.py:62)
+    // + downstream aggregate; customer dim broadcast.
+    "j3_equi_join_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // J4 composite-key lookup join (parity npz lookup by
+    // (distribution, id), data_processing_utils.py:23-41) — left join on a
+    // two-column key, nulls preserved for misses.
+    "j4_composite_key_left_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+      li.join(broadcast(pt),
+          li("l_partkey") === pt("p_partkey") && (li("l_linenumber") % 2 === pt("p_size") % 2),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J5 zip-join: Dask splits metadata/atoms/graphs into parallel bags and
+    // re-zips them positionally (prediction_steps.py:304-342); in Spark they
+    // are columns of ONE DataFrame — here an equi-join stitches the two
+    // corpus tables once and all downstream work is column-local.
+    "j5_zip_as_columns" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"), "inner")
+        .select(col("vec_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          array_min(col("embedding")).cast("double").as("min_e"))
+        .orderBy("vec_id")),
+
+    // J6 memo-cache probe (cache_utils.py:168-216 → SURVEY §4.3): misses =
+    // left ANTI join against the memo table.
+    "j6_anti_join_memo" -> ((s, d) => {
+      val memo = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(memo), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A7's left-semi reading (SURVEY §2.3): groups where a qualifying row
+    // EXISTS, as a semi join.
+    "j7_semi_join_exists" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("k"))
+      Tables.customer(s, d)
+        .join(broadcast(big), col("c_custkey") === col("k"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_cross_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+         FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""",
+    "j2_merge_combo" ->
+      """SELECT n_name, r_name, concat_ws('/', r_name, n_name) AS combo_id
+         FROM nation CROSS JOIN region ORDER BY combo_id""",
+    "j3_equi_join_agg" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+                 ${Num.sqlSum("o_totalprice")} AS total_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "j4_composite_key_left_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name
+         FROM lineitem LEFT JOIN part
+           ON l_partkey = p_partkey AND l_linenumber % 2 = p_size % 2
+         ORDER BY l_orderkey, l_linenumber""",
+    "j5_zip_as_columns" ->
+      """SELECT vec_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                CAST(list_min(embedding) AS DOUBLE) AS min_e
+         FROM embeddings JOIN documents ON vec_id = doc_id ORDER BY vec_id""",
+    "j6_anti_join_memo" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderstatus = 'F' AND o_orderkey = l_orderkey)
+         ORDER BY l_orderkey, l_linenumber""",
+    "j7_semi_join_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+  )
+}
