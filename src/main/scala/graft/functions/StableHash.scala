@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable content hashing (SURVEY §7.4 hard-part #2:
+  * U10/U11 cache keys must be canonical and stable across runtimes).
+  *
+  * Two tiers:
+  *  - [[polyHash]]: a 31-ary polynomial rolling hash mod 2^31-ish prime,
+  *    expressible identically in Spark and DuckDB SQL — used wherever an
+  *    oracle must reproduce the value (minhash, simhash, fingerprints,
+  *    surrogate model energies).
+  *  - `xxhash64(...)` (Spark built-in, codegen'd): the scale path for
+  *    engine-internal keys (memo-cache, salting) where no external engine
+  *    needs to reproduce the value — ~10× faster than the char fold.
+  *
+  * Reference: content-addressed memo keys, catlas/cache_utils.py:49-99 and
+  * joblib hashes at prediction_steps.py:305-331.
+  */
+object StableHash {
+  val P: Long = 1000000007L
+
+  /** h(s) = fold over chars: (h*31 + codepoint) mod P. */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  /** DuckDB twin of [[polyHash]] — same fold, same constants. */
+  def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  /** Affine re-hash family h_i(x) = (a_i·x + b_i) mod P for minhash; fixed
+    * deterministic parameters (Knuth multiplicative constants), identical
+    * in the generated oracle SQL because both sides read these vals.
+    */
+  def affineParams(n: Int): Seq[(Long, Long)] =
+    (1 to n).map { i =>
+      val a = (i.toLong * 2654435761L) % P
+      val b = (i.toLong * 40503L * 65537L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** Fold a signature slice into one band key: ((k·31 + s₀)·31 + s₁)… mod P. */
+  def bandKey(sigs: Seq[Column]): Column =
+    sigs.foldLeft(lit(0L): Column)((acc, s) => (acc * 31 + s) % P)
+
+  def bandKeySql(sigs: Seq[String]): String =
+    sigs.foldLeft("CAST(0 AS BIGINT)")((acc, s) => s"(($acc) * 31 + ($s)) % $P")
+}

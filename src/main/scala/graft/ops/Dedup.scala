@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * first-class extension). Five tiers, cheapest → most semantic:
+  *
+  *  1. exact (hash groupBy) — one shuffle on a 32-byte key;
+  *  2. MinHash signatures + LSH banding — near-dup candidate generation
+  *     whose cost is |docs|·sig, with the pair join done on tiny band
+  *     buckets (never all-pairs);
+  *  3. SimHash — one 32-bit fingerprint per doc, hamming-bucketable;
+  *  4. n-gram Jaccard — exact similarity, computed by an *inverted-index
+  *     self-join* (explode shingles → join on shingle) so the quadratic
+  *     blow-up is bounded by per-shingle posting lists, not |docs|²;
+  *  5. embedding cosine near-dup (see [[Similarity]]).
+  *
+  * At 100 TB: tier 1/3 are single-shuffle; tier 2's band join is the
+  * canonical web-scale dedup (the banding threshold tunes recall); tier 4
+  * is reserved for candidate verification, exactly like production
+  * pipelines verify LSH candidates with true Jaccard.
+  */
+object Dedup {
+
+  /** Word-level k-shingles, distinct, as a column. */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+  }
+
+  def shinglesSql(e: String, k: Int): String = {
+    val terms = (0 until k).map(j => s"ts[i + $j]").mkString(", ")
+    s"list_distinct(list_transform(generate_series(1, len(ts) - ${k - 1}), " +
+      s"i -> concat_ws(' ', $terms)))"
+  }
+
+  /** Exact dedup: canonical representative per identical text. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(sha2(text, 256).as("text_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
+
+  /** MinHash signature columns sig0..sig{n-1} for a shingle-hash array. */
+  def minhashSigs(shingleHashes: Column, n: Int): Seq[(String, Column)] =
+    StableHash.affineParams(n).zipWithIndex.map { case ((a, b), i) =>
+      s"sig$i" -> array_min(
+        transform(shingleHashes, h => (h * a + b) % StableHash.P))
+    }
+
+  /** LSH candidate pairs: band the signature, hash each band, self-join on
+    * (band, key). `bands`·`rows` must equal the signature width.
+    */
+  def lshPairs(df: DataFrame, id: String, text: Column,
+               k: Int, bands: Int, rows: Int): DataFrame = {
+    val hashes = transform(shingles(text, k), s => StableHash.polyHash(s))
+    val sigs = minhashSigs(hashes, bands * rows)
+    val sigDf = df.select(col(id) +: sigs.map { case (nm, c) => c.as(nm) }: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        StableHash.bandKey((0 until rows).map(r => col(s"sig${b * rows + r}")))
+          .as("key"))
+    }
+    val exploded = sigDf
+      .select(col(id), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = exploded.select(col("band"), col("key"), col(id).as("id1"))
+    val r = exploded.select(col("band"), col("key"), col(id).as("id2"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** SimHash fingerprint (bits-wide, default 32): per token-hash bit j,
+    * sum ±1 across tokens; fingerprint bit j set iff the sum is positive.
+    * Implemented as a generated aggregate — one groupBy over exploded
+    * tokens (or equivalently a per-row fold; the aggregate form keeps the
+    * token explode reusable for other stats).
+    */
+  def simhashAgg(bits: Int): Seq[Column] =
+    (0 until bits).map { j =>
+      sum((shiftright(col("th"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j")
+    }
+
+  def simhash(df: DataFrame, id: String, text: Column, bits: Int = 32): DataFrame = {
+    val tok = df.select(col(id),
+      explode(split(text, " ")).as("t"))
+      .select(col(id), StableHash.polyHash(col("t")).as("th"))
+    val summed = tok.groupBy(col(id)).agg(simhashAgg(bits).head, simhashAgg(bits).tail: _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    summed.select(col(id), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥1 shingle, via inverted-index
+    * self-join: |A∩B| from the posting-list join, sizes from per-doc counts,
+    * J = inter / (|A| + |B| − inter). Blocked on `blockCol` to bound
+    * posting-list fan-out (at scale: also cap posting-list length — stop
+    * words generate quadratic pairs).
+    */
+  def ngramJaccard(df: DataFrame, id: String, text: Column, k: Int,
+                   blockCol: Option[Column]): DataFrame = {
+    // Join on shingle *hashes*, not strings: 8-byte keys shuffle ~5× less
+    // data than the shingle text at scale (and match the oracle's hashed
+    // posting list exactly).
+    val base = df.select(
+      (col(id) +: blockCol.map(_.as("blk")).toSeq) :+
+        transform(shingles(text, k), sh => StableHash.polyHash(sh)).as("sh"): _*)
+    val sized = base.withColumn("nsh", size(col("sh")))
+    val posting = sized.select(
+      (Seq(col(id), col("nsh")) ++ (if (blockCol.isDefined) Seq(col("blk")) else Nil))
+        :+ explode(col("sh")).as("s"): _*)
+    val l = posting.select(col("s") +: (col(id).as("id1") +: col("nsh").as("n1") +:
+      (if (blockCol.isDefined) Seq(col("blk")) else Nil)): _*)
+    val r = posting.select(col("s") +: (col(id).as("id2") +: col("nsh").as("n2") +:
+      (if (blockCol.isDefined) Seq(col("blk")) else Nil)): _*)
+    val joinKeys = "s" +: (if (blockCol.isDefined) Seq("blk") else Nil)
+    l.join(r, joinKeys)
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Keep-first streaming-style dedup on an id key (batch form of
+    * `dropDuplicates`): deterministic representative by (orderCol, tieCol).
+    */
+  def keepFirst(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

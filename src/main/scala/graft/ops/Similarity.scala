@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+
+/** Similarity search over an embedding column (builder-prompt first-class
+  * extension): brute-force cosine top-k as the exact baseline, and a
+  * hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Numeric discipline: the dot product is a *sequential left fold* in
+  * double ([[dot]]) — element order is fixed, so Spark and the DuckDB
+  * oracle produce bit-identical scores, which keeps top-k ranking
+  * deterministic without any tolerance band.
+  *
+  * Scale notes: brute force is O(|Q|·|N|·d) — fine when the query side is
+  * broadcastable (the pattern here). For |Q| ≈ |N| at 100 TB, use
+  * [[hyperplaneBucket]]: each vector lands in 2^H sign-pattern buckets; the
+  * join is per-bucket (candidate generation), with exact re-ranking only on
+  * candidates — the same generate-then-verify shape as [[Dedup.lshPairs]].
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twins — same fold order, same expression tree. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** Brute-force top-k: broadcast the (small) query side against the full
+    * corpus, rank per query by (score desc, neighbor id) — one broadcast
+    * join + one window, no cartesian shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val scored = corpus.select(col(id).as("neighbor_id"), col(vec).as("nv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane h, dim i):
+    * hash → uniform in [−0.5, 0.5). Portable (StableHash) so the oracle can
+    * reproduce the planes.
+    */
+  def planeComponent(h: Int, i: Int): Double = {
+    val v = ((h.toLong * 7919L + i.toLong * 104729L + 12345L) * 2654435761L) % StableHash.P
+    val m = ((v % StableHash.P) + StableHash.P) % StableHash.P
+    m.toDouble / StableHash.P.toDouble - 0.5
+  }
+
+  /** Sign-pattern bucket id over `nPlanes` fixed hyperplanes: bit h = 1 iff
+    * v · plane_h > 0. One narrow map — the shuffle happens only on the
+    * (bucket) groupBy/join that follows.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { h =>
+      val proj = (0 until dim).map(i =>
+        element_at(vec, i + 1).cast("double") * lit(planeComponent(h, i)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def hyperplaneBucketSql(vec: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { h =>
+      val proj = (0 until dim).map(i =>
+        s"CAST($vec[${i + 1}] AS DOUBLE) * (${planeComponent(h, i)})").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

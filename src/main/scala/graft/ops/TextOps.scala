@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder-prompt first-class extension; no catlas counterpart — the
+  * reference's string surface stops at regex extraction, SURVEY §2.8).
+  *
+  * Everything is a pure column expression: per-row, shuffle-free,
+  * codegen-friendly, and linear in text length — the properties that let a
+  * quality-scoring pass run over 100 TB as a single narrow map stage fused
+  * into the parquet scan.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the usual pre-tokenizer regex shape.
+    */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Document fingerprint: rolling hash of the full text (portable tier);
+    * at scale swap for xxhash64(text) — same operator shape.
+    */
+  def fingerprint(text: Column): Column = StableHash.polyHash(text)
+
+  // ---- language ID -------------------------------------------------------
+
+  /** Deterministic "stopword" profiles per language tag. The corpus is
+    * synthetic word salad, so these are vocabulary slices, not linguistics;
+    * the operator shape (per-language token-overlap score → argmax with a
+    * fixed tie order) is the real n-gram-heuristic langid shape.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "data", "group", "window", "batch"),
+    "en" -> Seq("the", "a", "fast", "join", "query", "table"),
+    "es" -> Seq("el", "la", "sort", "merge", "value", "row"),
+    "fr" -> Seq("le", "et", "hash", "filter", "scan", "column"),
+    "zh" -> Seq("de5", "shi4", "spark", "stream", "vector", "key"))
+
+  /** Per-language hit ratio: |tokens ∩ profile| / |tokens|. */
+  def langScore(toks: Column, profile: Seq[String]): Column = {
+    val profileSet = profile.toSet
+    size(filter(toks, t => t.isInCollection(profileSet))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Predicted language: first language (in fixed `langProfiles` order)
+    * whose score equals the max — deterministic under ties.
+    */
+  def langPredict(toks: Column): Column = {
+    val scores = langProfiles.map { case (l, p) => l -> langScore(toks, p) }
+    val g = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) { case ((l, sc), acc) =>
+      when(sc === g, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  /** Heuristic quality components: length, token stats, lexical diversity,
+    * stopword ratio — the standard cheap pre-filter before expensive model
+    * scoring (cf. catlas's cheap-model→filter→expensive-model cascade M5).
+    */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("double")
+    val stop = Seq("the", "a", "and", "of")
+    val stopSet = stop.toSet
+    Seq(
+      "n_tokens" -> size(ts),
+      "n_distinct" -> size(array_distinct(ts)),
+      "diversity" -> (size(array_distinct(ts)).cast("double") / nTok),
+      "mean_token_len" -> ((length(text) - (size(ts) - 1)).cast("double") / nTok),
+      "stopword_ratio" ->
+        (size(filter(ts, t => t.isInCollection(stopSet))).cast("double") / nTok))
+  }
+
+  /** Scalar quality score: diversity-weighted, stopword-penalized, length-
+    * normalized; fixed expression tree (bit-stable cross-engine).
+    */
+  def qualityScore(text: Column): Column = {
+    val comps = qualityComponents(text).toMap
+    comps("diversity") * lit(0.6) +
+      (lit(1.0) - comps("stopword_ratio")) * lit(0.3) +
+      least(comps("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.1)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.StableHash
+import graft.ops.Dedup
+
+/** Deduplication pack (builder-prompt extension) over `documents`:
+  * exact, keep-first, MinHash signatures, LSH candidate pairs, SimHash,
+  * inverted-index n-gram Jaccard. Oracle SQL is machine-generated from the
+  * SAME hash constants ([[StableHash]]), so Spark and DuckDB compute the
+  * identical signatures.
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 3          // shingle width (words)
+  private val SIG = 16       // minhash signature width
+  private val BANDS = 2      // LSH bands (rows = 1: collide on any shared
+  private val ROWS = 1       //   minhash — sized for the synthetic corpus)
+  private val BITS = 32      // simhash width
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("text_sha")),
+
+    "d2_keep_first" -> ((s, d) =>
+      Dedup.keepFirst(Tables.documents(s, d), Seq("lang", "source"),
+        Seq(col("doc_id")))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "d3_minhash_signatures" -> ((s, d) => {
+      val hashes = transform(Dedup.shingles(col("text"), K),
+        sh => StableHash.polyHash(sh))
+      val sigs = Dedup.minhashSigs(hashes, SIG)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    "d4_lsh_candidate_pairs" -> ((s, d) =>
+      Dedup.lshPairs(Tables.documents(s, d), "doc_id", col("text"),
+        K, BANDS, ROWS)
+        .orderBy("id1", "id2")),
+
+    "d5_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS)
+        .orderBy("doc_id")),
+
+    "d6_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", col("text"), K,
+        Some(col("source")))
+        .orderBy("id1", "id2")),
+  )
+
+  // ---- generated oracle SQL ---------------------------------------------
+
+  /** Shared CTE prefix: tokens → distinct k-shingles → shingle hashes. */
+  private def hashCte: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+        sgl AS (SELECT doc_id, source, ${Dedup.shinglesSql("ts", K)} AS sh FROM t),
+        h AS (SELECT doc_id, source,
+                     list_transform(sh, s1 -> ${StableHash.polyHashSql("s1")}) AS hs
+              FROM sgl)"""
+
+  private def sigExprs: Seq[String] =
+    StableHash.affineParams(SIG).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, hv -> (hv * $a + $b) % ${StableHash.P})) AS sig$i"
+    }
+
+  private def minhashSql: String =
+    s"""$hashCte
+        SELECT doc_id, ${sigExprs.mkString(",\n               ")}
+        FROM h ORDER BY doc_id"""
+
+  private def lshSql: String = {
+    val bandIdx = (0 until BANDS).map(b => b.toString).mkString("[", ", ", "]")
+    val keys = (0 until BANDS).map { b =>
+      StableHash.bandKeySql((0 until ROWS).map(r => s"sig${b * ROWS + r}"))
+    }.mkString("[", ", ", "]")
+    s"""$hashCte,
+        sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
+        bk AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($keys) AS key FROM sig)
+        SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                           AND l.doc_id < r.doc_id
+        ORDER BY id1, id2"""
+  }
+
+  private def simhashSql: String = {
+    val bitSums = (0 until BITS).map(j =>
+      s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
+      .mkString(",\n               ")
+    val fp = (0 until BITS).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
+        s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+        SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id"""
+  }
+
+  private def jaccardSql: String =
+    s"""$hashCte,
+        z AS (SELECT doc_id, source, len(hs) AS nsh, unnest(hs) AS shingle FROM h)
+        SELECT l.doc_id AS id1, r.doc_id AS id2,
+               CAST(count(*) AS DOUBLE) /
+                 CAST(any_value(l.nsh) + any_value(r.nsh) - count(*) AS DOUBLE)
+                 AS jaccard
+        FROM z l JOIN z r ON l.source = r.source AND l.shingle = r.shingle
+                         AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id
+        ORDER BY id1, id2"""
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT sha256(text) AS text_sha, count(*) AS n_copies,
+                min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY text_sha""",
+    "d2_keep_first" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    "d3_minhash_signatures" -> minhashSql,
+    "d4_lsh_candidate_pairs" -> lshSql,
+    "d5_simhash" -> simhashSql,
+    "d6_ngram_jaccard" -> jaccardSql,
+  )
+}

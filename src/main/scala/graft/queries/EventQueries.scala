@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Num}
+
+/** Streaming-shaped operators over `events`, in batch form (SURVEY §2.10:
+  * the reference is pure batch, so streaming is our extension; the same
+  * plans run under readStream in [[graft.streaming]] — tested there with
+  * MemoryStream, since a streaming sink can't be oracle-diffed by DuckDB).
+  *
+  * `ts` arrives as nanos-epoch BIGINT (nanosAsLong): all window math is
+  * integer arithmetic — immune to both timestamp-zone and double-precision
+  * traps, and identical in any engine.
+  */
+object EventQueries extends QueryPack {
+
+  private val HOUR_NS = 3600L * 1000 * 1000 * 1000
+  private val GAP_NS = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling hourly window per event type (streaming: groupBy(window(...)))
+    // NB: integer DIV, not `/` — double division of nanos-epoch longs
+    // (1.7e18) loses precision below the hour boundary.
+    "e1_tumbling_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr(s"ts DIV $HOUR_NS").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .orderBy("hour_bucket", "event_type")),
+
+    // Sessionization: 30-min-gap sessions per user (streaming analog:
+    // flatMapGroupsWithState) — one shuffle on user_id, lag + running sum.
+    "e2_sessionize" -> ((s, d) => {
+      // Compare at µs like the oracle (DuckDB truncates TIMESTAMP_NS to µs).
+      val tsUs = expr("ts DIV 1000")
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(tsUs - lag(tsUs, 1).over(byUser) > GAP_NS / 1000, 1)
+            .when(lag(tsUs, 1).over(byUser).isNull, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_sess")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming dedup (dropDuplicates analog): earliest event per
+    // (user_id, event_type), deterministic tie-break.
+    "e3_dedup_keep_earliest" -> ((s, d) =>
+      Dedup.keepFirst(Tables.events(s, d), Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("first_ts_us"))
+        .orderBy("user_id", "event_type")),
+
+    // Late-data accounting: per type, events arriving out of order w.r.t.
+    // the running max timestamp (what a watermark would drop/admit).
+    "e4_out_of_order_frac" -> ((s, d) => {
+      val byType = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tsUs = expr("ts DIV 1000")
+      Tables.events(s, d)
+        .withColumn("late",
+          when(tsUs < max(tsUs).over(byType), 1).otherwise(0))
+        .groupBy("event_type")
+        .agg(sum(col("late")).cast("bigint").as("n_late"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_tumbling_hourly" ->
+      s"""SELECT (epoch_ns(ts) // $HOUR_NS) AS hour_bucket, event_type,
+                 count(*) AS n, ${Num.sqlSum("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    "e2_sessionize" ->
+      s"""WITH x AS (
+            SELECT user_id,
+                   CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $GAP_NS THEN 1
+                        WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                 count(*) AS n_events
+          FROM x GROUP BY user_id ORDER BY user_id""",
+    "e3_dedup_keep_earliest" ->
+      """SELECT user_id, event_type, epoch_us(first_ts) AS first_ts_us FROM (
+           SELECT user_id, event_type, ts AS first_ts,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "e4_out_of_order_frac" ->
+      """WITH x AS (
+           SELECT event_type,
+                  CASE WHEN epoch_ns(ts) < max(epoch_ns(ts))
+                         OVER (PARTITION BY event_type ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS late
+           FROM events)
+         SELECT event_type, CAST(sum(late) AS BIGINT) AS n_late, count(*) AS n
+         FROM x GROUP BY event_type ORDER BY event_type""",
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity-search pack (builder-prompt extension) over `embeddings`
+  * (64-dim float vectors): exact brute-force cosine top-k (broadcast query
+  * side), embedding-cosine near-dup pairs (label-blocked), and the
+  * hyperplane-LSH bucket path for ANN at scale.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val DIM = 64
+  private val PLANES = 6
+  private val TOPK = 5
+  private val QMOD = 50       // query subset: vec_id % QMOD == 0
+  private val NEARDUP_T = 0.2 // cosine threshold for near-dup pairs
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim1_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup: blocked all-pairs within `label` (the
+    // blocking key bounds the quadratic term; at scale the block is an LSH
+    // bucket instead of a label).
+    "sim2_neardup_pairs" -> ((s, d) => {
+      val e1 = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+      val e2 = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+      e1.join(e2, Seq("label")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          Similarity.cosine(col("v1"), col("v2")).as("cos"))
+        .filter(col("cos") > NEARDUP_T)
+        .orderBy("id1", "id2")
+    }),
+
+    "sim3_hyperplane_buckets" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"))
+        .orderBy("vec_id")),
+
+    // ANN: candidates = same-bucket vectors; exact cosine re-rank on the
+    // candidate set only (generate-then-verify). Approximate by design —
+    // the oracle mirrors the same bucketing, so results still hash-match.
+    "sim4_lsh_ann_topk" -> ((s, d) => {
+      val b = Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"),
+        col("embedding"))
+      val q = b.filter(col("vec_id") % QMOD === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qv"))
+      val cand = b.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("nv"))
+      val scored = cand.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qv"), col("nv")).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
+
+  val oracles: Map[String, String] = Map(
+    "sim1_bruteforce_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   $cosQN AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, rank, cos FROM ranked
+          WHERE rank <= $TOPK ORDER BY query_id, rank""",
+    "sim2_neardup_pairs" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 ${Similarity.cosineSql("a.embedding", "b.embedding", DIM)} AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", DIM)} > $NEARDUP_T
+          ORDER BY id1, id2""",
+    "sim3_hyperplane_buckets" ->
+      s"""SELECT vec_id,
+                 ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket
+          FROM embeddings ORDER BY vec_id""",
+    "sim4_lsh_ann_topk" ->
+      s"""WITH b AS (SELECT vec_id,
+                 ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket,
+                 embedding
+               FROM embeddings),
+          scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   $cosQN AS cos
+            FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, rank, cos FROM ranked
+          WHERE rank <= $TOPK ORDER BY query_id, rank""",
+  )
+}
