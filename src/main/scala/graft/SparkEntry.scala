@@ -13,11 +13,14 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     FilterQueries, GroupedQueries, JoinQueries, FanoutQueries, ScalarQueries,
-    TextQueries, DedupQueries, SimilarityQueries, EventQueries)
+    TextQueries, DedupQueries, SimilarityQueries, EventQueries, PipelineQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full screening-pipeline shape: fan-out, broadcast cross join,
+    * surrogate cascade, grouped soft-delete (see PipelineQueries).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("m5_pipeline_screen")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,121 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+import graft.ops.Grouped
+
+/** M1–M5 batched inference cascade (reference:
+  * catlas/adslab_predictions.py:217-387, prediction_steps.py:308-372).
+  *
+  * Seam design (SURVEY §7.4 #6): [[EnergyModel]] isolates the backend.
+  * The deterministic surrogate makes cascades exactly reproducible (and
+  * DuckDB-oracle-checkable); a real backend slots in behind the same trait
+  * as a `mapInPandas`-style partition operator with an executor-singleton
+  * registry ([[ModelRegistry]], the reference's per-worker model cache,
+  * adslab_predictions.py:52-114).
+  */
+trait EnergyModel extends Serializable {
+  def label: String
+  /** Energy per placement config for one adslab row. */
+  def predict(surfaceKey: String, smiles: String, nConfigs: Int): Seq[Double]
+}
+
+/** Deterministic surrogate (FIXTURES.md §7): stable hash → uniform in
+  * [−4, 2) eV, the parity-plot range (parity_utils.py:216-240).
+  */
+case class SurrogateModel(label: String, seed: String = "s0") extends EnergyModel {
+  def predict(surfaceKey: String, smiles: String, nConfigs: Int): Seq[Double] =
+    (0 until nConfigs).map { i =>
+      val h = s"$seed|$label|$surfaceKey|$smiles|$i"
+        .foldLeft(0L)((a, c) => (a * 31 + c.toInt) % StableHash.P)
+      (h % 6000L) / 1000.0 - 4.0
+    }
+}
+
+/** M2: executor-singleton registry — models load once per JVM/executor,
+  * keyed by checkpoint id (lazy val inside an object = the Spark-native
+  * form of the reference's per-worker registry).
+  */
+object ModelRegistry {
+  private val models = new java.util.concurrent.ConcurrentHashMap[String, EnergyModel]()
+  def getOrLoad(label: String, load: () => EnergyModel): EnergyModel =
+    models.computeIfAbsent(label, _ => load())
+  def loadedCount: Int = models.size
+}
+
+/** One step of the prediction cascade (config schema
+  * config_validation.py:261-318): either a batched inference or a grouped
+  * adsorption-energy filter.
+  */
+sealed trait CascadeStep
+case class InferenceStep(model: EnergyModel) extends CascadeStep
+/** A7 target filter: groups (hashCols) where no row with `smiles` has the
+  * most recent `min_<label>` within [lo, hi] are soft-deleted.
+  */
+case class TargetFilterStep(smiles: String, lo: Double, hi: Double) extends CascadeStep
+
+object Predict {
+
+  /** Column name conventions (adslab_predictions.py:275-354). */
+  def dECol(label: String) = s"dE_$label"
+  def minCol(label: String) = s"min_dE_$label"
+  def argminCol(label: String) = s"argmin_dE_$label"
+
+  /** M1 for one model over the whole table: appends dE array + min/argmin,
+    * SHORT-CIRCUITING soft-deleted rows (filter_reason non-null ⇒ null
+    * energies, adslab_predictions.py:275-282) — the soft-delete contract of
+    * SURVEY §7.4 #3: rows never disappear, they stop costing inference.
+    */
+  def inference(df: DataFrame, model: EnergyModel): DataFrame = {
+    val m = model
+    val predictUdf = udf((key: String, smiles: String, n: Int) => m.predict(key, smiles, n))
+    val live = col("filter_reason").isNull
+    val dE = dECol(model.label)
+    df.withColumn(dE,
+        when(live, predictUdf(col("surface_key"), col("adsorbate_smiles"),
+          size(col("adslab_configs")))))
+      .withColumn(minCol(model.label), when(live, array_min(col(dE))))
+      .withColumn(argminCol(model.label),
+        when(live, array_position(col(dE), array_min(col(dE)))))
+  }
+
+  /** A7 grouped target filter step (filters.py:300-348). */
+  def targetFilter(df: DataFrame, step: TargetFilterStep, liveMinCol: String,
+                   hashCols: Seq[String]): DataFrame = {
+    val cond = col("adsorbate_smiles") === step.smiles &&
+      col(liveMinCol).between(step.lo, step.hi)
+    Grouped.groupedExistsMark(df, hashCols, cond,
+      s"no ${step.smiles} in [${step.lo}, ${step.hi}] for $liveMinCol")
+  }
+
+  /** M5 cascade compiler (prediction_steps.py:308-372): fold the step list
+    * into one composed DataFrame transform; `most_recent_step` tracking
+    * picks the live score column for each filter.
+    */
+  def cascade(df: DataFrame, steps: Seq[CascadeStep],
+              hashCols: Seq[String] = Seq("bulk_id", "slab_millers", "slab_shift", "slab_top"))
+      : DataFrame = {
+    val init = if (df.columns.contains("filter_reason")) df
+      else df.withColumn("filter_reason", lit(null).cast("string"))
+    steps.foldLeft((init, Option.empty[String])) {
+      case ((acc, _), InferenceStep(m)) =>
+        (inference(acc, m), Some(minCol(m.label)))
+      case ((acc, Some(live)), f: TargetFilterStep) =>
+        (targetFilter(acc, f, live, hashCols), Some(live))
+      case ((_, None), _: TargetFilterStep) =>
+        throw new IllegalArgumentException(
+          "cascade: filter step before any inference step")
+    }._1
+  }
+
+  /** A4 `count_steps` (adslab_predictions.py:365-387): per inference step,
+    * adslabs actually scored.
+    */
+  def countSteps(df: DataFrame, labels: Seq[String]): DataFrame = {
+    val aggs = labels.map(l =>
+      sum(when(col(minCol(l)).isNotNull, size(col(dECol(l)))).otherwise(0))
+        .as(s"n_scored_$l"))
+    df.agg(sum(size(col("adslab_configs"))).as("n_adslabs_total"), aggs: _*)
+  }
+}

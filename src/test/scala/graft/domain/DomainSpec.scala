@@ -1,0 +1,153 @@
+package graft.domain
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnumerateSpec extends AnyFunSuite {
+
+  test("miller indices: maxMiller=1 gives the 13 distinct directions") {
+    val ms = Enumerate.millerIndices(1)
+    assert(ms.size == 13)            // 26 coprime triples / sign symmetry
+    assert(ms.contains(Seq(1, 1, 1)) && ms.contains(Seq(0, 0, 1)))
+    assert(!ms.contains(Seq(0, 0, -1))) // sign-normalized away
+  }
+
+  test("miller indices: coprime only") {
+    assert(!Enumerate.millerIndices(2).contains(Seq(2, 2, 2)))
+    assert(Enumerate.millerIndices(2).contains(Seq(1, 2, 2)))
+  }
+
+  test("enumeration is deterministic and copies parent columns") {
+    val b = Fixtures.bulks.head
+    val s1 = Enumerate.enumerateSlabs(b, 1)
+    val s2 = Enumerate.enumerateSlabs(b, 1)
+    assert(s1 == s2)
+    assert(s1.nonEmpty)
+    assert(s1.forall(_.bulk_id == b.bulk_id))
+    assert(s1.forall(_.slab_max_miller_index <= 1))
+  }
+
+  test("adslab configs: 1..4 per combo, deterministic") {
+    val c1 = Enumerate.enumerateAdslabs("k1", "*CO")
+    assert(c1.nonEmpty && c1.size <= 4)
+    assert(c1 == Enumerate.enumerateAdslabs("k1", "*CO"))
+    assert(c1.forall(c => c.site_x >= 0 && c.site_x < 1))
+  }
+}
+
+class NuclearitySpec extends AnyFunSuite {
+
+  private val lat = Seq(Seq(10.0, 0, 0), Seq(0, 10.0, 0), Seq(0, 0, 10.0))
+
+  test("isolated surface atom → finite nuclearity 1") {
+    val s = Structure(lat, Seq(
+      Site("Pt", Seq(0.5, 0.5, 0.8), "a"),   // lone surface Pt
+      Site("Cu", Seq(0.1, 0.1, 0.1), "a")))  // sub-surface other
+    val n = Nuclearity.nuclearity(s, Seq("Pt", "Cu"))
+    assert(n("Pt").nuclearity == "1")
+    assert(n("Cu").nuclearity == "0") // below surface
+  }
+
+  test("adjacent surface pair → nuclearity 2") {
+    val s = Structure(lat, Seq(
+      Site("Pt", Seq(0.50, 0.5, 0.8), "a"),
+      Site("Pt", Seq(0.75, 0.5, 0.8), "a"))) // 2.5 Å apart → bonded
+    assert(Nuclearity.nuclearity(s, Seq("Pt"))("Pt").nuclearity == "2")
+  }
+
+  test("dense wrap-around chain → infinite under replication") {
+    // chain across x at spacing 2.5 Å in a 10 Å cell: connects to its own
+    // periodic image → component scales with replication
+    val s = Structure(lat, (0 until 4).map(i =>
+      Site("Pt", Seq(i / 4.0, 0.5, 0.8), "a")))
+    val label = Nuclearity.nuclearity(s, Seq("Pt"))("Pt").nuclearity
+    assert(label == "infinite" || label == "semi-finite")
+  }
+}
+
+class AnomalySpec extends AnyFunSuite {
+
+  private val lat = Seq(Seq(10.0, 0, 0), Seq(0, 10.0, 0), Seq(0, 0, 10.0))
+  private def st(sites: (String, Double, Double, Double)*): Structure =
+    Structure(lat, sites.map { case (e, x, y, z) => Site(e, Seq(x, y, z), "a") })
+
+  test("U12 dissociation: C-O bond broken between frames") {
+    val init = st(("Pt", 0.5, 0.5, 0.4), ("C", 0.5, 0.5, 0.60), ("O", 0.5, 0.5, 0.72))
+    val fin  = st(("Pt", 0.5, 0.5, 0.4), ("C", 0.5, 0.5, 0.60), ("O", 0.5, 0.5, 0.95))
+    assert(Anomaly.isDissociated(init, fin, Seq(1, 2)))
+    assert(!Anomaly.isDissociated(init, init, Seq(1, 2)))
+  }
+
+  test("U14 desorption: adsorbate loses all slab bonds") {
+    val bound = st(("Pt", 0.5, 0.5, 0.40), ("H", 0.5, 0.5, 0.55))
+    val gone  = st(("Pt", 0.5, 0.5, 0.40), ("H", 0.5, 0.5, 0.90))
+    assert(!Anomaly.isDesorbed(bound, Seq(1)))
+    assert(Anomaly.isDesorbed(gone, Seq(1)))
+  }
+
+  test("U13 reconstruction: slab bond broken between frames") {
+    val init = st(("Pt", 0.50, 0.5, 0.4), ("Pt", 0.75, 0.5, 0.4))
+    val fin  = st(("Pt", 0.50, 0.5, 0.4), ("Pt", 0.10, 0.5, 0.7))
+    assert(Anomaly.hasSurfaceChanged(init, fin, Seq(0, 1)))
+    assert(!Anomaly.hasSurfaceChanged(init, init, Seq(0, 1)))
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+
+  private val good =
+    """{
+      "bulk_filters": {
+        "filter_by_bulk_ids": ["mp-126", "mp-30"],
+        "filter_by_object_size": 50
+      },
+      "adsorbate_smiles": ["*CO"],
+      "max_miller_index": 1,
+      "slab_filters": {
+        "filter_best_shift_by_score": {"score": "broken_bonds", "threshold": 0.5}
+      },
+      "steps": [
+        {"type": "inference", "label": "cheap"},
+        {"type": "filter_by_adsorption_energy_target",
+         "adsorbate_smiles": "*CO", "target": -1.0, "range": 0.5},
+        {"type": "inference", "label": "expensive"}
+      ]
+    }"""
+
+  test("parses filters in order and validates clean") {
+    val c = Config.fromJson(good, Map.empty)
+    assert(c.bulkFilters == Seq(ByIds(Seq("mp-126", "mp-30")), MaxSize(50)))
+    assert(c.steps.size == 3)
+    assert(Config.validate(c).isEmpty)
+  }
+
+  test("env substitution replaces ${VAR}") {
+    val c = Config.fromJson(
+      """{"bulk_filters": {"filter_by_bulk_ids": ["${MPID}"]}}""",
+      Map("MPID" -> "mp-7"))
+    assert(c.bulkFilters == Seq(ByIds(Seq("mp-7"))))
+  }
+
+  test("mpid regex violation is reported (config_validation.py:6)") {
+    val c = Config.fromJson("""{"bulk_filters": {"filter_by_bulk_ids": ["xx-1"]}}""", Map.empty)
+    assert(Config.validate(c).exists(_.contains("xx-1")))
+  }
+
+  test("top_k XOR top_proportion (config_validation.py:194-203)") {
+    val c = ScreenConfig(Nil, Nil, Seq(TopKByScore("broken_bonds", Some(2), Some(0.5))),
+      1, Nil, outputVerbose = false)
+    assert(Config.validate(c).exists(_.contains("exactly one")))
+  }
+
+  test("target±range XOR min/max (config_validation.py:288-316)") {
+    val c = ScreenConfig(Nil, Nil, Nil, 1,
+      Seq(InferCfg("m"), TargetCfg("*CO", Some(-1.0), None, None, None)),
+      outputVerbose = false)
+    assert(Config.validate(c).exists(_.contains("energy target")))
+  }
+
+  test("unknown filter key is a hard error (vs reference warn, filters.py:134)") {
+    intercept[IllegalArgumentException] {
+      Config.fromJson("""{"bulk_filters": {"filter_by_nonsense": 1}}""", Map.empty)
+    }
+  }
+}

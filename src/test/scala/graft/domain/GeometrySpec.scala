@@ -1,0 +1,58 @@
+package graft.domain
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeometrySpec extends AnyFunSuite {
+
+  private val cubic = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure // Pt fcc a=3.92
+
+  test("U1 surface area of cubic cell = a²") {
+    assert(math.abs(Geometry.surfaceArea(cubic) - 3.92 * 3.92) < 1e-9)
+  }
+
+  test("U8 center of mass of symmetric fcc cell") {
+    val com = Geometry.centerOfMass(cubic)
+    assert(math.abs(com(0) - 0.25) < 1e-9 && math.abs(com(1) - 0.25) < 1e-9)
+  }
+
+  test("pbc distance: fcc nearest neighbor = a/sqrt(2)") {
+    val lat = cubic.lattice.map(_.toArray).toArray
+    val d = Geometry.pbcDistance(lat, Seq(0.0, 0.0, 0.0), Seq(0.0, 0.5, 0.5))
+    assert(math.abs(d - 3.92 / math.sqrt(2)) < 1e-9)
+  }
+
+  test("U2/U3 fcc coordination number is 12") {
+    val cn = Geometry.bulkCoordination(cubic)
+    assert(cn("a") == 12)
+  }
+
+  test("U17 flip is an involution on the site set") {
+    val flipped = Geometry.flip(Geometry.flip(cubic))
+    val orig = cubic.sites.map(_.frac_coords.map(x => math.round(x * 1e6)))
+    val round = flipped.sites.map(_.frac_coords.map(x => math.round(x * 1e6)))
+    assert(orig.toSet == round.toSet)
+  }
+
+  test("U16 invertibility: fcc cell is z-inversion symmetric; distorted is not") {
+    assert(Geometry.isInvertible(cubic))
+    val broken = Structure(cubic.lattice,
+      cubic.sites :+ Site("Pt", Seq(0.1, 0.1, 0.3), "b"))
+    assert(!Geometry.isInvertible(broken))
+  }
+
+  test("union-find components: two disconnected pairs") {
+    val adj = Array(
+      Array(false, true, false, false),
+      Array(true, false, false, false),
+      Array(false, false, false, true),
+      Array(false, false, true, false))
+    val comp = Geometry.components(adj)
+    assert(comp(0) == comp(1) && comp(2) == comp(3) && comp(0) != comp(2))
+  }
+
+  test("U4/U6 slab loses coordination vs bulk → positive broken-bond score") {
+    val slab = Enumerate.slabStructure(cubic, 0.0)
+    val score = Geometry.brokenBondScore(slab, cubic)
+    assert(score >= 0.0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.domain
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val cfg = Config.fromJson(
+    """{
+      "bulk_filters": {
+        "filter_by_bulk_ids": ["mp-126", "mp-30", "mp-81", "mp-13", "mp-79"],
+        "filter_by_object_size": 50
+      },
+      "adsorbate_smiles": ["*CO", "*H"],
+      "max_miller_index": 1,
+      "slab_filters": {
+        "filter_best_shift_by_score": {"score": "broken_bonds", "threshold": 0.5}
+      },
+      "steps": [
+        {"type": "inference", "label": "cheap"},
+        {"type": "filter_by_adsorption_energy_target",
+         "adsorbate_smiles": "*CO", "target": -1.0, "range": 1.0},
+        {"type": "inference", "label": "expensive"}
+      ]
+    }""", Map.empty)
+
+  test("end-to-end screen: cascade columns, soft delete, ledger") {
+    val r = Pipeline.compile(spark, cfg)
+    val out = r.results.cache()
+    val n = out.count()
+    assert(n > 0)
+
+    // schema accretion through the stages
+    val cols = out.columns.toSet
+    assert(Set("bulk_id", "slab_millers", "slab_shift", "slab_top",
+      "adsorbate_smiles", "adslab_configs", "dE_cheap", "min_dE_cheap",
+      "dE_expensive", "min_dE_expensive", "filter_reason").subsetOf(cols))
+
+    // soft-delete semantics (SURVEY §7.4 #3): marked rows remain, and the
+    // second inference never scored them
+    val marked = out.filter(col("filter_reason").isNotNull)
+    assert(marked.count() > 0, "target filter should mark some groups")
+    assert(marked.filter(col("min_dE_expensive").isNotNull).count() == 0,
+      "soft-deleted rows must short-circuit later inference")
+    // live rows did get scored by both models
+    val live = out.filter(col("filter_reason").isNull)
+    assert(live.count() > 0)
+    assert(live.filter(col("min_dE_expensive").isNull).count() == 0)
+
+    // groups are homogeneous: within (bulk, millers, shift, top) either all
+    // marked or none (grouped EXISTS is group-level, filters.py:284-296)
+    val mixed = out.groupBy("bulk_id", "slab_millers", "slab_shift", "slab_top")
+      .agg(countDistinct(col("filter_reason").isNull).as("k"))
+      .filter(col("k") > 1).count()
+    assert(mixed == 0)
+
+    // ledger observed every stage via the single action
+    assert(r.ledger.await("adslab_00_enumerated"))
+    assert(r.ledger.await("bulk_00_input"))
+    val m = r.ledger.metrics
+    assert(m.get("bulk_00_input").contains(5L))
+    assert(m.contains("surf_00_enumerated") && m.contains("adslab_00_enumerated"))
+    assert(m("surf_best_shift") <= m("surf_00_enumerated"))
+    out.unpersist()
+  }
+
+  test("cascade determinism: two runs produce identical results") {
+    val a = Pipeline.compile(spark, cfg).results
+      .select("surface_key", "adsorbate_smiles", "min_dE_cheap").collect().toSet
+    val b = Pipeline.compile(spark, cfg).results
+      .select("surface_key", "adsorbate_smiles", "min_dE_cheap").collect().toSet
+    assert(a == b)
+  }
+
+  test("surrogate energies live in the parity range [-4, 2)") {
+    val r = Pipeline.compile(spark, cfg)
+    val mm = r.results.agg(min(col("min_dE_cheap")), max(col("min_dE_cheap")))
+      .collect()(0)
+    assert(mm.getDouble(0) >= -4.0 && mm.getDouble(1) < 2.0)
+  }
+
+  test("filter order is user order: ids filter observed before size filter") {
+    val r = Pipeline.compile(spark, cfg)
+    r.results.count()
+    assert(r.ledger.await("bulk_00_input"))
+    assert(r.ledger.await("bulk_02_MaxSize"))
+    val keys = r.ledger.metrics.keys.filter(_.startsWith("bulk_")).toSeq.sorted
+    assert(keys.head == "bulk_00_input")
+    assert(keys.exists(_.startsWith("bulk_01_ByIds")))
+    assert(keys.exists(_.startsWith("bulk_02_MaxSize")))
+  }
+}
+
+class MemoCacheSpec extends SparkTestBase {
+
+  test("memo cache: second run computes only misses (cache_utils semantics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("memo").toString
+    val computeCount = spark.sparkContext.longAccumulator("computed")
+    val cache = new MemoCache(spark, dir, "energy", "v1")
+
+    def compute(df: org.apache.spark.sql.DataFrame) = {
+      val cc = computeCount
+      val f = udf((k: String) => { cc.add(1); k.length.toDouble })
+      df.withColumn("value", f(col("key")))
+    }
+
+    val in1 = Seq("a", "bb", "ccc").toDF("key")
+    val r1 = cache.through(in1, "key")(compute)
+    assert(r1.count() == 3 && computeCount.value == 3)
+
+    // second run: 2 hits, 1 new key
+    computeCount.reset()
+    val in2 = Seq("bb", "ccc", "dddd").toDF("key")
+    val r2 = cache.through(in2, "key")(compute)
+    assert(r2.count() == 3)
+    assert(computeCount.value == 1, "hits must not recompute")
+    assert(cache.size() == 4)
+
+    // code-version bump invalidates (cache_utils.py:102-131)
+    val cacheV2 = new MemoCache(spark, dir, "energy", "v2")
+    computeCount.reset()
+    cacheV2.through(in1, "key")(compute).count()
+    assert(computeCount.value == 3)
+  }
+}
+
+class ModelRegistrySpec extends SparkTestBase {
+  test("M2 executor-singleton: one load per label") {
+    var loads = 0
+    def load() = { loads += 1; SurrogateModel("m") }
+    ModelRegistry.getOrLoad("reg-test", () => load())
+    ModelRegistry.getOrLoad("reg-test", () => load())
+    assert(loads == 1)
+  }
+}

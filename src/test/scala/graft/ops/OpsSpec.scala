@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkTestBase
+import graft.functions.StableHash
+
+class GroupedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("g1", 1, 10.0), ("g1", 2, 12.0), ("g1", 3, 30.0),
+    ("g2", 4, 5.0), ("g2", 5, 100.0)).toDF("g", "id", "score")
+
+  test("A7 mark: failing group marked, passing group untouched, counts kept") {
+    val out = Grouped.groupedExistsMark(df, Seq("g"), col("score") > 50, "no_big")
+    assert(out.count() == 5)
+    val marked = out.filter(col("filter_reason").isNotNull)
+      .select("g").distinct().as[String].collect().toSet
+    assert(marked == Set("g1"))
+  }
+
+  test("A7 mark: existing reason wins (first-writer, filters.py:317-324)") {
+    val pre = df.withColumn("filter_reason",
+      when(col("id") === 1, "earlier").otherwise(lit(null)))
+    val out = Grouped.groupedExistsMark(pre, Seq("g"), col("score") > 50, "no_big")
+    val r = out.filter(col("id") === 1).select("filter_reason").as[String].head()
+    assert(r == "earlier")
+  }
+
+  test("A8 top-k keeps k lowest with deterministic ties") {
+    val out = Grouped.groupTopK(df, Seq("g"), col("score"), Seq(col("id")), 2)
+    assert(out.filter(col("g") === "g1").select("id").as[Int].collect().sorted
+      .sameElements(Array(1, 2)))
+    assert(out.filter(col("g") === "g2").count() == 2)
+  }
+
+  test("A9 threshold-from-min") {
+    val out = Grouped.withinThresholdOfMin(df, Seq("g"), col("score"), 0.25)
+    // g1: min 10 → keep ≤ 12.5 → ids 1,2 ; g2: min 5 → keep ≤ 6.25 → id 4
+    assert(out.select("id").as[Int].collect().sorted.sameElements(Array(1, 2, 4)))
+  }
+
+  test("A5 regression recovers a known line") {
+    val pts = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
+      .toDF("g", "x", "y")
+    val r = Grouped.groupedRegression(pts, Seq("g"), col("x"), col("y")).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 7.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+}
+
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_copies") == 2 && out(0).getAs[Long]("keep_id") == 1)
+  }
+
+  test("jaccard: identical docs = 1.0, disjoint docs absent") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(df, "doc_id", col("text"), 2, None).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id1") == 1 && out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts identical, different texts differ") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val m = Dedup.simhash(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+
+  test("lsh pairs: exact duplicates always collide") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(df, "doc_id", col("text"), 3, 4, 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}
+
+class SimilarityOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val cs = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(math.abs(cs(0) - 1.0) < 1e-12 && math.abs(cs(1)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the most similar first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
+  }
+}
+
+class StableHashSpec extends AnyFunSuite {
+  test("polyHash range invariant holds on random strings (property)") {
+    def ref(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % StableHash.P)
+    val prop = Prop.forAll(Gen.alphaNumStr) { s =>
+      val h = ref(s); h >= 0 && h < StableHash.P
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+  test("affine params are stable and nonzero") {
+    val p = StableHash.affineParams(16)
+    assert(p == StableHash.affineParams(16))
+    assert(p.forall { case (a, _) => a != 0 })
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Structured Streaming extension tests: the same operators as the batch
+  * EventQueries, run incrementally through MemoryStream with watermarks.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  private def mkEvents(rows: Seq[StreamOps.Evt]) = {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    ms.addData(rows: _*)
+    ms
+  }
+
+  test("tumbling window counts accumulate per window across batches") {
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(5), 1, "click", 2.0),
+      StreamOps.Evt(3, ts(65), 2, "view", 3.0)))
+    val q = StreamOps.tumblingCounts(ms.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(rows("click") == 2 && rows("view") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(7, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(7, ts(1), 1, "click", 1.0),
+      StreamOps.Evt(8, ts(2), 1, "view", 2.0)))
+    val q = StreamOps.dedup(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits a session after the gap") {
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(10), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(60), 1, "click", 1.0))) // 50-min gap → new session
+    val q = StreamOps.sessionize(spark, ms.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val done = spark.table("sessions")
+        .select("user_id", "n_events").as[(Long, Int)].collect()
+      // first session (2 events) closed by the third event's gap
+      assert(done.contains((1L, 2)))
+    } finally q.stop()
+  }
+}
