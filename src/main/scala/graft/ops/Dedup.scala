@@ -25,12 +25,33 @@ import graft.functions.StableHash
   */
 object Dedup {
 
-  /** Word-level k-shingles, distinct, as a column. */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = split(text, " ")
+  /** Word-level k-shingles, distinct, from a *materialized* token array.
+    * Never inline `split(text)` here: referenced k+1 times per shingle
+    * lambda, Catalyst would re-tokenize the document for every element —
+    * the projection chain in [[hashedShingles]] evaluates each stage once.
+    */
+  def shinglesFromTokens(ts: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(0), size(ts) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+
+  /** Word-level k-shingles of a text column (convenience; single use). */
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(split(text, " "), k)
+
+  /** tokens → shingles → shingle hashes as a chain of Projects, each alias
+    * multi-referenced downstream so CollapseProject keeps them
+    * materialized. Output: input columns + `__hs` (array<long>).
+    */
+  def hashedShingles(df: DataFrame, text: Column, k: Int,
+                     keep: Seq[Column]): DataFrame = {
+    val first = df.select(keep :+ split(text, " ").as("__ts"): _*)
+    // keep may contain aliased expressions — after the first projection,
+    // refer to them by their OUTPUT names only.
+    val names = first.columns.filterNot(_ == "__ts").map(col).toSeq
+    first
+      .select(names :+ shinglesFromTokens(col("__ts"), k).as("__sh"): _*)
+      .select(names :+ transform(col("__sh"),
+        s => StableHash.polyHash(s)).as("__hs"): _*)
   }
 
   def shinglesSql(e: String, k: Int): String = {
@@ -56,9 +77,9 @@ object Dedup {
     */
   def lshPairs(df: DataFrame, id: String, text: Column,
                k: Int, bands: Int, rows: Int): DataFrame = {
-    val hashes = transform(shingles(text, k), s => StableHash.polyHash(s))
-    val sigs = minhashSigs(hashes, bands * rows)
-    val sigDf = df.select(col(id) +: sigs.map { case (nm, c) => c.as(nm) }: _*)
+    val hashed = hashedShingles(df, text, k, Seq(col(id)))
+    val sigs = minhashSigs(col("__hs"), bands * rows)
+    val sigDf = hashed.select(col(id) +: sigs.map { case (nm, c) => c.as(nm) }: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         StableHash.bandKey((0 until rows).map(r => col(s"sig${b * rows + r}")))
@@ -107,23 +128,31 @@ object Dedup {
     // Join on shingle *hashes*, not strings: 8-byte keys shuffle ~5× less
     // data than the shingle text at scale (and match the oracle's hashed
     // posting list exactly).
-    val base = df.select(
-      (col(id) +: blockCol.map(_.as("blk")).toSeq) :+
-        transform(shingles(text, k), sh => StableHash.polyHash(sh)).as("sh"): _*)
-    val sized = base.withColumn("nsh", size(col("sh")))
-    val posting = sized.select(
-      (Seq(col(id), col("nsh")) ++ (if (blockCol.isDefined) Seq(col("blk")) else Nil))
-        :+ explode(col("sh")).as("s"): _*)
-    val l = posting.select(col("s") +: (col(id).as("id1") +: col("nsh").as("n1") +:
-      (if (blockCol.isDefined) Seq(col("blk")) else Nil)): _*)
-    val r = posting.select(col("s") +: (col(id).as("id2") +: col("nsh").as("n2") +:
-      (if (blockCol.isDefined) Seq(col("blk")) else Nil)): _*)
-    val joinKeys = "s" +: (if (blockCol.isDefined) Seq("blk") else Nil)
-    l.join(r, joinKeys)
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
-        first(col("n2")).as("n2"))
+    val base = hashedShingles(df,
+      text, k, col(id) +: blockCol.map(_.as("blk")).toSeq)
+    // Posting-list pair generation instead of a self-join: group the
+    // exploded postings by shingle, emit in-array pair combinations, then
+    // count per pair. The doc set is scanned/hashed ONCE and the plan has
+    // two shuffles (by shingle, by pair) instead of a self-join's two
+    // sorted exchanges over independently recomputed inputs. Posting lists
+    // are short by construction (distinct shingles); at web scale you cap
+    // them (stop-shingles), which bounds the quadratic term per list.
+    val posting = base.select(
+      (Seq(col(id).as("pid"), size(col("__hs")).as("nsh")) ++
+        (if (blockCol.isDefined) Seq(col("blk")) else Nil))
+        :+ explode(col("__hs")).as("s"): _*)
+    val groupKeys = Seq(col("s")) ++ (if (blockCol.isDefined) Seq(col("blk")) else Nil)
+    val lists = posting.groupBy(groupKeys: _*)
+      .agg(collect_list(struct(col("pid"), col("nsh"))).as("ps"))
+    val pairs = lists.select(explode(flatten(
+      transform(col("ps"), a => filter(
+        transform(col("ps"), b => when(a("pid") < b("pid"),
+          struct(a("pid").as("id1"), b("pid").as("id2"),
+            a("nsh").as("n1"), b("nsh").as("n2")))),
+        x => x.isNotNull)))).as("p"))
+    pairs.groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("p.n1")).as("n1"),
+        first(col("p.n2")).as("n2"))
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))

@@ -21,10 +21,13 @@ import graft.functions.StableHash
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two float-array columns in double —
+    * codegen'd custom expression ([[graft.functions.SeqDotExpr]]); same
+    * accumulation order as the interpreted
+    * `aggregate(zip_with(...), 0.0, _+_)`, so scores stay bit-identical to
+    * the oracle.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Exprs.seqDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -32,11 +32,10 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")),
 
     "d3_minhash_signatures" -> ((s, d) => {
-      val hashes = transform(Dedup.shingles(col("text"), K),
-        sh => StableHash.polyHash(sh))
-      val sigs = Dedup.minhashSigs(hashes, SIG)
-      Tables.documents(s, d)
-        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      val hashed = Dedup.hashedShingles(Tables.documents(s, d),
+        col("text"), K, Seq(col("doc_id")))
+      val sigs = Dedup.minhashSigs(col("__hs"), SIG)
+      hashed.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     }),
 

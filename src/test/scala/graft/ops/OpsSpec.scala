@@ -111,6 +111,33 @@ class SimilarityOpsSpec extends SparkTestBase {
   }
 }
 
+class CustomExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PolyHashExpr equals the portable higher-order fold") {
+    val df = Seq("", "a", "spark", "the quick brown fox 123 !?",
+      "w1 w2 w3 w4").toDF("s")
+    val diff = df.select(
+      StableHash.polyHash(col("s")).as("fast"),
+      StableHash.polyHashHof(col("s")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("SeqDotExpr equals the interpreted zip_with fold") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.75f, -1.5f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.7f))).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.Exprs.seqDot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(rows == 0)
+  }
+}
+
 class StableHashSpec extends AnyFunSuite {
   test("polyHash range invariant holds on random strings (property)") {
     def ref(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % StableHash.P)
