@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.StableHash
+import graft.multimodal.MediaOps
+import graft.multimodal.MediaOps.MediaRow
+
+/** Multimodal pack: binary payload + typed metadata columns built from the
+  * corpus, decoded through the batch-shaped partition operator (stub
+  * decoder — deterministic, so even the decode output is oracle-checkable:
+  * for ASCII payloads the byte-fold hash equals the text rolling hash).
+  */
+object MultimodalQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_decode_features" -> ((s, d) => {
+      import s.implicits._
+      val media = MediaOps.mediaFromDocuments(Tables.documents(s, d)).as[MediaRow]
+      MediaOps.decodeFeatures(s, media)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 2).as("f1"))
+        .orderBy("media_id")
+    }),
+
+    "mm2_frame_sample" -> ((s, d) =>
+      MediaOps.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          size(MediaOps.sampleFrameIndices(col("meta"), 3)).as("n_sampled"))
+        .orderBy("media_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // FakeDecoder feature j = toFloat(((h·(j+1) + j·7919) mod 1000)) / 1000f
+    // with h = byte-fold == char-fold for ASCII text.
+    "mm1_decode_features" -> {
+      val h = StableHash.polyHashSql("text")
+      def f(j: Int) =
+        s"CAST(CAST((($h * ${j + 1} + ${j * 7919}) % 1000) AS FLOAT) " +
+          s"/ CAST(1000 AS FLOAT) AS DOUBLE)"
+      s"""SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
+                 ${f(0)} AS f0, ${f(1)} AS f1
+          FROM documents ORDER BY media_id"""
+    },
+    "mm2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                CAST((n_chars % 30) // 3 + 1 AS INT) AS n_sampled
+         FROM documents ORDER BY media_id""",
+  )
+}

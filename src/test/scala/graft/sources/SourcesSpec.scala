@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.domain.{Bulk, Fixtures}
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("S1: bulk JSON round-trips through the schema'd reader") {
+    val dir = Files.createTempDirectory("bulks").toString + "/bulks"
+    spark.createDataset(Fixtures.bulks).write.json(dir)
+    val back = Sources.readBulksJson(spark, dir).collect().sortBy(_.bulk_id)
+    assert(back.toSeq == Fixtures.bulks.sortBy(_.bulk_id))
+  }
+
+  test("S5: array melt preserves positional id↔energy pairing") {
+    val df = Seq(
+      ("id", Seq(7L, 8L, 9L), Seq(0.1, 0.2, 0.3)),
+      ("ood", Seq(1L), Seq(9.9))).toDF("distribution", "ids", "energies")
+    val out = Sources.meltArrays(df, "distribution", "ids", "energies")
+      .orderBy("distribution", "id")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("id", 7L, 0.1), ("id", 8L, 0.2), ("id", 9L, 0.3),
+      ("ood", 1L, 9.9)))
+  }
+
+  test("S6: binaryFile trajectory source parses each file deterministically") {
+    val dir = Files.createTempDirectory("trajs")
+    Files.write(dir.resolve("a.traj"), "frame1 frame2".getBytes)
+    Files.write(dir.resolve("b.traj"), "other content".getBytes)
+    Files.write(dir.resolve("ignore.txt"), "not a traj".getBytes)
+    val out = Sources.readTrajectories(spark, dir.toString).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.energies.nonEmpty))
+    val again = Sources.readTrajectories(spark, dir.toString).collect()
+    assert(out.map(_.energies.sum).sorted.sameElements(again.map(_.energies.sum).sorted))
+  }
+
+  test("S7: kv lookup is a broadcast left join with null misses") {
+    val base = Seq(("mp-1", 10), ("mp-2", 20), ("mp-3", 30)).toDF("bulk_id", "x")
+    val kv = Seq(("mp-1", true), ("mp-3", false)).toDF("bulk_id", "stable")
+    val out = Sources.kvLookup(base, kv, "bulk_id")
+    assert(out.count() == 3)
+    assert(out.filter(col("stable").isNull).select("bulk_id").as[String].head() == "mp-2")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("S11: provenance sink writes the resolved config") {
+    val dir = Files.createTempDirectory("out").toString
+    Sources.writeProvenance(spark, dir, """{"a":1}""")
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/run_config.json")) == """{"a":1}""")
+  }
+}
