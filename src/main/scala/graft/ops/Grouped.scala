@@ -101,20 +101,22 @@ object Grouped {
     val n   = count(lit(1)).cast("double")
     val sx  = Num.dsum(x);     val sy  = Num.dsum(y)
     val sxx = Num.dsum(x * x); val sxy = Num.dsum(x * y); val syy = Num.dsum(y * y)
+    // zero-variance groups (n=1, constant x or y) have no defined fit →
+    // null (the reference's NaN row); also keeps ANSI mode from throwing
+    // DIVIDE_BY_ZERO.
+    val varx = col("sxx") - col("sx") * col("sx") / col("n")
+    val vary = col("syy") - col("sy") * col("sy") / col("n")
+    val cov = col("sxy") - col("sx") * col("sy") / col("n")
+    val slope = when(varx =!= 0.0, cov / varx)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), Num.davg(abs(x - y)).as("mae"),
         sx.as("sx"), sy.as("sy"), sxx.as("sxx"), sxy.as("sxy"), syy.as("syy"))
       .select(
         (groupCols.map(col) ++ Seq(
           col("n"), col("mae"),
-          ((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope"),
-          ((col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) / col("n"))
-            .as("intercept"),
-          (pow(col("sxy") - col("sx") * col("sy") / col("n"), 2) /
-            ((col("sxx") - col("sx") * col("sx") / col("n")) *
-             (col("syy") - col("sy") * col("sy") / col("n")))).as("r2"))): _*)
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          (when(varx * vary =!= 0.0, cov * cov / (varx * vary))).as("r2"))): _*)
   }
 
   /** A6 per-frame error curve (bin/optimize_frame.py:73-96): posexplode the

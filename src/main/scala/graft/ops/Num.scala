@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.DecimalType
 object Num {
   private val Wide = DecimalType(30, 6)
 
+  // CAVEAT (learned the hard way): per-row values whose SHORTEST decimal
+  // representation terminates at digit 7+ with a trailing 5 (e.g.
+  // price_2dp / 1e5 = 0.0101375) sit on an exact rounding tie at scale 6 —
+  // Spark's HALF_UP and DuckDB's tie-breaking disagree. Values with ≤6
+  // decimal digits, or full-width "messy" doubles (products of inexact
+  // factors), round unambiguously and match. Keep derived columns in one
+  // of those two regimes.
+
   /** Exact, order-independent sum of a double-valued column. */
   def dsum(c: Column): Column = sum(c.cast(Wide)).cast("double")
 

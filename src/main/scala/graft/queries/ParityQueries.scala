@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num
+import graft.parity.Parity
+
+/** §3.2–3.3 entry points over the corpus: a validation table synthesized
+  * deterministically from `orders` (adsorbate ~ priority, distribution ~
+  * status, DFT ~ scaled price, ML ~ linear + discrete perturbation), then
+  * the parity report and best-frame queries run on it. Geometry scores
+  * (U2–U8) run on the crystal fixtures as a rows-only entry.
+  */
+object ParityQueries extends QueryPack {
+
+  private def validation(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderpriority").as("adsorbate"),
+      col("o_orderstatus").as("distribution"),
+      // integer-derived values with <=4 decimal digits: every product/sum
+      // stays clear of the DECIMAL(30,6) rounding-tie zone (see Num)
+      ((col("o_orderkey") % 997).cast("double") / lit(100.0)).as("DFT_energy"),
+      ((col("o_orderkey") % 997).cast("double") / lit(100.0) * lit(2.0)
+        + (col("o_custkey") % 7).cast("double") / lit(10.0)).as("ML_energy"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_parity_report" -> ((s, d) =>
+      Parity.parityReport(validation(s, d))
+        .orderBy("adsorbate", "distribution")),
+
+    "pr2_best_frame" -> ((s, d) =>
+      Parity.bestFrame(
+        Tables.embeddings(s, d).select(
+          col("vec_id").cast("string").as("random_id"),
+          (col("label").cast("double") / lit(10.0)).as("DFT_energy"),
+          col("embedding").cast("array<double>").as("ML_energies")))),
+
+    // U2–U8 geometry scores over enumerated fixture slabs (rows-only: the
+    // values are pinned by GeometrySpec; this puts the operators in the
+    // driver gate).
+    "u2_geometry_scores" -> ((s, _) => {
+      import s.implicits._
+      val geomUdf = udf((slab: graft.domain.Structure, bulk: graft.domain.Structure) => {
+        val area = graft.domain.Geometry.surfaceArea(slab)
+        val com = graft.domain.Geometry.centerOfMass(slab)
+        val bl = graft.domain.Geometry.bondLengths(bulk).values.min
+        val cn = graft.domain.Geometry.bulkCoordination(bulk).values.max
+        val bb = graft.domain.Geometry.brokenBondScore(slab, bulk)
+        val sd = graft.domain.Geometry.surfaceDensityScore(slab, bulk)
+        (area, com(2), bl, cn, bb, sd)
+      })
+      s.createDataset(graft.domain.Fixtures.bulks)
+        .flatMap(b => graft.domain.Enumerate.enumerateSlabs(b, 1))
+        .toDF()
+        .withColumn("g", geomUdf(col("slab_structure"), col("bulk_structure")))
+        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+          col("g._1").as("area"), col("g._2").as("com_z"),
+          col("g._3").as("min_bond_length"), col("g._4").as("max_cn"),
+          col("g._5").as("broken_bond_score"), col("g._6").as("surface_density_score"))
+        .orderBy("bulk_id", "slab_millers", "slab_shift")
+    }),
+  )
+
+  private def parityOracle: String = {
+    val x = "(CAST(o_orderkey % 997 AS DOUBLE) / 100.0)"
+    val y = s"($x * 2.0 + CAST(o_custkey % 7 AS DOUBLE) / 10.0)"
+    val sx = Num.sqlSum(x); val sy = Num.sqlSum(y)
+    val sxx = Num.sqlSum(s"$x * $x"); val sxy = Num.sqlSum(s"$x * $y")
+    val syy = Num.sqlSum(s"$y * $y")
+    val mae = Num.sqlAvg(s"abs($x - $y)")
+    s"""WITH s AS (
+          SELECT o_orderpriority AS adsorbate, o_orderstatus AS distribution,
+                 count(*) AS n, $mae AS mae,
+                 $sx AS sx, $sy AS sy, $sxx AS sxx, $sxy AS sxy, $syy AS syy
+          FROM orders GROUP BY 1, 2)
+        SELECT adsorbate, distribution, n, mae,
+               (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+               (sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n AS intercept,
+               ((sxy - sx*sy/n) * (sxy - sx*sy/n)) /
+                 ((sxx - sx*sx/n) * (syy - sy*sy/n)) AS r2
+        FROM s ORDER BY adsorbate, distribution"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pr1_parity_report" -> parityOracle,
+    "pr2_best_frame" ->
+      s"""WITH x AS (
+            SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS frame,
+                   unnest(embedding) AS e,
+                   CAST(label AS DOUBLE) / 10.0 AS dft
+            FROM embeddings),
+          c AS (
+            SELECT frame,
+                   ${Num.sqlAvg("abs(CAST(e AS DOUBLE) - dft)")} AS mae,
+                   ${Num.sqlAvg("CAST(e AS DOUBLE) - dft")} AS me,
+                   count(*) AS n
+            FROM x GROUP BY frame)
+          SELECT frame, mae, me, n FROM c ORDER BY mae, frame LIMIT 1""",
+  )
+}
