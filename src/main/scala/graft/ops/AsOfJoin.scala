@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-previous) join — a whole-operator semantic Spark lacks
+  * natively. Per the build brief's preference order, it is composed from
+  * built-ins rather than a custom SparkPlan: tag-and-union both inputs,
+  * sort within the key partition by (time, tag), and carry the most recent
+  * right-side row forward with `last(..., ignoreNulls)` — ONE shuffle on
+  * the key, no range-explosion, no per-row binary search.
+  *
+  * Compare: a naive theta-join `l.ts >= r.ts` is O(|L|·|R|) per key; the
+  * union-scan is O((|L|+|R|) log) from the sort and streams at 100 TB (the
+  * window frame is running, so state per key is one row of carried
+  * columns). Ties (equal time): right rows sort BEFORE left rows, so an
+  * exactly-simultaneous right row matches — the same convention as
+  * DuckDB's ASOF JOIN (`l.t >= r.t`), which the oracle checks.
+  */
+object AsOfJoin {
+
+  /** Left as-of join: for each left row, the latest right row with
+    * rightTime ≤ leftTime within the same key. `carry` = (name, column)
+    * right-side payloads to attach (null when no prior right row exists).
+    * PRECONDITION: right is unique per (key, rightTime) — dedup it first
+    * (e.g. keep the max payload), or equal-time matches are ambiguous in
+    * ANY as-of implementation, DuckDB's included.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTime: Column, rightTime: Column,
+               carry: Seq[(String, Column)]): DataFrame = {
+    val payloadCols = left.columns.filterNot(key.contains).toSeq
+    val tagged =
+      right.select(
+        key.map(col) ++
+          Seq(rightTime.as("__t"), lit(0).as("__tag")) ++
+          carry.map { case (n, c) => c.as(s"__c_$n") }: _*)
+      .unionByName(
+        left.select(
+          key.map(col) ++ Seq(leftTime.as("__t"), lit(1).as("__tag")) ++
+            payloadCols.map(col): _*),
+        allowMissingColumns = true)
+    // right rows sort before left rows at equal time (tag 0 < 1) → an
+    // exactly-simultaneous right row matches, like DuckDB ASOF's `>=`.
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(tagged) { case (df, (n, _)) =>
+      df.withColumn(n, last(col(s"__c_$n"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .drop((Seq("__t", "__tag") ++ carry.map(c => s"__c_${c._1}")): _*)
+  }
+}
+
+/** Skew-aware aggregation (SURVEY §7.4 #5: post-fan-out hot keys).
+  *
+  * Two-phase salted aggregate: phase 1 aggregates on (key, salt) — hot keys
+  * split across `salts` reducers — phase 2 merges the partials. Correct for
+  * any algebraic aggregate expressed as (partial, merge) pairs. At 1000
+  * executors this is the difference between one straggler reducer owning a
+  * hot key and `salts`-way parallelism on it; AQE's skew handling covers
+  * joins, but a skewed groupBy still needs the salt.
+  */
+object SaltedAgg {
+  def saltedSum(df: DataFrame, key: Seq[String], valueCol: Column,
+                outName: String, salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    salted
+      .groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(key.map(col): _*)
+      .agg(sum(col("__partial")).as(outName))
+  }
+}

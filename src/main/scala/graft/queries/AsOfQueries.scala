@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoin, SaltedAgg}
+
+/** As-of join + skew-salted aggregation over the corpus, oracle-checked
+  * against DuckDB's NATIVE `ASOF JOIN` — our composed union-scan operator
+  * must reproduce the dedicated engine primitive exactly.
+  */
+object AsOfQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For each 'error' event: the user's most recent 'click' at or before
+    // it (µs time, right side deduped per (user, t) by max id).
+    "ao1_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.asofJoin(errors, clicks, Seq("user_id"),
+          col("ets"), col("cts"), Seq("click_id" -> col("click_id")))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
+    // Salted two-phase aggregate == plain aggregate (exactness): revenue
+    // per returnflag through 8 salt buckets (decimal partials, so the
+    // two-phase merge is order-independent).
+    "ao2_salted_agg" -> ((s, d) =>
+      SaltedAgg.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_quantity").cast("decimal(30,6)"), "sum_qty", salts = 8)
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ao1_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM err e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ets >= c.cts
+         ORDER BY e.event_id""",
+    "ao2_salted_agg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}
