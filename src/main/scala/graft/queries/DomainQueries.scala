@@ -53,6 +53,28 @@ object DomainQueries extends QueryPack {
           "adsorbate_smiles")
     }),
 
+    // U16/U17 invertibility + flip over enumerated fixture slabs: for each
+    // slab, whether z→−z maps it onto itself and whether flip is an
+    // involution on the site set (values pinned in GeometrySpec).
+    "u16_invertibility" -> ((s, _) => {
+      import s.implicits._
+      val invUdf = udf((slab: Structure) => Geometry.isInvertible(slab))
+      val involUdf = udf((slab: Structure) => {
+        val ff = Geometry.flip(Geometry.flip(slab))
+        val r = (st: Structure) => st.sites.map(x =>
+          (x.element, x.frac_coords.map(v => math.round(v * 1e6)))).toSet
+        r(ff) == r(slab)
+      })
+      s.createDataset(Fixtures.bulks)
+        .flatMap(b => Enumerate.enumerateSlabs(b, 1))
+        .toDF()
+        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+          col("slab_top"),
+          invUdf(col("slab_structure")).as("invertible"),
+          involUdf(col("slab_structure")).as("flip_involution"))
+        .orderBy("bulk_id", "slab_millers", "slab_shift", "slab_top")
+    }),
+
     // U12–U14 anomaly flags over synthetic (initial, final) frame pairs.
     "u12_anomaly_flags" -> ((s, _) => {
       import s.implicits._

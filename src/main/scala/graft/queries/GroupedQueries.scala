@@ -134,6 +134,16 @@ object GroupedQueries extends QueryPack {
       s0.union(s1).union(s2).orderBy("stage")
     }),
 
+    // Distinct aggregate (beyond the reference's surface — SURVEY §2.5
+    // notes it has none; a data-pipeline engine needs it).
+    "a12_distinct_agg" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("lang"), col("doc_id") % 2).as("n_lang_parity"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
     // §2.6 global top-k (the one global sort in the surface; TakeOrdered
     // physical op — no full sort at scale).
     "s1_global_topk" -> ((s, d) =>
@@ -246,6 +256,11 @@ object GroupedQueries extends QueryPack {
            SELECT 2, 'brand_isin', count(*) FROM part
            WHERE p_size <= 20 AND p_brand IN ('Brand#2', 'Brand#15', 'Brand#19'))
          ORDER BY stage""",
+    "a12_distinct_agg" ->
+      """SELECT source, count(DISTINCT lang) AS n_langs,
+                count(DISTINCT (lang, doc_id % 2)) AS n_lang_parity,
+                count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
     "s1_global_topk" ->
       """SELECT o_orderkey, o_totalprice FROM (
            SELECT o_orderkey, o_totalprice FROM orders

@@ -50,6 +50,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark drops data later than the horizon (append mode)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.tumblingCounts(ms.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("late_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in hour 0
+      ms.addData(StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+        StreamOps.Evt(2, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: event 3 hours later → watermark passes hour 0, window emits
+      ms.addData(StreamOps.Evt(3, ts(200), 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterEmit = spark.table("late_wm")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(afterEmit.get("click").contains(2L), s"hour-0 window should have emitted: $afterEmit")
+      // batch 3: a LATE click back in hour 0 — behind the watermark → dropped
+      ms.addData(StreamOps.Evt(4, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_wm")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(afterLate.get("click").contains(2L), "late row must not reopen the window")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits a session after the gap") {
     val ms = mkEvents(Seq(
       StreamOps.Evt(1, ts(0), 1, "click", 1.0),
