@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num
+
+/** Multi-dimensional aggregation surface (beyond the reference — SURVEY
+  * §2.5 notes catlas has no grouping sets/cube/rollup/pivot; a complete
+  * analytics engine needs them): ROLLUP/CUBE with grouping indicators,
+  * pivot, and exact interpolated percentiles, all oracle-checked.
+  */
+object CubeQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(Num.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "c2_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "c3_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
+    "c4_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          Num.davg(col("l_quantity")).as("mean_qty"))
+        .orderBy("l_returnflag")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${Num.sqlSum("l_quantity")} AS sum_qty, count(*) AS n,
+                 CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                 CAST(GROUPING(l_linestatus) AS INT) AS g_status
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                   l_linestatus NULLS FIRST""",
+    "c2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "c3_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "c4_percentile" ->
+      s"""SELECT l_returnflag,
+                 quantile_cont(l_quantity, 0.5) AS p50,
+                 quantile_cont(l_quantity, 0.9) AS p90,
+                 ${Num.sqlAvg("l_quantity")} AS mean_qty
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}
