@@ -29,4 +29,25 @@ class RegistrySpec extends SparkTestBase {
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("output column names are identifier-safe and unique (oracle contract)") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"$name: non-identifier columns ${cols.mkString(",")}")
+      assert(cols.distinct.length == cols.length, s"$name: duplicate columns")
+    }
+  }
+
+  test("every query is run-to-run deterministic (hash of sorted rows)") {
+    def fingerprint(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect().map(_.toString).sorted.mkString("\n").hashCode
+    }
+    // skip the seeded sample (partitioning-dependent by design)
+    val names = SparkEntry.queries.keys.filterNot(_ == "f12_sample_fraction").toSeq.sorted
+    val first = names.map(n => n -> fingerprint(n)).toMap
+    val diffs = names.filter(n => fingerprint(n) != first(n))
+    assert(diffs.isEmpty, s"nondeterministic queries: $diffs")
+  }
 }
