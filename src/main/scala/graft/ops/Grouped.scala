@@ -30,13 +30,16 @@ object Grouped {
     df.withColumn(reasonCol, when(ok === 0 && existing.isNull, lit(reason)).otherwise(existing))
   }
 
-  /** A7 as a hard filter — the left-semi-join reading (SURVEY §2.3 note):
-    * keep only groups where a qualifying row exists. Same single shuffle.
+  /** A7 as a hard filter — the left-semi-join rewrite SURVEY §7.3 calls
+    * for when the `filter_reason` column is unused: keep only groups where
+    * a qualifying row exists. The semi-join beats the window form at
+    * scale — no per-partition sort, and when the set of passing group keys
+    * is small AQE broadcasts it, leaving the big side entirely unshuffled
+    * (the window form always shuffles AND sorts the full table).
     */
   def groupedExistsKeep(df: DataFrame, groupCols: Seq[String], cond: Column): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__ok", max(when(cond, 1).otherwise(0)).over(w))
-      .filter(col("__ok") === 1).drop("__ok")
+    val passing = df.filter(cond).select(groupCols.map(col): _*).distinct()
+    df.join(passing, groupCols, "left_semi")
   }
 
   /** A8 surface-property top-k (catlas/filter_utils.py:568-620): per group,
