@@ -104,6 +104,25 @@ object GroupedQueries extends QueryPack {
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "o_orderkey")),
 
+    // A8 via the custom one-pass Aggregator (map-side combine keeps ≤k
+    // rows per group BEFORE the shuffle — same rows as a8_group_topk,
+    // same oracle, different physical shape; see TopKAggregator).
+    "a8_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator.SmallestK(3)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.TopKAggregator.Entry(t._2, t._3))
+        .agg(agg.toColumn)
+        .toDF("o_custkey", "topk")
+        .select(col("o_custkey"), explode(col("topk")).as("e"))
+        .select(col("o_custkey"), col("e.tie").as("o_orderkey"),
+          col("e.score").as("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // A8 top_proportion variant.
     "a8_top_proportion" -> ((s, d) =>
       Grouped.groupTopProportion(Tables.orders(s, d), Seq("o_custkey"),
@@ -232,6 +251,11 @@ object GroupedQueries extends QueryPack {
                        WHERE x.l_orderkey = li.l_orderkey AND x.l_discount >= 0.09)
          ORDER BY l_orderkey, l_linenumber""",
     "a8_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    "a8_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT *, row_number() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice, o_orderkey) AS rn

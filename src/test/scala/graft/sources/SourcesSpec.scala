@@ -48,6 +48,18 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("partitioned parquet sink enables partition pruning (SURVEY §4.1)") {
+    val dir = Files.createTempDirectory("part").toString + "/docs"
+    Seq((1L, "x", "en"), (2L, "y", "de"), (3L, "z", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("S11: provenance sink writes the resolved config") {
     val dir = Files.createTempDirectory("out").toString
     Sources.writeProvenance(spark, dir, """{"a":1}""")
