@@ -58,6 +58,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN (the brief's "IVF or LSH-bucketed variant"): a fixed
+    * centroid set partitions the corpus into inverted lists; a query probes
+    * its `nprobe` nearest lists and re-ranks only those candidates exactly.
+    *
+    * Here centroids are a deterministic corpus subset (id-predicate) — the
+    * k-means training step is orthogonal to the engine shape and would run
+    * as a separate job at scale. Plan: centroid side is a broadcast (tiny),
+    * assignment is a narrow scored projection + window argmin, and the
+    * candidate join is an equi-join on the centroid id — the probe fan-out
+    * is |query|·nprobe·(corpus/C), never |query|·|corpus|.
+    */
+  def ivfTopK(emb: DataFrame, id: String, vec: String,
+              centroidPred: Column, queryPred: Column,
+              nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = emb.filter(centroidPred)
+      .select(col(id).as("cid"), col(vec).as("cv"))
+    val scored = emb.select(col(id), col(vec))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"),
+        cosine(col(vec), col("cv")).as("ccos"))
+    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    val ranked = scored.withColumn("crn", row_number().over(byVec))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col(id).as("neighbor_id"), col(vec).as("nv"), col("cid"))
+    val probes = ranked.filter(queryPred && col("crn") <= nprobe)
+      .select(col(id).as("query_id"), col(vec).as("qv"), col("cid"))
+    val cands = probes.join(assign, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane h, dim i):
     * hash → uniform in [−0.5, 0.5). Portable (StableHash) so the oracle can
     * reproduce the planes.

@@ -71,6 +71,14 @@ object SimilarityQueries extends QueryPack {
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")
     }),
+    // IVF ANN: centroid subset (vec_id % 100 == 7), nprobe=2 lists probed,
+    // exact re-rank on candidates only.
+    "sim5_ivf_ann_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 100 === 7, col("vec_id") % QMOD === 0,
+        nprobe = 2, k = TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")),
   )
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
@@ -115,5 +123,33 @@ object SimilarityQueries extends QueryPack {
             FROM scored)
           SELECT query_id, neighbor_id, rank, cos FROM ranked
           WHERE rank <= $TOPK ORDER BY query_id, rank""",
+    "sim5_ivf_ann_topk" -> {
+      val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 7),
+          ranked AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   CAST(row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $ccos DESC, c.cid) AS INT) AS crn
+            FROM embeddings e CROSS JOIN cent c),
+          assign AS (
+            SELECT vec_id AS neighbor_id, embedding AS nv, cid
+            FROM ranked WHERE crn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cid
+            FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+          cands AS (
+            SELECT p.query_id, a.neighbor_id,
+                   ${Similarity.cosineSql("p.qv", "a.nv", DIM)} AS cos
+            FROM probes p JOIN assign a ON p.cid = a.cid
+            WHERE p.query_id <> a.neighbor_id),
+          rr AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM cands)
+          SELECT query_id, neighbor_id, rank, cos FROM rr
+          WHERE rank <= $TOPK ORDER BY query_id, rank"""
+    },
   )
 }
