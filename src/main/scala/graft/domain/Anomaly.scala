@@ -29,15 +29,24 @@ object Anomaly {
     !adsorbateIdx.exists(i => adj(i).indices.exists(j => !ads.contains(j) && adj(i)(j)))
   }
 
-  /** U13 `has_surface_changed` (flag_systems.py:54-76): slab-internal bonds
-    * formed or broken beyond the cushion (two-sided: formed under a tight
-    * cushion OR broken under a loose one).
+  /** U13 `has_surface_changed` (flag_systems.py:54-76): two-sided check
+    * with hysteresis — a bond counts as FORMED only if absent initially
+    * under the tight cushion but present finally under it, and BROKEN only
+    * if present initially under the loose cushion but gone finally under
+    * it. A borderline bond fluctuating around one cutoff does not flip
+    * both tests, so thermal jitter doesn't false-positive.
     */
-  def hasSurfaceChanged(initial: Structure, fin: Structure,
-                        slabIdx: Seq[Int], cushion: Double = 1.2): Boolean = {
-    val s0 = subAdj(initial, slabIdx, cushion)
-    val s1 = subAdj(fin, slabIdx, cushion)
-    s0.indices.exists(i => s0(i).indices.exists(j => s0(i)(j) != s1(i)(j)))
+  def hasSurfaceChanged(initial: Structure, fin: Structure, slabIdx: Seq[Int],
+                        tight: Double = 1.0, loose: Double = 1.5): Boolean = {
+    val i0t = subAdj(initial, slabIdx, tight)
+    val i1t = subAdj(fin, slabIdx, tight)
+    val i0l = subAdj(initial, slabIdx, loose)
+    val i1l = subAdj(fin, slabIdx, loose)
+    i0t.indices.exists(i => i0t(i).indices.exists { j =>
+      val formed = !i0t(i)(j) && i1t(i)(j)
+      val broken = i0l(i)(j) && !i1l(i)(j)
+      formed || broken
+    })
   }
 
   def flags(initial: Structure, fin: Structure, adsorbateIdx: Seq[Int],

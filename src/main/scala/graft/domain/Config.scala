@@ -155,6 +155,17 @@ object Config {
     }
     if (c.steps.nonEmpty && !c.steps.head.isInstanceOf[InferCfg])
       errs += "steps: first step must be an inference"
+    // the reference's schema rejects unknown SMILES at validation time
+    // (config_validation.py allowed-value lists); a typo here would
+    // otherwise produce a silently empty screen
+    val known = Fixtures.adsorbates.map(_.adsorbate_smiles).toSet
+    c.adsorbateSmiles.filterNot(known.contains)
+      .foreach(sm => errs += s"unknown adsorbate_smiles '$sm' (known: ${known.mkString(", ")})")
+    c.steps.foreach {
+      case TargetCfg(sm, _, _, _, _) if !known.contains(sm) =>
+        errs += s"unknown adsorbate_smiles '$sm' in energy target filter"
+      case _ =>
+    }
     errs.result()
   }
 

@@ -132,13 +132,23 @@ object Geometry {
     */
   def bondLengths(s: Structure, neighborFactor: Double = 1.1): Map[String, Double] = {
     val lat = latticeRows(s)
+    // a site's own periodic images are legitimate nearest neighbors (the
+    // ONLY ones in a one-atom primitive cell): the shortest nonzero
+    // lattice translation bounds nn from above
+    var selfImage = Double.MaxValue
+    for (i <- -1 to 1; j <- -1 to 1; k <- -1 to 1 if !(i == 0 && j == 0 && k == 0)) {
+      val d = norm(cart(lat, Seq(i.toDouble, j.toDouble, k.toDouble)))
+      if (d < selfImage) selfImage = d
+    }
     val byWyckoff = s.sites.zipWithIndex.groupBy(_._1.wyckoff)
     byWyckoff.map { case (w, sites) =>
       val (site, idx) = sites.head
-      var nn = Double.MaxValue
+      var nn = selfImage
       s.sites.zipWithIndex.foreach { case (other, oidx) =>
-        val d = pbcDistance(lat, site.frac_coords, other.frac_coords)
-        if ((oidx != idx || d > 1e-8) && d > 1e-8 && d < nn) nn = d
+        if (oidx != idx) {
+          val d = pbcDistance(lat, site.frac_coords, other.frac_coords)
+          if (d > 1e-8 && d < nn) nn = d
+        }
       }
       w -> nn * neighborFactor
     }

@@ -42,12 +42,18 @@ class MemoCache(spark: SparkSession, root: String, operator: String, codeVersion
   def through(input: DataFrame, keyCol: String)
              (compute: DataFrame => DataFrame): DataFrame = {
     val keyed = input.withColumnRenamed(keyCol, "key")
-    val misses = read() match {
+    // dedup BOTH sides of the contract: duplicate content keys in the
+    // input must compute once (the table is content-addressed, like the
+    // reference's primary-keyed sqlite), and the read guards against a
+    // historical double-append (e.g. a transient read() miss) so callers
+    // never see key fan-out.
+    val misses = (read() match {
       case None       => keyed
       case Some(memo) => keyed.join(memo.select("key"), Seq("key"), "left_anti")
-    }
+    }).dropDuplicates("key")
     compute(misses).write.mode(SaveMode.Append).parquet(path)
     spark.read.parquet(path)
+      .dropDuplicates("key")
       .join(keyed.select("key").distinct(), Seq("key"), "left_semi")
   }
 

@@ -132,7 +132,14 @@ object Pipeline {
       .observe("adslab_00_enumerated", count(lit(1)))
   }
 
-  case class Result(results: DataFrame, ledger: Ledger)
+  case class Result(results: DataFrame, ledger: Ledger,
+                    private val spark: SparkSession) {
+    /** Unregister the ledger listener (compile registers one per call —
+      * long-lived sessions must close Results or old ledgers keep
+      * absorbing every later query's observations).
+      */
+    def close(): Unit = spark.listenerManager.unregister(ledger)
+  }
 
   /** Full screen: config → composed plan. One action (the caller's sink)
     * executes everything; `ledger.metrics` then holds every stage count.
@@ -161,6 +168,6 @@ object Pipeline {
     // final projection (P14/P15): drop heavy struct columns unless verbose
     val out = if (cfg.outputVerbose) cascaded
       else cascaded.drop("bulk_structure", "slab_structure")
-    Result(out, ledger)
+    Result(out, ledger, spark)
   }
 }

@@ -31,9 +31,14 @@ object Dedup {
     * the projection chain in [[hashedShingles]] evaluates each stage once.
     */
   def shinglesFromTokens(ts: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(ts) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))
+    // guard docs shorter than k tokens: sequence(0, negative) descends and
+    // element_at(ts, 0) throws under ANSI; the oracle's generate_series
+    // yields an empty list there, so return array() to match
+    when(size(ts) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** Word-level k-shingles of a text column (convenience; single use). */
   def shingles(text: Column, k: Int): Column = shinglesFromTokens(split(text, " "), k)

@@ -67,14 +67,18 @@ object Grouped {
   }
 
   /** A9 best-shift-per-facet (catlas/filter_utils.py:623-679): keep rows
-    * with score within `thr` *relative* slack of the group minimum
-    * (score ≤ (1+thr)·min). One window min, no self-join.
+    * with score within `thr` *relative* slack of the group minimum —
+    * score ≤ min + thr·|min|. For positive scores this is the reference's
+    * (1+thr)·min; the |min| form extends it safely to signed scores (with
+    * the naive form, a negative minimum makes even the minimum row fail
+    * its own threshold and silently empties the group). One window min,
+    * no self-join; the min row always survives.
     */
   def withinThresholdOfMin(df: DataFrame, groupCols: Seq[String],
                            score: Column, thr: Double): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
     df.withColumn("__min", min(score).over(w))
-      .filter(score <= (lit(1.0) + lit(thr)) * col("__min"))
+      .filter(score <= col("__min") + lit(thr) * abs(col("__min")))
       .drop("__min")
   }
 

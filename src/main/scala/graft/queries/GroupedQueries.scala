@@ -269,7 +269,7 @@ object GroupedQueries extends QueryPack {
     "a9_within_min_threshold" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
            SELECT *, min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mn
-           FROM lineitem) WHERE l_extendedprice <= (1.0 + 0.10) * mn
+           FROM lineitem) WHERE l_extendedprice <= mn + 0.10 * abs(mn)
          ORDER BY l_orderkey, l_linenumber""",
     "a10_stage_ledger" ->
       """SELECT * FROM (

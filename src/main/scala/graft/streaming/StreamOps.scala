@@ -40,32 +40,49 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int,
                         duration_us: Long)
 
-  /** Session windows via mapGroupsWithState (M-state custom operator —
-    * the streaming analog of EventQueries.e2): emits a session when the
-    * 30-min gap elapses (processing-time timeout drives emission here;
-    * event-time sessionization semantics are what's tested).
+  /** Session windows via flatMapGroupsWithState (the streaming analog of
+    * EventQueries.e2): a session is emitted when a later event of the same
+    * user arrives beyond the gap, OR when the event-time WATERMARK passes
+    * the session's gap horizon — without the timeout branch each user's
+    * FINAL session would sit in state forever and never reach the sink.
+    * Event-time (not processing-time) timeouts: the watermark both drives
+    * flushes and bounds state, and the query settles between batches
+    * (processing-time timeouts spin continuous empty micro-batches).
     */
   def sessionize(spark: SparkSession, events: Dataset[Evt],
-                 gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[SessionOut] = {
+                 gapUs: Long = 30L * 60 * 1000 * 1000,
+                 watermarkDelay: String = "1 minute"): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val tUs = e.ts.getTime * 1000
-            if (st == null) st = SessionState(tUs, tUs, 1)
-            else if (tUs - st.lastTs > gapUs) {
-              out += SessionOut(user, st.sessionStart, st.nEvents,
-                st.lastTs - st.sessionStart)
-              st = SessionState(tUs, tUs, 1)
-            } else st = st.copy(lastTs = tUs, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: flush
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(user, st.sessionStart, st.nEvents,
+              st.lastTs - st.sessionStart))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000
+              if (st == null) st = SessionState(tUs, tUs, 1)
+              else if (tUs - st.lastTs > gapUs) {
+                out += SessionOut(user, st.sessionStart, st.nEvents,
+                  st.lastTs - st.sessionStart)
+                st = SessionState(tUs, tUs, 1)
+              } else st = st.copy(lastTs = tUs, nEvents = st.nEvents + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs / 1000 + gapUs / 1000) // ms
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -40,6 +40,15 @@ class GeometrySpec extends AnyFunSuite {
     assert(!Geometry.isInvertible(broken))
   }
 
+  test("U2/U3 one-atom primitive cell: nn from self-images, CN 6") {
+    val sc = Structure(
+      Seq(Seq(3.0, 0, 0), Seq(0, 3.0, 0), Seq(0, 0, 3.0)),
+      Seq(Site("Cu", Seq(0.0, 0.0, 0.0), "a")))
+    val bl = Geometry.bondLengths(sc, 1.1)
+    assert(math.abs(bl("a") - 3.0 * 1.1) < 1e-9) // nn = lattice constant
+    assert(Geometry.bulkCoordination(sc, 1.1)("a") == 6) // simple cubic
+  }
+
   test("union-find components: two disconnected pairs") {
     val adj = Array(
       Array(false, true, false, false),

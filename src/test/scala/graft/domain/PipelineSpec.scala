@@ -64,6 +64,27 @@ class PipelineSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("unknown smiles fails validation (silent-empty-screen guard)") {
+    val bad = cfg.copy(adsorbateSmiles = Seq("*C0"))
+    val errs = Config.validate(bad)
+    assert(errs.exists(_.contains("*C0")))
+    intercept[IllegalArgumentException] { Pipeline.compile(spark, bad) }
+  }
+
+  test("Result.close unregisters the ledger listener") {
+    val r = Pipeline.compile(spark, cfg)
+    r.results.count()
+    assert(r.ledger.await("bulk_00_input"))
+    r.close()
+    val before = r.ledger.metrics.toMap
+    // run another screen: the closed ledger must not absorb its metrics
+    val r2 = Pipeline.compile(spark, cfg)
+    r2.results.count()
+    assert(r2.ledger.await("bulk_00_input"))
+    r2.close()
+    assert(r.ledger.metrics.toMap == before)
+  }
+
   test("cascade determinism: two runs produce identical results") {
     val a = Pipeline.compile(spark, cfg).results
       .select("surface_key", "adsorbate_smiles", "min_dE_cheap").collect().toSet
@@ -109,13 +130,20 @@ class MemoCacheSpec extends SparkTestBase {
     val r1 = cache.through(in1, "key")(compute)
     assert(r1.count() == 3 && computeCount.value == 3)
 
+    // duplicate input keys compute once and return once
+    computeCount.reset()
+    val dup = Seq("zz", "zz", "zz").toDF("key")
+    val rd = cache.through(dup, "key")(compute)
+    assert(rd.count() == 1, "duplicate keys must not fan out")
+    assert(computeCount.value == 1)
+
     // second run: 2 hits, 1 new key
     computeCount.reset()
     val in2 = Seq("bb", "ccc", "dddd").toDF("key")
     val r2 = cache.through(in2, "key")(compute)
     assert(r2.count() == 3)
     assert(computeCount.value == 1, "hits must not recompute")
-    assert(cache.size() == 4)
+    assert(cache.size() == 5)
 
     // code-version bump invalidates (cache_utils.py:102-131)
     val cacheV2 = new MemoCache(spark, dir, "energy", "v2")

@@ -42,6 +42,15 @@ class GroupedOpsSpec extends SparkTestBase {
     assert(out.select("id").as[Int].collect().sorted.sameElements(Array(1, 2, 4)))
   }
 
+  test("A9 with negative scores: the group minimum always survives") {
+    val neg = Seq(("g", 1, -3.0), ("g", 2, -2.9), ("g", 3, 1.0))
+      .toDF("g", "id", "score")
+    val kept = Grouped.withinThresholdOfMin(neg, Seq("g"), col("score"), 0.1)
+      .select("id").as[Int].collect().sorted
+    // min=-3.0 → keep ≤ -3.0 + 0.3 = -2.7 → ids 1,2
+    assert(kept.sameElements(Array(1, 2)))
+  }
+
   test("A5 regression recovers a known line") {
     val pts = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
       .toDF("g", "x", "y")
@@ -77,6 +86,16 @@ class DedupOpsSpec extends SparkTestBase {
     val m = Dedup.simhash(df, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+
+  test("short documents (< k tokens) produce no shingles, not a crash") {
+    val df = Seq((1L, "one two"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    // d3/d4/d6 all route through shinglesFromTokens; k=3 > 2 tokens
+    val sigs = Dedup.lshPairs(df, "doc_id", col("text"), 3, 4, 4)
+    assert(sigs.count() == 0) // no crash; doc 1 has empty shingle set
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .selectExpr("size(sh)").as[Int].collect().sorted
+    assert(sh.sameElements(Array(0, 4)))
   }
 
   test("lsh pairs: exact duplicates always collide") {

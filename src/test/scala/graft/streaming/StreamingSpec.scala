@@ -92,4 +92,26 @@ class StreamingSpec extends SparkTestBase {
       assert(done.contains((1L, 2)))
     } finally q.stop()
   }
+
+  test("final session flushes via event-time timeout when the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionize(spark, ms.toDS())
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append").start()
+    try {
+      // user 1's only session: 2 events, then silence
+      ms.addData(StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+        StreamOps.Evt(2, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_flush").count() == 0) // still open
+      // a much later event from ANOTHER user advances the watermark past
+      // user 1's gap horizon → the open session must flush
+      ms.addData(StreamOps.Evt(3, ts(300), 2, "view", 1.0))
+      q.processAllAvailable()
+      val done = spark.table("sessions_flush")
+        .select("user_id", "n_events").as[(Long, Int)].collect()
+      assert(done.contains((1L, 2)), s"final session not flushed: ${done.toSeq}")
+    } finally q.stop()
+  }
 }
