@@ -42,9 +42,13 @@ object Anomaly {
     val i1t = subAdj(fin, slabIdx, tight)
     val i0l = subAdj(initial, slabIdx, loose)
     val i1l = subAdj(fin, slabIdx, loose)
+    // real hysteresis crosses BOTH thresholds: formed = wasn't bonded even
+    // loosely before AND is tightly bonded now; broken = was tightly
+    // bonded before AND isn't even loosely bonded now. Jitter around a
+    // single cutoff flips only one test and never fires.
     i0t.indices.exists(i => i0t(i).indices.exists { j =>
-      val formed = !i0t(i)(j) && i1t(i)(j)
-      val broken = i0l(i)(j) && !i1l(i)(j)
+      val formed = !i0l(i)(j) && i1t(i)(j)
+      val broken = i0t(i)(j) && !i1l(i)(j)
       formed || broken
     })
   }

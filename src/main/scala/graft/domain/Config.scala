@@ -144,17 +144,6 @@ object Config {
           errs += "filter_by_surface_property: exactly one of top_k/top_proportion"
       case _ =>
     }
-    c.steps.foreach {
-      case TargetCfg(_, t, r, lo, hi) =>
-        // target±range XOR [min,max] (config_validation.py:288-316)
-        val hasTarget = t.isDefined && r.isDefined
-        val hasRange = lo.isDefined && hi.isDefined
-        if (hasTarget == hasRange)
-          errs += "energy target filter: exactly one of (target, range) / (min, max)"
-      case _ =>
-    }
-    if (c.steps.nonEmpty && !c.steps.head.isInstanceOf[InferCfg])
-      errs += "steps: first step must be an inference"
     // the reference's schema rejects unknown SMILES at validation time
     // (config_validation.py allowed-value lists); a typo here would
     // otherwise produce a silently empty screen
@@ -162,10 +151,24 @@ object Config {
     c.adsorbateSmiles.filterNot(known.contains)
       .foreach(sm => errs += s"unknown adsorbate_smiles '$sm' (known: ${known.mkString(", ")})")
     c.steps.foreach {
-      case TargetCfg(sm, _, _, _, _) if !known.contains(sm) =>
-        errs += s"unknown adsorbate_smiles '$sm' in energy target filter"
+      case TargetCfg(sm, t, r, lo, hi) =>
+        // target±range XOR [min,max] (config_validation.py:288-316)
+        val hasTarget = t.isDefined && r.isDefined
+        val hasRange = lo.isDefined && hi.isDefined
+        if (hasTarget == hasRange)
+          errs += "energy target filter: exactly one of (target, range) / (min, max)"
+        if (!known.contains(sm))
+          errs += s"unknown adsorbate_smiles '$sm' in energy target filter"
+        // a known-but-unselected probe smiles also soft-deletes every
+        // group: the target filter must probe a smiles the cross join
+        // actually enumerates
+        else if (c.adsorbateSmiles.nonEmpty && !c.adsorbateSmiles.contains(sm))
+          errs += s"energy target filter probes '$sm' but adsorbate_smiles " +
+            s"selects only ${c.adsorbateSmiles.mkString(", ")}"
       case _ =>
     }
+    if (c.steps.nonEmpty && !c.steps.head.isInstanceOf[InferCfg])
+      errs += "steps: first step must be an inference"
     errs.result()
   }
 

@@ -52,9 +52,11 @@ class MemoCache(spark: SparkSession, root: String, operator: String, codeVersion
       case Some(memo) => keyed.join(memo.select("key"), Seq("key"), "left_anti")
     }).dropDuplicates("key")
     compute(misses).write.mode(SaveMode.Append).parquet(path)
+    // semi-join FIRST, then dedup: the dedup then touches only the
+    // requested keys instead of shuffling the whole (growing) memo table
     spark.read.parquet(path)
-      .dropDuplicates("key")
       .join(keyed.select("key").distinct(), Seq("key"), "left_semi")
+      .dropDuplicates("key")
   }
 
   def size(): Long = read().map(_.count()).getOrElse(0L)

@@ -150,7 +150,6 @@ object Pipeline {
     val errs = Config.validate(cfg)
     require(errs.isEmpty, s"invalid config: ${errs.mkString("; ")}")
     val ledger = new Ledger
-    spark.listenerManager.register(ledger)
 
     val bulkDs = bulks.getOrElse(spark.createDataset(Fixtures.bulks))
     val filtered = filterBulks(bulkDs.toDF(), cfg.bulkFilters)
@@ -168,6 +167,9 @@ object Pipeline {
     // final projection (P14/P15): drop heavy struct columns unless verbose
     val out = if (cfg.outputVerbose) cascaded
       else cascaded.drop("bulk_structure", "slab_structure")
+    // register only once plan construction has succeeded — an exception
+    // above must not leak an unreachable listener
+    spark.listenerManager.register(ledger)
     Result(out, ledger, spark)
   }
 }

@@ -32,9 +32,13 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   // analysis-time type error beats a runtime ClassCastException
   // (AbstractDataType/ExpectsInputTypes are private[sql] in Spark 4)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_polyhash requires STRING input, got ${child.dataType.sql}")
+    // pattern match, not object equality: Spark 4 collated strings are
+    // StringType instances with nonzero collationId and evaluate fine here
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_polyhash requires STRING input, got ${other.sql}")
+    }
 
   protected override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

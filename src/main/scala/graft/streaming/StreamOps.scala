@@ -75,7 +75,12 @@ object StreamOps {
                 out += SessionOut(user, st.sessionStart, st.nEvents,
                   st.lastTs - st.sessionStart)
                 st = SessionState(tUs, tUs, 1)
-              } else st = st.copy(lastTs = tUs, nEvents = st.nEvents + 1)
+              } else
+                // cross-batch disorder: a late in-window event must never
+                // regress lastTs (negative durations, earlier timeout) or
+                // it extends the session START backwards instead
+                st = SessionState(math.min(st.sessionStart, tUs),
+                  math.max(st.lastTs, tUs), st.nEvents + 1)
             }
             if (st != null) {
               state.update(st)

@@ -145,6 +145,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.validate(c).exists(_.contains("energy target")))
   }
 
+  test("target filter probing an unselected smiles fails validation") {
+    val c = ScreenConfig(Nil, Seq("*H"), Nil, 1,
+      Seq(InferCfg("m"), TargetCfg("*CO", Some(-1.0), Some(0.5), None, None)),
+      outputVerbose = false)
+    assert(Config.validate(c).exists(_.contains("selects only")))
+  }
+
   test("unknown filter key is a hard error (vs reference warn, filters.py:134)") {
     intercept[IllegalArgumentException] {
       Config.fromJson("""{"bulk_filters": {"filter_by_nonsense": 1}}""", Map.empty)

@@ -93,6 +93,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late in-window event never regresses lastTs (no negative durations)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionize(spark, ms.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamOps.Evt(1, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: out-of-order event EARLIER than lastTs, still in-window
+      ms.addData(StreamOps.Evt(2, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far → flush
+      ms.addData(StreamOps.Evt(3, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      val r = spark.table("sessions_ooo")
+        .select("user_id", "n_events", "duration_us")
+        .as[(Long, Int, Long)].collect().filter(_._1 == 1L)
+      assert(r.nonEmpty)
+      assert(r.head._2 == 2 && r.head._3 == 5L * 60 * 1000 * 1000,
+        s"expected 2-event 5-min session, got ${r.toSeq}")
+    } finally q.stop()
+  }
+
   test("final session flushes via event-time timeout when the watermark passes") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
