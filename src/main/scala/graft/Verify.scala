@@ -18,11 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val dest = new java.io.File(s"$outDir/$name")
+      // a stale result from a previous run must never stand in for a
+      // now-failing query: clear the slot before attempting the write
+      if (dest.exists()) rmrf(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (dest.exists()) rmrf(dest)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

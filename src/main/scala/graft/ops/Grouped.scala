@@ -90,12 +90,15 @@ object Grouped {
     (array_min(arr), array_position(arr, array_min(arr)))
 
   /** A3 grouped form: argmin row per group via `min_by` (built-in typed
-    * argmin — one partial+final aggregate, no window, no join).
+    * argmin — one partial+final aggregate, no window, no join). The struct
+    * ordering key makes ties deterministic (bare min_by on a tied score
+    * returns an arbitrary row).
     */
   def groupArgmin(df: DataFrame, groupCols: Seq[String], score: Column,
-                  payload: Column): DataFrame =
+                  payload: Column, tieBreak: Column): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(min(score).as("min_score"), min_by(payload, score).as("argmin"))
+      .agg(min(score).as("min_score"),
+        min_by(payload, struct(score, tieBreak)).as("argmin"))
 
   /** A5 grouped OLS (catlas/parity_utils.py:206-243): per group N, MAE and
     * the regression of y on x — slope/intercept/R² in closed form from

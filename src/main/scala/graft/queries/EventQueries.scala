@@ -74,14 +74,14 @@ object EventQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_hourly" ->
-      s"""SELECT (epoch_ns(ts) // $HOUR_NS) AS hour_bucket, event_type,
+      s"""SELECT (epoch_us(ts) // ${HOUR_NS / 1000}) AS hour_bucket, event_type,
                  count(*) AS n, ${Num.sqlSum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
     "e2_sessionize" ->
       s"""WITH x AS (
             SELECT user_id,
-                   CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $GAP_NS THEN 1
-                        WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GAP_NS / 1000} THEN 1
+                        WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
                         ELSE 0 END AS new_sess
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
@@ -96,7 +96,7 @@ object EventQueries extends QueryPack {
     "e4_out_of_order_frac" ->
       """WITH x AS (
            SELECT event_type,
-                  CASE WHEN epoch_ns(ts) < max(epoch_ns(ts))
+                  CASE WHEN epoch_us(ts) < max(epoch_us(ts))
                          OVER (PARTITION BY event_type ORDER BY event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        THEN 1 ELSE 0 END AS late

@@ -37,19 +37,26 @@ object FilterQueries extends QueryPack {
 
   private def tokens(c: String = "text") = split(col(c), " ")
 
+  // single definition for every membership list: the Spark predicate AND
+  // the oracle SQL interpolate the same Seq
+  private val brandIds = Seq("Brand#2", "Brand#15", "Brand#19")
+  private val ignorePriorities = Seq("5-LOW", "4-NOT SPECIFIED")
+  private val sizeList = Seq(1, 5, 10, 15, 20)
+  private val segments = Seq("BUILDING", "AUTOMOBILE")
+
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
   private def sqlIn(xs: Seq[String])   = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_filter_by_ids" -> ((s, d) =>
       Tables.part(s, d)
-        .filter(Filters.byIds(col("p_brand"), Seq("Brand#2", "Brand#15", "Brand#19")))
+        .filter(Filters.byIds(col("p_brand"), brandIds))
         .select("p_partkey", "p_brand", "p_size")
         .orderBy("p_partkey")),
 
     "f02_filter_ignore_ids" -> ((s, d) =>
       Tables.orders(s, d)
-        .filter(Filters.ignoreIds(col("o_orderpriority"), Seq("5-LOW", "4-NOT SPECIFIED")))
+        .filter(Filters.ignoreIds(col("o_orderpriority"), ignorePriorities))
         .select("o_orderkey", "o_orderpriority")
         .orderBy("o_orderkey")),
 
@@ -61,7 +68,7 @@ object FilterQueries extends QueryPack {
 
     "f04_num_elements" -> ((s, d) =>
       Tables.part(s, d)
-        .filter(Filters.numElements(col("p_size"), Seq(1, 5, 10, 15, 20)))
+        .filter(Filters.numElements(col("p_size"), sizeList))
         .select("p_partkey", "p_size")
         .orderBy("p_partkey")),
 
@@ -125,7 +132,7 @@ object FilterQueries extends QueryPack {
 
     "f14_smiles_isin" -> ((s, d) =>
       Tables.customer(s, d)
-        .filter(Filters.byIds(col("c_mktsegment"), Seq("BUILDING", "AUTOMOBILE")))
+        .filter(Filters.byIds(col("c_mktsegment"), segments))
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")),
 
@@ -151,20 +158,20 @@ object FilterQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "f01_filter_by_ids" ->
-      """SELECT p_partkey, p_brand, p_size FROM part
-         WHERE p_brand IN ('Brand#2', 'Brand#15', 'Brand#19')
-         ORDER BY p_partkey""",
+      s"""SELECT p_partkey, p_brand, p_size FROM part
+          WHERE p_brand IN ${sqlIn(brandIds)}
+          ORDER BY p_partkey""",
     "f02_filter_ignore_ids" ->
-      """SELECT o_orderkey, o_orderpriority FROM orders
-         WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
-         ORDER BY o_orderkey""",
+      s"""SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderpriority NOT IN ${sqlIn(ignorePriorities)}
+          ORDER BY o_orderkey""",
     "f03_acceptable_elements" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
           WHERE list_has_all(${sqlList(allowed)}, string_split(text, ' '))
           ORDER BY doc_id""",
     "f04_num_elements" ->
-      """SELECT p_partkey, p_size FROM part
-         WHERE p_size IN (1, 5, 10, 15, 20) ORDER BY p_partkey""",
+      s"""SELECT p_partkey, p_size FROM part
+          WHERE p_size IN ${sizeList.mkString("(", ", ", ")")} ORDER BY p_partkey""",
     "f05_required_elements" ->
       """SELECT doc_id, source FROM documents
          WHERE list_contains(string_split(text,' '), 'spark')
@@ -197,8 +204,8 @@ object FilterQueries extends QueryPack {
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
          WHERE c_acctbal BETWEEN 1000.0 AND 5000.0 ORDER BY c_custkey""",
     "f14_smiles_isin" ->
-      """SELECT c_custkey, c_mktsegment FROM customer
-         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY c_custkey""",
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_mktsegment IN ${sqlIn(segments)} ORDER BY c_custkey""",
     "p14_drop_heavy_columns" ->
       """SELECT vec_id, label FROM embeddings ORDER BY vec_id""",
     "p15_verbose_projection" ->

@@ -35,23 +35,24 @@ object GroupedQueries extends QueryPack {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
-    // A3 per-row array min + argmin (adslab_predictions.py:323-354).
-    "a3_array_min_argmin" -> ((s, d) =>
+    // A3 per-row array min + argmin (adslab_predictions.py:323-354) —
+    // through the library helper so the gate exercises the same code the
+    // domain cascade uses.
+    "a3_array_min_argmin" -> ((s, d) => {
+      val (mn, pos) = Grouped.arrayMinArgmin(col("embedding"))
       Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          array_min(col("embedding")).cast("double").as("min_e"),
-          array_position(col("embedding"), array_min(col("embedding")))
-            .cast("bigint").as("argmin_pos"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"), mn.cast("double").as("min_e"),
+          pos.cast("bigint").as("argmin_pos"))
+        .orderBy("vec_id")
+    }),
 
-    // A3 grouped argmin via min_by with a struct tie-break — one aggregate,
-    // no window, deterministic under ties.
+    // A3 grouped argmin via the helper (min_by + struct tie-break — one
+    // aggregate, no window, deterministic under ties).
     "a3_group_argmin" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_custkey")
-        .agg(min(col("o_totalprice")).as("min_price"),
-          min_by(col("o_orderkey"),
-            struct(col("o_totalprice"), col("o_orderkey"))).as("argmin_key"))
+      Grouped.groupArgmin(Tables.orders(s, d), Seq("o_custkey"),
+        col("o_totalprice"), col("o_orderkey"), col("o_orderkey"))
+        .select(col("o_custkey"), col("min_score").as("min_price"),
+          col("argmin").as("argmin_key"))
         .orderBy("o_custkey")),
 
     // A4 conditional per-step accounting (adslab_predictions.py:365-387).
