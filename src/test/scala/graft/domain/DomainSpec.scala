@@ -26,6 +26,41 @@ class EnumerateSpec extends AnyFunSuite {
     assert(s1.forall(_.slab_max_miller_index <= 1))
   }
 
+  test("miller slab geometry: areas and atom counts are exact for cubic cells") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure // a=3.92
+    val a = 3.92
+    def slab(m: Seq[Int]) = Enumerate.slabStructure(fcc, m, 0.0, nLayers = 2)
+    // (001): area a², (110): a²√2, (111): a²√3 — textbook cross sections
+    assert(math.abs(Geometry.surfaceArea(slab(Seq(0, 0, 1))) - a * a) < 1e-9)
+    assert(math.abs(Geometry.surfaceArea(slab(Seq(1, 1, 0))) - a * a * math.sqrt(2)) < 1e-9)
+    assert(math.abs(Geometry.surfaceArea(slab(Seq(1, 1, 1))) - a * a * math.sqrt(3)) < 1e-9)
+    // atom conservation: |det [v1;v2;2·v3]| × 4 basis atoms
+    Seq(Seq(0, 0, 1), Seq(1, 1, 0), Seq(1, 1, 1), Seq(1, 2, 2)).foreach { m =>
+      val (v1, v2, v3) = Enumerate.millerBasis(m(0), m(1), m(2))
+      val rows = Seq(v1, v2, v3.map(_ * 2))
+      val det = math.abs(
+        rows(0)(0).toLong * (rows(1)(1) * rows(2)(2) - rows(1)(2) * rows(2)(1)) -
+        rows(0)(1).toLong * (rows(1)(0) * rows(2)(2) - rows(1)(2) * rows(2)(0)) +
+        rows(0)(2).toLong * (rows(1)(0) * rows(2)(1) - rows(1)(1) * rows(2)(0)))
+      val st = slab(m)
+      assert(st.sites.size == det * 4,
+        s"miller $m: expected ${det * 4} atoms, got ${st.sites.size}")
+      assert(st.sites.forall(_.frac_coords.forall(c => c >= 0.0 && c < 1.0)))
+    }
+  }
+
+  test("miller basis: plane vectors are orthogonal to (hkl), stacking hits 1") {
+    for (h <- -2 to 2; k <- -2 to 2; l <- -2 to 2
+         if !(h == 0 && k == 0 && l == 0)
+         if Seq(h, k, l).map(math.abs).filter(_ != 0).reduce((a, b) =>
+           BigInt(a).gcd(BigInt(b)).toInt) == 1) {
+      val (v1, v2, v3) = Enumerate.millerBasis(h, k, l)
+      assert(h * v1(0) + k * v1(1) + l * v1(2) == 0, s"v1 not in plane for ($h,$k,$l)")
+      assert(h * v2(0) + k * v2(1) + l * v2(2) == 0, s"v2 not in plane for ($h,$k,$l)")
+      assert(h * v3(0) + k * v3(1) + l * v3(2) == 1, s"v3 wrong for ($h,$k,$l)")
+    }
+  }
+
   test("adslab configs: 1..4 per combo, deterministic") {
     val c1 = Enumerate.enumerateAdslabs("k1", "*CO")
     assert(c1.nonEmpty && c1.size <= 4)

@@ -60,7 +60,7 @@ class GeometrySpec extends AnyFunSuite {
   }
 
   test("U4/U6 slab loses coordination vs bulk → positive broken-bond score") {
-    val slab = Enumerate.slabStructure(cubic, 0.0)
+    val slab = Enumerate.slabStructure(cubic, Seq(0, 0, 1), 0.0)
     val score = Geometry.brokenBondScore(slab, cubic)
     assert(score >= 0.0)
   }
