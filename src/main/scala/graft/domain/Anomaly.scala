@@ -29,12 +29,11 @@ object Anomaly {
     !adsorbateIdx.exists(i => adj(i).indices.exists(j => !ads.contains(j) && adj(i)(j)))
   }
 
-  /** U13 `has_surface_changed` (flag_systems.py:54-76): two-sided check
-    * with hysteresis — a bond counts as FORMED only if absent initially
-    * under the tight cushion but present finally under it, and BROKEN only
-    * if present initially under the loose cushion but gone finally under
-    * it. A borderline bond fluctuating around one cutoff does not flip
-    * both tests, so thermal jitter doesn't false-positive.
+  /** U13 `has_surface_changed` (flag_systems.py:54-76): two-threshold
+    * hysteresis — FORMED requires absent under the LOOSE cushion initially
+    * AND present under the TIGHT cushion finally; BROKEN requires present
+    * under the TIGHT cushion initially AND absent under the LOOSE one
+    * finally. A jittering bond crosses only one threshold and never fires.
     */
   def hasSurfaceChanged(initial: Structure, fin: Structure, slabIdx: Seq[Int],
                         tight: Double = 1.0, loose: Double = 1.5): Boolean = {

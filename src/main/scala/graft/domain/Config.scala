@@ -137,11 +137,19 @@ object Config {
         errs += s"filter_fraction: $f outside (0, 1]"
       case _ =>
     }
+    val knownScores = Set("broken_bonds", "surface_density")
     c.slabFilters.foreach {
-      case TopKByScore(_, k, p) =>
+      case TopKByScore(score, k, p) =>
         // top_k XOR top_proportion (config_validation.py:194-203)
         if (k.isDefined == p.isDefined)
           errs += "filter_by_surface_property: exactly one of top_k/top_proportion"
+        if (!knownScores.contains(score))
+          errs += s"unknown slab score '$score' (known: ${knownScores.mkString(", ")})"
+      case BestShift(score, thr) =>
+        if (!knownScores.contains(score))
+          errs += s"unknown slab score '$score' (known: ${knownScores.mkString(", ")})"
+        if (thr < 0)
+          errs += s"filter_best_shift_by_score: threshold $thr must be >= 0"
       case _ =>
     }
     // the reference's schema rejects unknown SMILES at validation time

@@ -11,11 +11,12 @@ import graft.functions.StableHash
   * list as an ARRAY column (the downstream aggregate is per-surface, so the
   * fan-out is never materialized through a shuffle — SURVEY G3 note).
   *
-  * Geometry strategy per SURVEY §7.4 #1: the slab *transformation* is a
-  * deterministic surrogate (z-doubled cell with termination shift); the
-  * enumeration *semantics* — symmetric-distinct Miller set, per-termination
-  * shifts, top + flipped-bottom augmentation via real invertibility (U16/
-  * U17) — follow the reference.
+  * Geometry per SURVEY §7.4 #1: [[slabStructure]] builds the REAL
+  * reoriented slab cell for each Miller plane (integer plane basis +
+  * extended-gcd stacking + vacuum padding); the symmetric-distinct
+  * *selection* of planes is the sign-normalized coprime set (full
+  * spacegroup reduction is future scope), and top + flipped-bottom
+  * augmentation uses slab-center invertibility (U16/U17).
   */
 object Enumerate {
 
@@ -147,7 +148,17 @@ object Enumerate {
         math.round(wrap(s.frac_coords(2) + 1e-7) * 1e6)))
       .map(_._2.head).toSeq
       .sortBy(s => (s.element, s.frac_coords(2), s.frac_coords(0), s.frac_coords(1)))
-    Structure(newLat, unique)
+    // VACUUM: a slab is not a periodic supercell — without vacuum along the
+    // stacking axis every "surface" site keeps bulk coordination and the
+    // broken-bond score is identically zero (and the termination shift is a
+    // rigid translation). Stretch c by (1+vacuumFrac) and compress the
+    // occupied region, so PBC images across z are separated by empty space
+    // and real top/bottom surfaces exist.
+    val vacuumFrac = 0.5
+    val vacLat = Seq(newLat(0), newLat(1), newLat(2).map(_ * (1 + vacuumFrac)))
+    val vacSites = unique.map(s => s.copy(frac_coords = Seq(
+      s.frac_coords(0), s.frac_coords(1), s.frac_coords(2) / (1 + vacuumFrac))))
+    Structure(vacLat, vacSites)
   }
 
   /** G1 `enumerate_slabs` (enumerate_slabs_adslabs.py:31-78): one bulk →
@@ -159,7 +170,7 @@ object Enumerate {
       m <- millerIndices(maxMiller)
       sh <- shifts(b.bulk_id, m)
       slab = slabStructure(b.bulk_structure, m, sh)
-      (struct, top) <- if (Geometry.isInvertible(slab))
+      (struct, top) <- if (Geometry.isInvertibleSlab(slab))
         Seq((slab, true))
       else Seq((slab, true), (Geometry.flip(slab), false))
     } yield Surface(

@@ -270,6 +270,42 @@ object Geometry {
     val d = math.abs(a - b); math.min(d, 1.0 - d)
   }
 
+  /** U16 for vacuum slabs: invertibility judged about the slab's own
+    * z-center (a slab with vacuum is not z-periodic, so the bulk wrap test
+    * above would call every slab non-invertible). A slab is invertible iff
+    * SOME symmetry op of the form (x,y,z) → (x+dx, −y+dy, 2·z_center−z)
+    * maps the site set onto itself — the in-plane translation (dx,dy) is a
+    * free parameter, exactly like the translation component of a
+    * spacegroup roto-inversion (enumeration_utils.py:71-98). Candidate
+    * translations come from mapping one anchor site to each same-element
+    * site at the reflected height, then the whole set is verified.
+    */
+  def isInvertibleSlab(s: Structure, tol: Double = 1e-5): Boolean = {
+    if (s.sites.isEmpty) return true
+    val zs = s.sites.map(_.frac_coords(2))
+    val zc = (zs.min + zs.max) / 2
+    def wrap(x: Double): Double = x - math.floor(x)
+    def mapsUnder(dx: Double, dy: Double): Boolean = s.sites.forall { t =>
+      val zr = 2 * zc - t.frac_coords(2)
+      s.sites.exists { o =>
+        o.element == t.element &&
+          dWrap(wrap(t.frac_coords(0) + dx), wrap(o.frac_coords(0))) < tol &&
+          dWrap(wrap(-t.frac_coords(1) + dy), wrap(o.frac_coords(1))) < tol &&
+          math.abs(o.frac_coords(2) - zr) < tol
+      }
+    }
+    val anchor = s.sites.head
+    val zrAnchor = 2 * zc - anchor.frac_coords(2)
+    s.sites.exists { cand =>
+      cand.element == anchor.element &&
+        math.abs(cand.frac_coords(2) - zrAnchor) < tol && {
+          val dx = cand.frac_coords(0) - anchor.frac_coords(0)
+          val dy = cand.frac_coords(1) + anchor.frac_coords(1)
+          mapsUnder(dx, dy)
+        }
+    }
+  }
+
   /** Union-find connected components over an adjacency matrix (replaces
     * the reference's graph-tool dependency, nuclearity.py:65-83).
     */

@@ -88,7 +88,9 @@ object Pipeline {
     val scoreUdf = udf((slab: Structure, bulk: Structure, score: String) =>
       score match {
         case "surface_density" => Geometry.surfaceDensityScore(slab, bulk)
-        case _                 => Geometry.brokenBondScore(slab, bulk)
+        case "broken_bonds"    => Geometry.brokenBondScore(slab, bulk)
+        case other => throw new IllegalArgumentException(
+          s"unknown slab score '$other'") // validate() should have caught it
       })
     slabFilters.foldLeft(surfaces.observe("surf_00_enumerated", count(lit(1)))) {
       case (acc, MaxMillerCfg(_)) => acc // consumed as an argument above

@@ -58,7 +58,7 @@ object DomainQueries extends QueryPack {
     // involution on the site set (values pinned in GeometrySpec).
     "u16_invertibility" -> ((s, _) => {
       import s.implicits._
-      val invUdf = udf((slab: Structure) => Geometry.isInvertible(slab))
+      val invUdf = udf((slab: Structure) => Geometry.isInvertibleSlab(slab))
       val involUdf = udf((slab: Structure) => {
         val ff = Geometry.flip(Geometry.flip(slab))
         val r = (st: Structure) => st.sites.map(x =>

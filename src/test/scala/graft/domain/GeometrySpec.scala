@@ -59,9 +59,20 @@ class GeometrySpec extends AnyFunSuite {
     assert(comp(0) == comp(1) && comp(2) == comp(3) && comp(0) != comp(2))
   }
 
-  test("U4/U6 slab loses coordination vs bulk → positive broken-bond score") {
+  test("U4/U6 vacuum slab loses coordination vs bulk → strictly positive score") {
     val slab = Enumerate.slabStructure(cubic, Seq(0, 0, 1), 0.0)
     val score = Geometry.brokenBondScore(slab, cubic)
-    assert(score >= 0.0)
+    assert(score > 0.0, s"surface must break bonds, got $score")
+    // and the periodic bulk itself would not: sanity anchor for the vacuum
+    val density = Geometry.surfaceDensityScore(slab, cubic)
+    assert(density > 0.0)
+  }
+
+  test("U16 slab invertibility: symmetric slab true; asymmetric termination false") {
+    val slab = Enumerate.slabStructure(cubic, Seq(0, 0, 1), 0.0)
+    assert(Geometry.isInvertibleSlab(slab))
+    val broken = Structure(slab.lattice,
+      slab.sites :+ Site("Pt", Seq(0.1, 0.2, 0.62), "b"))
+    assert(!Geometry.isInvertibleSlab(broken))
   }
 }
