@@ -30,6 +30,22 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
         .orderBy("hour_bucket", "event_type")),
 
+    // Sliding window (1 h length, 30 min slide): every event lands in the
+    // two windows covering it — the batch form of
+    // groupBy(window(ts, "1 hour", "30 minutes")). The fan-out is a narrow
+    // 2-element explode; the aggregate shuffles on the small window domain.
+    "e5_sliding_hourly" -> ((s, d) => {
+      val slideNs = HOUR_NS / 2
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          explode(array(
+            expr(s"ts DIV $slideNs"),
+            expr(s"ts DIV $slideNs") - 1)).as("slide_idx"))
+        .groupBy(col("slide_idx"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .orderBy("slide_idx", "event_type")
+    }),
+
     // Sessionization: 30-min-gap sessions per user (streaming analog:
     // flatMapGroupsWithState) — one shuffle on user_id, lag + running sum.
     "e2_sessionize" -> ((s, d) => {
@@ -77,6 +93,16 @@ object EventQueries extends QueryPack {
       s"""SELECT (epoch_us(ts) // ${HOUR_NS / 1000}) AS hour_bucket, event_type,
                  count(*) AS n, ${Num.sqlSum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    "e5_sliding_hourly" ->
+      s"""WITH x AS (
+            SELECT event_type, value,
+                   unnest([epoch_us(ts) // ${HOUR_NS / 2000},
+                           epoch_us(ts) // ${HOUR_NS / 2000} - 1]) AS slide_idx
+            FROM events)
+          SELECT slide_idx, event_type, count(*) AS n,
+                 ${Num.sqlSum("value")} AS sum_value
+          FROM x GROUP BY slide_idx, event_type
+          ORDER BY slide_idx, event_type""",
     "e2_sessionize" ->
       s"""WITH x AS (
             SELECT user_id,
