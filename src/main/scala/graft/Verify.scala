@@ -49,6 +49,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full registry manifest: a query that threw above has no parquet dir,
+    // and a dir-listing comparator would silently skip it — comparators
+    // must treat "expected id with no dump" as FAILURE, not absence
+    val expected = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/expected_queries.json"), expected)
     spark.stop()
   }
 }

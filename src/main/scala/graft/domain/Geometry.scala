@@ -184,27 +184,38 @@ object Geometry {
     }
   }
 
-  /** U4 `get_total_bb` (filter_utils.py:459-490): Σ over top-half sites of
-    * (bulk_cn − slab_cn)/bulk_cn. (The reference's `dask_dict` warning-path
-    * bug at :487 is intentionally not reproduced.)
+  /** Surface-site selector shared by U4/U5: a site is "top surface" iff its
+    * z is at or above the slab's mass-weighted center (filter_utils.py:478,
+    * 511 skip `frac_coords[2] < center_of_mass[2]`). COM-relative — never a
+    * fixed cell fraction — so flipped / oddly-positioned vacuum slabs still
+    * select the physically topmost layers.
+    */
+  private def isTopSite(site: Site, comZ: Double): Boolean =
+    site.frac_coords(2) >= comZ
+
+  /** U4 `get_total_bb` (filter_utils.py:459-490): Σ over top-surface sites
+    * of (bulk_cn − slab_cn)/bulk_cn. (The reference's `dask_dict`
+    * warning-path bug at :487 is intentionally not reproduced.)
     */
   def totalBrokenBonds(slab: Structure, bulkCn: Map[String, Int],
                        cutoffs: Map[String, Double]): Double = {
     val cn = siteCoordination(slab, cutoffs)
+    val comZ = centerOfMass(slab)(2)
     slab.sites.zip(cn).collect {
-      case (site, c) if site.frac_coords(2) >= 0.5 =>
+      case (site, c) if isTopSite(site, comZ) =>
         val b = bulkCn.getOrElse(site.wyckoff, 12)
         if (b > 0) (b - c).max(0).toDouble / b else 0.0
     }.sum
   }
 
   /** U5 `get_total_nn` (filter_utils.py:493-523): Σ surface-site neighbor
-    * counts over the top half.
+    * counts over the top surface (z ≥ COM_z).
     */
   def totalNearestNeighbors(slab: Structure, cutoffs: Map[String, Double]): Double = {
     val cn = siteCoordination(slab, cutoffs)
+    val comZ = centerOfMass(slab)(2)
     slab.sites.zip(cn).collect {
-      case (site, c) if site.frac_coords(2) >= 0.5 => c.toDouble
+      case (site, c) if isTopSite(site, comZ) => c.toDouble
     }.sum
   }
 
@@ -242,13 +253,20 @@ object Geometry {
     adj
   }
 
-  /** U17 `flip_struct` (enumeration_utils.py:101-125): rotate 180° about x
-    * (y→−y, z→−z in fractional space), re-wrap into [0,1), keep Wyckoff.
+  /** U17 `flip_struct` (enumeration_utils.py:101-125): 180° rotation about
+    * x *centered on the slab* (the reference rotates about the COM): y→−y
+    * wrapped, z reflected about the occupied z-extent midpoint. Reflecting
+    * within the extent — instead of z→−z then wrap — keeps the occupied
+    * block in place, so no site lands on the z=0 cell boundary and the
+    * COM-relative surface selection above stays correct for flipped slabs.
     */
   def flip(s: Structure): Structure = {
     def wrap(x: Double): Double = { val w = x - math.floor(x); if (w >= 1.0) 0.0 else w }
+    val zs = s.sites.map(_.frac_coords(2))
+    val zsum = if (zs.isEmpty) 0.0 else zs.min + zs.max
     Structure(s.lattice, s.sites.map(site => site.copy(frac_coords = Seq(
-      wrap(site.frac_coords(0)), wrap(-site.frac_coords(1)), wrap(-site.frac_coords(2))))))
+      wrap(site.frac_coords(0)), wrap(-site.frac_coords(1)),
+      zsum - site.frac_coords(2)))))
   }
 
   /** U16 `is_structure_invertible` (enumeration_utils.py:71-98): true iff

@@ -92,27 +92,30 @@ object Pipeline {
         case other => throw new IllegalArgumentException(
           s"unknown slab score '$other'") // validate() should have caught it
       })
-    slabFilters.foldLeft(surfaces.observe("surf_00_enumerated", count(lit(1)))) {
-      case (acc, MaxMillerCfg(_)) => acc // consumed as an argument above
-      case (acc, BestShift(score, thr)) =>
-        Grouped.withinThresholdOfMin(
-          acc.withColumn("__score",
-            scoreUdf(col("slab_structure"), col("bulk_structure"), lit(score))),
-          Seq("bulk_id", "slab_millers"), col("__score"), thr)
-          .drop("__score")
-          .observe("surf_best_shift", count(lit(1)))
-      case (acc, TopKByScore(score, k, p)) =>
-        val scored = acc.withColumn("__score",
-          scoreUdf(col("slab_structure"), col("bulk_structure"), lit(score)))
-        val kept = (k, p) match {
-          case (Some(kk), _) => Grouped.groupTopK(scored, Seq("bulk_id"),
-            col("__score"), Seq(col("slab_millers"), col("slab_shift"), col("slab_top")), kk)
-          case (_, Some(pp)) => Grouped.groupTopProportion(scored, Seq("bulk_id"),
-            col("__score"), Seq(col("slab_millers"), col("slab_shift"), col("slab_top")), pp)
-          case _ => scored
-        }
-        kept.drop("__score").observe("surf_topk", count(lit(1)))
-    }
+    // observe names indexed by position (like bulk filters): two filters of
+    // the same kind must not collide into one duplicate observation name
+    slabFilters.zipWithIndex
+      .foldLeft(surfaces.observe("surf_00_enumerated", count(lit(1)))) {
+        case (acc, (MaxMillerCfg(_), _)) => acc // consumed as an argument above
+        case (acc, (BestShift(score, thr), i)) =>
+          Grouped.withinThresholdOfMin(
+            acc.withColumn("__score",
+              scoreUdf(col("slab_structure"), col("bulk_structure"), lit(score))),
+            Seq("bulk_id", "slab_millers"), col("__score"), thr)
+            .drop("__score")
+            .observe(f"surf_${i + 1}%02d_best_shift", count(lit(1)))
+        case (acc, (TopKByScore(score, k, p), i)) =>
+          val scored = acc.withColumn("__score",
+            scoreUdf(col("slab_structure"), col("bulk_structure"), lit(score)))
+          val kept = (k, p) match {
+            case (Some(kk), _) => Grouped.groupTopK(scored, Seq("bulk_id"),
+              col("__score"), Seq(col("slab_millers"), col("slab_shift"), col("slab_top")), kk)
+            case (_, Some(pp)) => Grouped.groupTopProportion(scored, Seq("bulk_id"),
+              col("__score"), Seq(col("slab_millers"), col("slab_shift"), col("slab_top")), pp)
+            case _ => scored
+          }
+          kept.drop("__score").observe(f"surf_${i + 1}%02d_topk", count(lit(1)))
+      }
   }
 
   /** Stage 3: surfaces × adsorbates (J1 broadcast cross join) + adslab

@@ -30,6 +30,11 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTime: Column, rightTime: Column,
                carry: Seq[(String, Column)]): DataFrame = {
+    // a carry name equal to a left column would silently overwrite left
+    // payload via withColumn — fail loudly instead
+    val clash = carry.map(_._1).toSet.intersect(left.columns.toSet ++ key)
+    require(clash.isEmpty,
+      s"asofJoin carry names collide with left/key columns: ${clash.mkString(", ")}")
     val payloadCols = left.columns.filterNot(key.contains).toSeq
     val tagged =
       right.select(

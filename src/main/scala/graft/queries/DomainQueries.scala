@@ -25,7 +25,10 @@ object DomainQueries extends QueryPack {
         .toDF()
         .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
           explode(nucUdf(col("slab_structure"), col("bulk_elements"))).as("n"))
-        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+        // stringified: the driver comparator cannot sort/hash array columns
+        .select(col("bulk_id"),
+          concat_ws(",", col("slab_millers")).as("slab_millers"),
+          col("slab_shift"),
           col("n._1").as("element"), col("n._2").as("nuclearity"))
         .orderBy("bulk_id", "slab_millers", "slab_shift", "element")
     }),
@@ -46,7 +49,10 @@ object DomainQueries extends QueryPack {
             {"type": "inference", "label": "expensive"}]
         }""", Map.empty)
       Pipeline.compile(s, cfg).results
-        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+        // stringified: the driver comparator cannot sort/hash array columns
+        .select(col("bulk_id"),
+          concat_ws(",", col("slab_millers")).as("slab_millers"),
+          col("slab_shift"),
           col("slab_top"), col("adsorbate_smiles"), col("min_dE_cheap"),
           col("min_dE_expensive"), col("filter_reason"))
         .orderBy("bulk_id", "slab_millers", "slab_shift", "slab_top",
@@ -68,7 +74,10 @@ object DomainQueries extends QueryPack {
       s.createDataset(Fixtures.bulks)
         .flatMap(b => Enumerate.enumerateSlabs(b, 1))
         .toDF()
-        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+        // stringified: the driver comparator cannot sort/hash array columns
+        .select(col("bulk_id"),
+          concat_ws(",", col("slab_millers")).as("slab_millers"),
+          col("slab_shift"),
           col("slab_top"),
           invUdf(col("slab_structure")).as("invertible"),
           involUdf(col("slab_structure")).as("flip_involution"))

@@ -90,10 +90,12 @@ object FilterQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // group set chosen satisfiable: docs made only of engine+shape words
+    // exist; engine+misc matched nothing (every doc has a "shape" word)
     "f08_element_groups" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(Filters.acceptableElements(
-          tokens(), Seq("engine", "misc").flatMap(wordGroups)))
+          tokens(), Seq("engine", "shape").flatMap(wordGroups)))
         .select("doc_id")
         .orderBy("doc_id")),
 
@@ -189,7 +191,7 @@ object FilterQueries extends QueryPack {
           ORDER BY doc_id""",
     "f08_element_groups" ->
       s"""SELECT doc_id FROM documents
-          WHERE list_has_all(${sqlList(Seq("engine", "misc").flatMap(wordGroups))},
+          WHERE list_has_all(${sqlList(Seq("engine", "shape").flatMap(wordGroups))},
                              string_split(text, ' '))
           ORDER BY doc_id""",
     "f09_stability_grid" ->

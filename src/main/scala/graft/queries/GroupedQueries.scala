@@ -203,7 +203,7 @@ object GroupedQueries extends QueryPack {
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
     "a2_sum_of_sizes" ->
-      """SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens,
+      """SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
     "a3_array_min_argmin" ->
@@ -218,8 +218,8 @@ object GroupedQueries extends QueryPack {
            FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
     "a4_count_steps" ->
       """SELECT o_orderpriority,
-                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_done,
-                sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
                 count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a5_grouped_regression" -> regSql,

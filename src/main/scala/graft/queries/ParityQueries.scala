@@ -54,7 +54,11 @@ object ParityQueries extends QueryPack {
         .flatMap(b => graft.domain.Enumerate.enumerateSlabs(b, 1))
         .toDF()
         .withColumn("g", geomUdf(col("slab_structure"), col("bulk_structure")))
-        .select(col("bulk_id"), col("slab_millers"), col("slab_shift"),
+        // array cols stringified: the driver comparator sorts a pandas frame
+        // by every column and cannot hash numpy arrays
+        .select(col("bulk_id"),
+          concat_ws(",", col("slab_millers")).as("slab_millers"),
+          col("slab_shift"),
           col("g._1").as("area"), col("g._2").as("com_z"),
           col("g._3").as("min_bond_length"), col("g._4").as("max_cn"),
           col("g._5").as("broken_bond_score"), col("g._6").as("surface_density_score"))

@@ -60,7 +60,7 @@ class PipelineSpec extends SparkTestBase {
     val m = r.ledger.metrics
     assert(m.get("bulk_00_input").contains(5L))
     assert(m.contains("surf_00_enumerated") && m.contains("adslab_00_enumerated"))
-    assert(m("surf_best_shift") <= m("surf_00_enumerated"))
+    assert(m("surf_01_best_shift") <= m("surf_00_enumerated"))
     out.unpersist()
   }
 

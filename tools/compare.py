@@ -87,11 +87,21 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got_rows)} rows)")
 
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check — driven off the manifest so a
+    # query that THREW in Verify (no dump dir) is a failure, not an absence
     import os
-    for name in sorted(os.listdir(out_dir)):
+    try:
+        with open(f"{out_dir}/expected_queries.json") as f:
+            expected = json.load(f)
+    except FileNotFoundError:
+        expected = sorted(n for n in os.listdir(out_dir)
+                          if os.path.isdir(os.path.join(out_dir, n)))
+    for name in expected:
         p = os.path.join(out_dir, name)
-        if os.path.isdir(p) and name not in oracle:
+        if not os.path.isdir(p):
+            failures.append((name, "expected query has no dumped parquet dir "
+                                   "(threw during graft.Verify?)"))
+        elif name not in oracle:
             n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
             print(f"ROWS-ONLY {name}: {n} rows")
 
