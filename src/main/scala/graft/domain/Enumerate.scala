@@ -13,18 +13,20 @@ import graft.functions.StableHash
   *
   * Geometry per SURVEY §7.4 #1: [[slabStructure]] builds the REAL
   * reoriented slab cell for each Miller plane (integer plane basis +
-  * extended-gcd stacking + vacuum padding); the symmetric-distinct
-  * *selection* of planes is the sign-normalized coprime set (full
-  * spacegroup reduction is future scope), and top + flipped-bottom
-  * augmentation uses slab-center invertibility (U16/U17).
+  * extended-gcd stacking + vacuum padding); plane *selection* is
+  * spacegroup-reduced ([[millerIndices(bulk:Structure,maxMiller:Int)*]]
+  * collapses symmetry-equivalent facets via the bulk's own symmetry
+  * rotations), termination shifts come from the actual atomic planes
+  * ([[shifts]]), and top + flipped-bottom augmentation uses slab-center
+  * invertibility (U16/U17).
   */
 object Enumerate {
 
   private def gcd(a: Int, b: Int): Int = if (b == 0) math.abs(a) else gcd(b, a % b)
 
-  /** Symmetrically-distinct Miller indices up to maxMiller
-    * (enumeration_utils.py:40-55): coprime triples, sign-normalized on the
-    * first nonzero component, deduplicated, in deterministic order.
+  /** Coprime sign-normalized Miller set up to maxMiller: the UNREDUCED
+    * candidate universe (first nonzero component positive — h and −h name
+    * the same plane family; bottoms are covered by flip augmentation).
     */
   def millerIndices(maxMiller: Int): Seq[Seq[Int]] = {
     val r = -maxMiller to maxMiller
@@ -32,26 +34,137 @@ object Enumerate {
       h <- r; k <- r; l <- r
       if !(h == 0 && k == 0 && l == 0)
       if gcd(gcd(math.abs(h), math.abs(k)), math.abs(l)) == 1
-    } yield {
-      val firstNonzero = Seq(h, k, l).find(_ != 0).get
-      val sgn = if (firstNonzero < 0) -1 else 1
-      Seq(h * sgn, k * sgn, l * sgn)
-    }
+    } yield normalizeSign(Seq(h, k, l))
     set.distinct.sortBy(m => (m(0), m(1), m(2)))
   }
 
-  /** Termination shifts for (bulk, miller): deterministic count in 1..3
-    * derived from the content hash (stands in for the reference's
-    * termination-plane search).
-    */
-  def shifts(bulkId: String, miller: Seq[Int]): Seq[Double] = {
-    val h = StableHash.P + hashOf(s"$bulkId|${miller.mkString(",")}")
-    val n = (1 + (h % 3)).toInt
-    (0 until n).map(i => i.toDouble / n)
+  private def normalizeSign(m: Seq[Int]): Seq[Int] = {
+    val sgn = if (m.find(_ != 0).get < 0) -1 else 1
+    m.map(_ * sgn)
   }
 
-  private def hashOf(s: String): Long =
-    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % StableHash.P)
+  /** Space-group rotation parts of a structure: integer 3×3 matrices W
+    * (entries −1..1) acting on fractional rows (f′ = f·W + t) with
+    * |det W| = 1 that (a) preserve the lattice metric W·G·Wᵀ = G
+    * (G = A·Aᵀ) and (b) map the site set onto itself under SOME fractional
+    * translation t — candidate translations come from mapping an anchor
+    * site onto each same-element site, then the whole set is verified
+    * (what SpacegroupAnalyzer does inside enumeration_utils.py:40-55).
+    * Entry range −1..1 covers all cubic/tetragonal/orthorhombic/hexagonal
+    * settings in standard cells; an op outside it is merely not found,
+    * which over-enumerates (safe) rather than merging distinct facets.
+    */
+  def symmetryRotations(s: Structure, tol: Double = 1e-5): Seq[Array[Array[Int]]] = {
+    val a = s.lattice.map(_.toArray).toArray
+    val g = Array.tabulate(3, 3)((i, j) =>
+      a(i)(0) * a(j)(0) + a(i)(1) * a(j)(1) + a(i)(2) * a(j)(2))
+    def wrap(x: Double): Double = x - math.floor(x)
+    @inline def dWrap(x: Double, y: Double): Double = {
+      val d = math.abs(x - y); math.min(d, 1.0 - d)
+    }
+    // anchor = element with the fewest sites → fewest candidate translations
+    val anchorEl = s.sites.groupBy(_.element).minBy(_._2.size)._1
+    val anchor = s.sites.find(_.element == anchorEl).get
+    val range = Seq(-1, 0, 1)
+    val ops = for {
+      w00 <- range; w01 <- range; w02 <- range
+      w10 <- range; w11 <- range; w12 <- range
+      w20 <- range; w21 <- range; w22 <- range
+      w = Array(Array(w00, w01, w02), Array(w10, w11, w12), Array(w20, w21, w22))
+      det = w00 * (w11 * w22 - w12 * w21) - w01 * (w10 * w22 - w12 * w20) +
+        w02 * (w10 * w21 - w11 * w20)
+      if det == 1 || det == -1
+      // metric preservation: (W·G·Wᵀ)ij == Gij
+      if (0 until 3).forall(i => (0 until 3).forall { j =>
+        var acc = 0.0
+        var p = 0
+        while (p < 3) {
+          var q = 0
+          while (q < 3) { acc += w(i)(p) * g(p)(q) * w(j)(q); q += 1 }
+          p += 1
+        }
+        math.abs(acc - g(i)(j)) < 1e-6
+      })
+      // space-group test: ∃t s.t. f·W + t maps the site set onto itself
+      if {
+        def rowTimesW(f: Seq[Double]): Array[Double] = Array(
+          f(0) * w(0)(0) + f(1) * w(1)(0) + f(2) * w(2)(0),
+          f(0) * w(0)(1) + f(1) * w(1)(1) + f(2) * w(2)(1),
+          f(0) * w(0)(2) + f(1) * w(1)(2) + f(2) * w(2)(2))
+        val aw = rowTimesW(anchor.frac_coords)
+        s.sites.filter(_.element == anchorEl).exists { target =>
+          val t = Array(target.frac_coords(0) - aw(0),
+            target.frac_coords(1) - aw(1), target.frac_coords(2) - aw(2))
+          s.sites.forall { p =>
+            val pw = rowTimesW(p.frac_coords)
+            s.sites.exists(q => q.element == p.element &&
+              dWrap(wrap(pw(0) + t(0)), wrap(q.frac_coords(0))) < tol &&
+              dWrap(wrap(pw(1) + t(1)), wrap(q.frac_coords(1))) < tol &&
+              dWrap(wrap(pw(2) + t(2)), wrap(q.frac_coords(2))) < tol)
+          }
+        }
+      }
+    } yield w
+    ops
+  }
+
+  /** Symmetrically-DISTINCT Miller indices up to maxMiller for a given
+    * bulk (enumeration_utils.py:40-55 /
+    * pymatgen get_symmetrically_distinct_miller_indices): one canonical
+    * representative per orbit of the bulk's symmetry group acting on hkl.
+    * A rotation f′ = f·W maps the plane family h to h·W⁻ᵀ; over the whole
+    * group {W⁻¹} = {W}, so orbits are computed with the column action
+    * W·hᵀ. fcc/bcc at maxMiller=1 collapse 13 directions → 3 facets
+    * ((100), (110), (111)); every screen downstream is spared the
+    * symmetric-duplicate fan-out.
+    */
+  def millerIndices(bulk: Structure, maxMiller: Int): Seq[Seq[Int]] = {
+    val ops = symmetryRotations(bulk)
+    val candidates = millerIndices(maxMiller)
+    // visit all-positive "conventional" facets first so they become the
+    // emitted representative of their orbit
+    val ordered = candidates.sortBy(m => (-m(0), -m(1), -m(2)))
+    val seen = scala.collection.mutable.Set.empty[Seq[Int]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    for (m <- ordered if !seen.contains(m)) {
+      out += m
+      for (w <- ops) {
+        val hm = Seq(
+          w(0)(0) * m(0) + w(0)(1) * m(1) + w(0)(2) * m(2),
+          w(1)(0) * m(0) + w(1)(1) * m(1) + w(1)(2) * m(2),
+          w(2)(0) * m(0) + w(2)(1) * m(1) + w(2)(2) * m(2))
+        seen += normalizeSign(hm)
+      }
+    }
+    out.sortBy(m => (m(0), m(1), m(2))).toSeq
+  }
+
+  /** Termination shifts for (bulk, miller): the distinct stacking
+    * positions of atomic planes along the Miller normal — wrap(h·f) per
+    * basis site, clustered at `tol` (the reference's SlabGenerator
+    * get_slabs(tol=0.3) termination search, enumerate_slabs_adslabs.py:
+    * 43-55, derives shifts from the same plane positions). Adjacent
+    * clusters across the z=0/1 wrap seam are merged. Each shift is a REAL
+    * atomic plane: slabStructure cuts the cell so that plane is the
+    * exposed top surface.
+    */
+  def shifts(bulk: Structure, miller: Seq[Int], tol: Double = 0.05): Seq[Double] = {
+    def wrap(x: Double): Double = { val w = x - math.floor(x); if (w >= 1.0) 0.0 else w }
+    val ps = bulk.sites.map(s =>
+      wrap(miller(0) * s.frac_coords(0) + miller(1) * s.frac_coords(1) +
+        miller(2) * s.frac_coords(2))).sorted
+    val clusters = ps.foldLeft(List.empty[List[Double]]) {
+      case (Nil, p) => List(List(p))
+      case (cur :: done, p) =>
+        if (p - cur.last <= tol) (cur :+ p) :: done else List(p) :: cur :: done
+    }.reverse.map(_.min)
+    // wrap seam: a plane just under 1.0 and one at 0.0 are the same plane
+    val merged =
+      if (clusters.size > 1 && (1.0 - clusters.last) + clusters.head <= tol)
+        clusters.dropRight(1)
+      else clusters
+    merged
+  }
 
   /** Integer basis of the Miller plane lattice {x ∈ Z³ : h·x = 0} plus a
     * stacking vector with h·v₃ = 1 (exists for coprime (h,k,l), via the
@@ -91,10 +204,9 @@ object Enumerate {
   /** Real slab geometry for a Miller plane: reorient the bulk into the
     * cell spanned by (v₁, v₂, nLayers·v₃) in lattice coordinates, fill it
     * with every lattice translate of the basis (|det M| × natoms sites —
-    * exact atom conservation), and apply the termination `shift` along the
-    * stacking axis. Exact for any lattice; the symmetric-distinct
-    * *selection* of planes remains the sign-normalized coprime set
-    * (full spacegroup reduction per SURVEY §7.4 #1 is round-2 scope).
+    * exact atom conservation), and cut at the termination plane `shift`
+    * (a stacking position from [[shifts]]) so that plane is the exposed
+    * top surface. Exact for any lattice.
     */
   def slabStructure(bulk: Structure, miller: Seq[Int], shift: Double,
                     nLayers: Int = 2): Structure = {
@@ -140,7 +252,12 @@ object Enumerate {
       f = Array(s.frac_coords(0) + tx, s.frac_coords(1) + ty, s.frac_coords(2) + tz)
       g = newFrac(f)
     } yield s.copy(frac_coords = Seq(
-      wrap(g(0)), wrap(g(1)), wrap(g(2) + shift / nLayers)))
+      // translate so the termination plane `shift` (a stacking position
+      // from shifts(), g₂ = (h·f)/nLayers per layer) lands just below the
+      // cell top: that plane becomes the exposed surface after the vacuum
+      // cut. ε ≪ the shifts() cluster tolerance keeps the plane itself on
+      // the kept side of the wrap.
+      wrap(g(0)), wrap(g(1)), wrap(g(2) - (shift + 1e-4) / nLayers)))
     val unique = sites
       .groupBy(s => (s.element, s.wyckoff,
         math.round(wrap(s.frac_coords(0) + 1e-7) * 1e6),
@@ -167,8 +284,8 @@ object Enumerate {
     */
   def enumerateSlabs(b: Bulk, maxMiller: Int): Seq[Surface] =
     for {
-      m <- millerIndices(maxMiller)
-      sh <- shifts(b.bulk_id, m)
+      m <- millerIndices(b.bulk_structure, maxMiller)
+      sh <- shifts(b.bulk_structure, m)
       slab = slabStructure(b.bulk_structure, m, sh)
       (struct, top) <- if (Geometry.isInvertibleSlab(slab))
         Seq((slab, true))
@@ -183,6 +300,9 @@ object Enumerate {
       slab_top = top,
       slab_natoms = struct.sites.size,
       slab_structure = struct)
+
+  private def hashOf(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % StableHash.P)
 
   /** One adslab placement configuration: id + fractional site. */
   case class AdslabConfig(config_id: Int, site_x: Double, site_y: Double)

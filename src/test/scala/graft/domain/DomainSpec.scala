@@ -16,6 +16,32 @@ class EnumerateSpec extends AnyFunSuite {
     assert(Enumerate.millerIndices(2).contains(Seq(1, 2, 2)))
   }
 
+  test("spacegroup reduction: fcc/bcc collapse 13 directions to 3 facets") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    val bcc = Fixtures.bulks.find(_.bulk_id == "mp-13").get.bulk_structure
+    assert(Enumerate.millerIndices(fcc, 1) == Seq(Seq(1, 0, 0), Seq(1, 1, 0), Seq(1, 1, 1)))
+    assert(Enumerate.millerIndices(bcc, 1).size == 3)
+    // cubic point group has 48 rotation parts
+    assert(Enumerate.symmetryRotations(fcc).size == 48)
+    // coverage: every coprime direction is in some emitted orbit — a
+    // structure with NO symmetry beyond identity emits the full set
+    val asym = Structure(
+      Seq(Seq(5.0, 0, 0), Seq(0, 6.0, 0), Seq(0, 0, 7.0)),
+      Seq(Site("C", Seq(0.0, 0.0, 0.0), "a"),
+        Site("O", Seq(0.13, 0.27, 0.41), "b")))
+    assert(Enumerate.millerIndices(asym, 1).size > 3)
+  }
+
+  test("termination shifts are the real atomic plane positions") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    // fcc (100): planes at h·f ∈ {0, 0.5}; (111): ABC stacking → all sites
+    // on integer planes → single termination
+    assert(Enumerate.shifts(fcc, Seq(0, 0, 1)) == Seq(0.0, 0.5))
+    assert(Enumerate.shifts(fcc, Seq(1, 1, 1)) == Seq(0.0))
+    val binary = Fixtures.bulks.find(_.bulk_id == "mp-79").get.bulk_structure
+    assert(Enumerate.shifts(binary, Seq(0, 0, 1)) == Seq(0.0, 0.5))
+  }
+
   test("enumeration is deterministic and copies parent columns") {
     val b = Fixtures.bulks.head
     val s1 = Enumerate.enumerateSlabs(b, 1)
