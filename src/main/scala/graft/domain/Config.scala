@@ -27,6 +27,16 @@ case class ActiveHost(active: Seq[String], host: Seq[String]) extends BulkFilter
 case class MaxHull(v: Double) extends BulkFilter                       // F10
 case class BandGapRange(lo: Option[Double], hi: Option[Double]) extends BulkFilter // F11
 case class SampleFraction(f: Double) extends BulkFilter                // F12
+/** F9 — exactly one of conditionsList / range may be set
+  * (config_validation.py:138-162: `conditions_list` excludes the pH/V
+  * range keys and vice versa); resolved via [[Config.pourbaixConditions]].
+  */
+case class PourbaixRange(pHLower: Double, pHUpper: Double,
+                         vLower: Double, vUpper: Double,
+                         maxDecompositionEnergy: Double,
+                         pHStep: Option[Double], vStep: Option[Double])
+case class PourbaixStability(conditionsList: Option[Seq[Pourbaix.Condition]],
+                             range: Option[PourbaixRange]) extends BulkFilter
 
 sealed trait SlabFilterCfg
 case class TopKByScore(score: String, topK: Option[Int],
@@ -81,6 +91,21 @@ object Config {
         case ("filter_by_bulk_band_gap", v) =>
           BandGapRange(optD(v, "min_gap"), optD(v, "max_gap"))
         case ("filter_fraction", v) => SampleFraction(v.asDouble())
+        case ("filter_by_pourbaix_stability", v) =>
+          val cl = if (v.has("conditions_list"))
+            Some(v.get("conditions_list").elements().asScala.toSeq.map(c =>
+              Pourbaix.Condition(c.get("pH").asDouble(), c.get("V").asDouble(),
+                c.get("max_decomposition_energy").asDouble())))
+          else None
+          val rng = if (v.has("pH_lower"))
+            Some(PourbaixRange(v.get("pH_lower").asDouble(),
+              Option(v.get("pH_upper")).map(_.asDouble()).getOrElse(0.0),
+              Option(v.get("V_lower")).map(_.asDouble()).getOrElse(0.0),
+              Option(v.get("V_upper")).map(_.asDouble()).getOrElse(0.0),
+              Option(v.get("max_decomposition_energy")).map(_.asDouble()).getOrElse(0.0),
+              optD(v, "pH_step"), optD(v, "V_step")))
+          else None
+          PourbaixStability(cl, rng)
         case (k, _) =>
           // the reference warns on unknown keys (filters.py:134-135); a
           // typed plan makes it a hard validation error instead
@@ -135,6 +160,17 @@ object Config {
         errs += "filter_by_bulk_band_gap: at least one of min_gap/max_gap required"
       case SampleFraction(f) if f <= 0 || f > 1 =>
         errs += s"filter_fraction: $f outside (0, 1]"
+      // conditions_list XOR pH/V range (config_validation.py:138-162)
+      case PourbaixStability(cl, rng) =>
+        if (cl.isDefined == rng.isDefined)
+          errs += "filter_by_pourbaix_stability: exactly one of " +
+            "conditions_list / (pH_lower..V_upper range)"
+        if (cl.exists(_.isEmpty))
+          errs += "filter_by_pourbaix_stability: conditions_list is empty"
+        rng.foreach { r =>
+          if (r.pHUpper < r.pHLower || r.vUpper < r.vLower)
+            errs += "filter_by_pourbaix_stability: range upper below lower"
+        }
       case _ =>
     }
     val knownScores = Set("broken_bonds", "surface_density")
@@ -179,6 +215,15 @@ object Config {
       errs += "steps: first step must be an inference"
     errs.result()
   }
+
+  /** Resolve a validated PourbaixStability to its condition list. */
+  def pourbaixConditions(p: PourbaixStability): Seq[Pourbaix.Condition] =
+    p.conditionsList.getOrElse {
+      val r = p.range.get
+      Pourbaix.rangeConditions(r.pHLower, r.pHUpper, r.vLower, r.vUpper,
+        r.maxDecompositionEnergy,
+        r.pHStep.getOrElse(0.2), r.vStep.getOrElse(0.1))
+    }
 
   def targetBounds(t: TargetCfg): (Double, Double) = (t.target, t.range) match {
     case (Some(tv), Some(r)) => (tv - r, tv + r)

@@ -40,6 +40,25 @@ object Fixtures {
     Bulk("mp-79", "test_fixtures", 2, "RPBE", 2, Seq("Zn", "O"),
       Some(0.01), Some(3.2), binary("Zn", "O", 4.27)))
 
+  /** Per-bulk Pourbaix diagram pieces — the deterministic stand-in for the
+    * reference's LMDB diagram store (filter_utils.py:194-268): decomp
+    * energy e(pH, V) = max over pieces of a·pH + b·V + c. Chosen so under
+    * the standard grid (pH 0–14, V −1–1, cap 0.5) the noble/coinage metals
+    * are stable, Fe corrodes everywhere, and ZnO sits just above the cap
+    * (min decomp 0.55 at pH 6.5).
+    */
+  val pourbaixDiagrams: Seq[Pourbaix.DiagramEntry] = Seq(
+    Pourbaix.DiagramEntry("mp-126", Seq(
+      Pourbaix.DiagramPiece(0.0, 0.2, -0.3), Pourbaix.DiagramPiece(0.0, -0.2, -0.3))),
+    Pourbaix.DiagramEntry("mp-30", Seq(
+      Pourbaix.DiagramPiece(0.05, 0.4, -0.2), Pourbaix.DiagramPiece(-0.03, -0.6, 0.1))),
+    Pourbaix.DiagramEntry("mp-81", Seq(
+      Pourbaix.DiagramPiece(0.0, 0.1, -0.8), Pourbaix.DiagramPiece(0.0, -0.1, -0.8))),
+    Pourbaix.DiagramEntry("mp-13", Seq(
+      Pourbaix.DiagramPiece(0.2, 0.0, 0.8), Pourbaix.DiagramPiece(0.0, 0.0, 0.7))),
+    Pourbaix.DiagramEntry("mp-79", Seq(
+      Pourbaix.DiagramPiece(0.1, 0.0, -0.1), Pourbaix.DiagramPiece(-0.1, 0.0, 1.2))))
+
   /** Adsorbate dimension (reference SMILES set excerpt,
     * documentation/making_a_config.md).
     */

@@ -60,14 +60,27 @@ object Pipeline {
     case MaxHull(v)              => col("bulk_e_above_hull") <= v
     case BandGapRange(lo, hi)    => Filters.range(col("bulk_band_gap"), lo, hi)
     case SampleFraction(_)       => lit(true) // applied via df.sample below
+    case _: PourbaixStability    => lit(true) // applied via diagram join below
   }
 
-  /** Stage 1: bulk filters in user order, one observe point per filter. */
-  def filterBulks(ds: DataFrame, filters: Seq[BulkFilter]): DataFrame =
+  /** Stage 1: bulk filters in user order, one observe point per filter.
+    * `diagram` feeds F9 (Pourbaix) — defaults to the fixture diagram
+    * table; a real deployment passes its own (bulk_id, pieces) table.
+    */
+  def filterBulks(ds: DataFrame, filters: Seq[BulkFilter],
+                  diagram: Option[DataFrame] = None): DataFrame =
     filters.zipWithIndex.foldLeft(ds.observe("bulk_00_input", count(lit(1)))) {
       case (acc, (SampleFraction(f), i)) =>
         acc.sample(withReplacement = false, f, Filters.sampleSeed)
           .observe(f"bulk_${i + 1}%02d_sample", count(lit(1)))
+      case (acc, (p: PourbaixStability, i)) =>
+        val dg = diagram.getOrElse {
+          val sp = ds.sparkSession
+          import sp.implicits._
+          Fixtures.pourbaixDiagrams.toDF()
+        }
+        Pourbaix.filterStable(acc, dg, Config.pourbaixConditions(p))
+          .observe(f"bulk_${i + 1}%02d_pourbaix", count(lit(1)))
       case (acc, (flt, i)) =>
         acc.filter(bulkFilterColumn(flt))
           .observe(f"bulk_${i + 1}%02d_${flt.getClass.getSimpleName}", count(lit(1)))
@@ -150,14 +163,15 @@ object Pipeline {
     * executes everything; `ledger.metrics` then holds every stage count.
     */
   def compile(spark: SparkSession, cfg: ScreenConfig,
-              bulks: Option[Dataset[Bulk]] = None): Result = {
+              bulks: Option[Dataset[Bulk]] = None,
+              diagram: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val errs = Config.validate(cfg)
     require(errs.isEmpty, s"invalid config: ${errs.mkString("; ")}")
     val ledger = new Ledger
 
     val bulkDs = bulks.getOrElse(spark.createDataset(Fixtures.bulks))
-    val filtered = filterBulks(bulkDs.toDF(), cfg.bulkFilters)
+    val filtered = filterBulks(bulkDs.toDF(), cfg.bulkFilters, diagram)
     val surfaces = enumerateSurfaces(spark, filtered.as[Bulk], cfg.maxMiller, cfg.slabFilters)
     val adslabs = enumerateAdslabs(spark, surfaces, cfg.adsorbateSmiles)
 

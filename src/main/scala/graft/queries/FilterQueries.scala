@@ -47,6 +47,11 @@ object FilterQueries extends QueryPack {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
   private def sqlIn(xs: Seq[String])   = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  // F9b condition grid — ONE definition feeds the Spark filter and the
+  // oracle's VALUES list (pH 0–14 step 2, V −1–1 step 0.5, cap 0.5)
+  private val pbxConds = graft.domain.Pourbaix.rangeConditions(
+    0.0, 14.0, -1.0, 1.0, 0.5, pHStep = 2.0, vStep = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_filter_by_ids" -> ((s, d) =>
       Tables.part(s, d)
@@ -111,6 +116,29 @@ object FilterQueries extends QueryPack {
           v => col("c_acctbal") * lit(0.001) - v * lit(0.0002) <= lit(0.5)))
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")),
+
+    // F9 REAL Pourbaix shape (filter_utils.py:194-346): a per-bulk diagram
+    // table (linear decomposition-energy pieces) broadcast-joined onto the
+    // bulk side, stability = EXISTS over the pH×V condition grid with
+    // decomp = max over pieces — all higher-order column functions,
+    // codegen'd, no UDF. The diagram here is synthesized deterministically
+    // from c_custkey so DuckDB can build the identical table.
+    "f09b_pourbaix_stability" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val diagram = cust.select(col("c_custkey").as("bulk_id"),
+        array(
+          struct(((col("c_custkey") % 5).cast("double") * lit(0.1)).as("a"),
+            lit(-0.2).as("b"),
+            ((col("c_custkey") % 11).cast("double") * lit(0.2) - lit(0.5)).as("c")),
+          struct(lit(-0.1).as("a"),
+            ((col("c_custkey") % 7).cast("double") * lit(0.1)).as("b"),
+            ((col("c_custkey") % 3).cast("double") * lit(0.3) - lit(0.4)).as("c"))
+        ).as("pieces"))
+      graft.domain.Pourbaix.filterStable(
+          cust.select(col("c_custkey").as("bulk_id"), col("c_acctbal")),
+          diagram, pbxConds)
+        .orderBy("bulk_id")
+    }),
 
     "f10_one_sided_range" -> ((s, d) =>
       Tables.customer(s, d)
@@ -199,6 +227,19 @@ object FilterQueries extends QueryPack {
          WHERE EXISTS (SELECT 1 FROM (VALUES (0.0), (2500.0), (5000.0), (7500.0)) g(v)
                        WHERE c_acctbal * 0.001 - v * 0.0002 <= 0.5)
          ORDER BY c_custkey""",
+    "f09b_pourbaix_stability" -> {
+      val grid = pbxConds.map(c => s"(${c.pH}, ${c.V})").mkString(", ")
+      s"""SELECT c_custkey AS bulk_id, c_acctbal FROM customer
+          WHERE EXISTS (
+            SELECT 1 FROM (
+              SELECT CAST(ph AS DOUBLE) AS ph, CAST(v AS DOUBLE) AS v
+              FROM (VALUES $grid) t(ph, v)) g
+            WHERE GREATEST(
+              CAST(c_custkey % 5 AS DOUBLE) * 0.1 * ph + (-0.2) * v
+                + (CAST(c_custkey % 11 AS DOUBLE) * 0.2 - 0.5),
+              (-0.1) * ph + CAST(c_custkey % 7 AS DOUBLE) * 0.1 * v
+                + (CAST(c_custkey % 3 AS DOUBLE) * 0.3 - 0.4)) <= 0.5)
+          ORDER BY bulk_id""" },
     "f10_one_sided_range" ->
       """SELECT c_custkey, c_acctbal FROM customer
          WHERE c_acctbal >= 0.0 ORDER BY c_custkey""",

@@ -213,6 +213,34 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.validate(c).exists(_.contains("selects only")))
   }
 
+  test("pourbaix: conditions_list XOR pH/V range (config_validation.py:138-162)") {
+    val both = Config.fromJson(
+      """{"bulk_filters": {"filter_by_pourbaix_stability": {
+          "conditions_list": [{"pH": 7.0, "V": 0.0, "max_decomposition_energy": 0.5}],
+          "pH_lower": 0.0, "pH_upper": 14.0, "V_lower": -1.0, "V_upper": 1.0,
+          "max_decomposition_energy": 0.5}}}""", Map.empty)
+    assert(Config.validate(both).exists(_.contains("exactly one")))
+    val neither = ScreenConfig(Seq(PourbaixStability(None, None)), Nil, Nil, 1,
+      Nil, outputVerbose = false)
+    assert(Config.validate(neither).exists(_.contains("exactly one")))
+    val list = Config.fromJson(
+      """{"bulk_filters": {"filter_by_pourbaix_stability": {
+          "conditions_list": [{"pH": 7.0, "V": 0.0, "max_decomposition_energy": 0.5}]}}}""",
+      Map.empty)
+    assert(Config.validate(list).isEmpty)
+    assert(Config.pourbaixConditions(
+      list.bulkFilters.head.asInstanceOf[PourbaixStability]) ==
+      Seq(Pourbaix.Condition(7.0, 0.0, 0.5)))
+  }
+
+  test("pourbaix range grid: np.arange semantics with upper appended") {
+    val cs = Pourbaix.rangeConditions(0.0, 14.0, -1.0, 1.0, 0.5,
+      pHStep = 2.0, vStep = 0.5)
+    assert(cs.map(_.pH).distinct == Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0))
+    assert(cs.map(_.V).distinct == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    assert(cs.size == 40)
+  }
+
   test("unknown filter key is a hard error (vs reference warn, filters.py:134)") {
     intercept[IllegalArgumentException] {
       Config.fromJson("""{"bulk_filters": {"filter_by_nonsense": 1}}""", Map.empty)

@@ -64,6 +64,28 @@ class PipelineSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("F9 pourbaix filter: diagram broadcast join keeps stable bulks only") {
+    val pcfg = Config.fromJson(
+      """{
+        "bulk_filters": {"filter_by_pourbaix_stability": {
+          "pH_lower": 0.0, "pH_upper": 14.0, "pH_step": 2.0,
+          "V_lower": -1.0, "V_upper": 1.0, "V_step": 0.5,
+          "max_decomposition_energy": 0.5}},
+        "adsorbate_smiles": ["*H"],
+        "max_miller_index": 1,
+        "steps": [{"type": "inference", "label": "cheap"}]
+      }""", Map.empty)
+    val r = Pipeline.compile(spark, pcfg)
+    val kept = r.results.select("bulk_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    // fixtures: Pt/Cu/Au stable in the window; Fe corrodes everywhere;
+    // ZnO's min decomp is 0.55 — just over the 0.5 cap
+    assert(kept == Set("mp-126", "mp-30", "mp-81"))
+    assert(r.ledger.await("bulk_01_pourbaix"))
+    assert(r.ledger.metrics("bulk_01_pourbaix") == 3L)
+    r.close()
+  }
+
   test("unknown smiles fails validation (silent-empty-screen guard)") {
     val bad = cfg.copy(adsorbateSmiles = Seq("*C0"))
     val errs = Config.validate(bad)
