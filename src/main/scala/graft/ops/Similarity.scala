@@ -95,6 +95,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Near-duplicate pairs at scale: candidate generation by LSH-bucket
+    * self-join — NEVER an all-pairs or low-cardinality-block join — with
+    * exact cosine verification on candidates only. The within-bucket term
+    * is quadratic only in bucket size, and the plane count is the knob:
+    * 2^nPlanes buckets ⇒ expected bucket size N/2^nPlanes, so doubling
+    * planes quarters the per-bucket work. Approximate by construction
+    * (cross-bucket near-dups are missed — raise nPlanes bands or OR
+    * multiple tables to trade recall for cost, as in [[Dedup.lshPairs]]).
+    */
+  def nearDupPairs(emb: DataFrame, id: String, vec: String,
+                   dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    val b = emb.select(col(id), col(vec),
+      hyperplaneBucket(col(vec), dim, nPlanes).as("__bucket"))
+    val l = b.select(col("__bucket"), col(id).as("id1"), col(vec).as("v1"))
+    val r = b.select(col("__bucket"), col(id).as("id2"), col(vec).as("v2"))
+    l.join(r, Seq("__bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane h, dim i):
     * hash → uniform in [−0.5, 0.5). Portable (StableHash) so the oracle can
     * reproduce the planes.

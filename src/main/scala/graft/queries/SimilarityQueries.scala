@@ -28,9 +28,10 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding-cosine near-dup: blocked all-pairs within `label` (the
-    // blocking key bounds the quadratic term; at scale the block is an LSH
-    // bucket instead of a label).
+    // Embedding-cosine near-dup, label-blocked: the SMALL-SCALE
+    // verification path (quadratic within a label block — low label
+    // cardinality makes this explode at 100 TB). The scale path is
+    // sim2b below: same semantics, LSH-bucket blocking.
     "sim2_neardup_pairs" -> ((s, d) => {
       val e1 = Tables.embeddings(s, d)
         .select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -42,6 +43,14 @@ object SimilarityQueries extends QueryPack {
         .filter(col("cos") > NEARDUP_T)
         .orderBy("id1", "id2")
     }),
+
+    // Near-dup pairs, SCALE path: candidates from a hyperplane-bucket
+    // self-join (2^PLANES buckets bound the quadratic term), exact cosine
+    // verify on candidates only. The oracle mirrors the same buckets.
+    "sim2b_neardup_bucketed" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        DIM, PLANES, NEARDUP_T)
+        .orderBy("id1", "id2")),
 
     "sim3_hyperplane_buckets" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -102,6 +111,16 @@ object SimilarityQueries extends QueryPack {
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", DIM)} > $NEARDUP_T
+          ORDER BY id1, id2""",
+    "sim2b_neardup_bucketed" ->
+      s"""WITH b AS (SELECT vec_id,
+                 ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket,
+                 embedding
+               FROM embeddings)
+          SELECT a.vec_id AS id1, c.vec_id AS id2,
+                 ${Similarity.cosineSql("a.embedding", "c.embedding", DIM)} AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE ${Similarity.cosineSql("a.embedding", "c.embedding", DIM)} > $NEARDUP_T
           ORDER BY id1, id2""",
     "sim3_hyperplane_buckets" ->
       s"""SELECT vec_id,

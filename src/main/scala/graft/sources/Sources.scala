@@ -40,6 +40,42 @@ object Sources {
       .select(col("distribution"), col(s"z.$idsCol").as("id"),
         col(s"z.$energiesCol").as("ml_energy"))
 
+  /** S5: REAL .npz read, distributed — one binaryFile task per archive,
+    * [[Npz.readNpz]] parses members in plain JVM code, and the positional
+    * id/energy arrays melt into join-ready rows (the numpy.load + zip()
+    * of parity/data_processing_utils.py:9-72). File-level parallelism is
+    * the right grain: archives are small-per-file, many-per-run.
+    */
+  def readNpzParity(spark: SparkSession, dir: String,
+                    idsKey: String = "ids",
+                    energiesKey: String = "energies"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.npz").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val arrays = Npz.readNpz(bytes)
+        def need(k: String) = arrays.getOrElse(k,
+          throw new IllegalArgumentException(s"$path: no '$k' member"))
+        val ids = need(idsKey) match {
+          case Npz.NpStrings(_, d) => d.toSeq
+          case Npz.NpLongs(_, d)   => d.map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"$path: '$idsKey' has unsupported type $other")
+        }
+        val energies = need(energiesKey) match {
+          case Npz.NpDoubles(_, d) => d.toSeq
+          case Npz.NpLongs(_, d)   => d.map(_.toDouble).toSeq
+          case other => throw new IllegalArgumentException(
+            s"$path: '$energiesKey' has unsupported type $other")
+        }
+        require(ids.size == energies.size,
+          s"$path: ids(${ids.size}) and energies(${energies.size}) differ")
+        ids.zip(energies).map { case (id, e) => (path, id, e) }
+      }
+      .toDF("distribution", "id", "ml_energy")
+  }
+
   /** S6 parse seam: bytes of one trajectory file → per-frame energies +
     * health flag (ProcessValTraj, parity/data_processing_utils.py:75-141).
     */

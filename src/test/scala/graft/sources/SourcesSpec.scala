@@ -26,6 +26,43 @@ class SourcesSpec extends SparkTestBase {
       ("ood", 1L, 9.9)))
   }
 
+  test("S5: Npz parses a REAL numpy-written .npz (stored and compressed)") {
+    def load(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val arrays = Npz.readNpz(load("parity.npz"))
+    assert(arrays.keySet == Set("ids", "energies", "counts", "f32"))
+    assert(arrays("ids") == Npz.NpStrings(Seq(4),
+      Array("mp-101", "mp-2", "mp-33333", "mvc-7")) ||
+      arrays("ids").asInstanceOf[Npz.NpStrings].data.toSeq ==
+        Seq("mp-101", "mp-2", "mp-33333", "mvc-7"))
+    assert(arrays("energies").asInstanceOf[Npz.NpDoubles].data.toSeq ==
+      Seq(1.5, -2.25, 0.75, -0.125))
+    assert(arrays("counts").asInstanceOf[Npz.NpLongs].data.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(arrays("f32").asInstanceOf[Npz.NpDoubles].data.toSeq == Seq(0.5, 1.5))
+    // deflated members parse identically
+    val compressed = Npz.readNpz(load("parity_compressed.npz"))
+    assert(compressed("energies").asInstanceOf[Npz.NpDoubles].data.toSeq ==
+      Seq(1.5, -2.25, 0.75, -0.125))
+  }
+
+  test("S5: distributed .npz read melts id/energy pairs") {
+    val dir = Files.createTempDirectory("npz")
+    def cp(name: String): Unit = {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      try Files.write(dir.resolve(name), in.readAllBytes()) finally in.close()
+    }
+    cp("parity.npz"); cp("parity_compressed.npz")
+    val out = Sources.readNpzParity(spark, dir.toString)
+      .orderBy("distribution", "id")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out.size == 8) // 4 pairs per archive
+    assert(out.count(_._2 == "mp-33333") == 2)
+    assert(out.filter(_._2 == "mp-2").forall(_._3 == -2.25))
+  }
+
   test("S6: binaryFile trajectory source parses each file deterministically") {
     val dir = Files.createTempDirectory("trajs")
     Files.write(dir.resolve("a.traj"), "frame1 frame2".getBytes)
