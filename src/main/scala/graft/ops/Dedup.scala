@@ -25,6 +25,19 @@ import graft.functions.StableHash
   */
 object Dedup {
 
+  /** Parallelism floor for CPU-dense narrow chains. The bench corpus is
+    * single-row-group parquet — an unsplittable 1-task scan — so a heavy
+    * per-row chain (shingle→hash, hyperplane projections, decimal sums)
+    * serializes on one core no matter how many the session has. When scan
+    * parallelism is well below the session's, shuffle the (cheap, raw)
+    * input once before the expensive compute; on any real deployment the
+    * scan is already split and this is the identity — no exchange added.
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** Word-level k-shingles, distinct, from a *materialized* token array.
     * Never inline `split(text)` here: referenced k+1 times per shingle
     * lambda, Catalyst would re-tokenize the document for every element —
@@ -49,7 +62,9 @@ object Dedup {
     */
   def hashedShingles(df: DataFrame, text: Column, k: Int,
                      keep: Seq[Column]): DataFrame = {
-    val first = df.select(keep :+ split(text, " ").as("__ts"): _*)
+    // select BEFORE parallelize: column pruning still reaches the scan;
+    // only the pruned raw columns ride the (guard-gated) exchange
+    val first = parallelize(df.select(keep :+ split(text, " ").as("__ts"): _*))
     // keep may contain aliased expressions — after the first projection,
     // refer to them by their OUTPUT names only.
     val names = first.columns.filterNot(_ == "__ts").map(col).toSeq
@@ -90,8 +105,11 @@ object Dedup {
         StableHash.bandKey((0 until rows).map(r => col(s"sig${b * rows + r}")))
           .as("key"))
     }
+    // explode_outer for the same inferred-filter reason as in ngramJaccard
+    // (the band array would be inlined twice into a pushed filter)
     val exploded = sigDf
-      .select(col(id), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), explode_outer(array(bandCols: _*)).as("bk"))
+      .filter(col("bk").isNotNull)
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = exploded.select(col("band"), col("key"), col(id).as("id1"))
     val r = exploded.select(col("band"), col("key"), col(id).as("id2"))
@@ -112,8 +130,8 @@ object Dedup {
     }
 
   def simhash(df: DataFrame, id: String, text: Column, bits: Int = 32): DataFrame = {
-    val tok = df.select(col(id),
-      explode(split(text, " ")).as("t"))
+    val tok = parallelize(df.select(col(id), text.as("__txt")))
+      .select(col(id), explode(split(col("__txt"), " ")).as("t"))
       .select(col(id), StableHash.polyHash(col("t")).as("th"))
     val summed = tok.groupBy(col(id)).agg(simhashAgg(bits).head, simhashAgg(bits).tail: _*)
     val fp = (0 until bits).map(j =>
@@ -142,19 +160,30 @@ object Dedup {
     // sorted exchanges over independently recomputed inputs. Posting lists
     // are short by construction (distinct shingles); at web scale you cap
     // them (stop-shingles), which bounds the quadratic term per list.
-    val posting = base.select(
-      (Seq(col(id).as("pid"), size(col("__hs")).as("nsh")) ++
-        (if (blockCol.isDefined) Seq(col("blk")) else Nil))
-        :+ explode(col("__hs")).as("s"): _*)
+    // explode_OUTER + post-filter, deliberately: plain explode makes the
+    // optimizer infer `size(e)>0 AND isnotnull(e)` and push it below every
+    // projection by ALIAS SUBSTITUTION — the whole tokens→shingles→hashes
+    // chain ends up inlined twice in a Filter under the scan, re-evaluating
+    // ~3× per doc (measured ~14× slower). explode_outer infers no filter;
+    // the null rows (shingle-less docs) drop via a cheap isNotNull on the
+    // generated ATTRIBUTE, which cannot be pushed below the Generate.
+    val keepCols = Seq(col(id).as("pid"), size(col("__hs")).as("nsh")) ++
+      (if (blockCol.isDefined) Seq(col("blk")) else Nil)
+    val posting = base
+      .select(keepCols :+ explode_outer(col("__hs")).as("s"): _*)
+      .filter(col("s").isNotNull)
     val groupKeys = Seq(col("s")) ++ (if (blockCol.isDefined) Seq(col("blk")) else Nil)
     val lists = posting.groupBy(groupKeys: _*)
       .agg(collect_list(struct(col("pid"), col("nsh"))).as("ps"))
-    val pairs = lists.select(explode(flatten(
+    // same explode_outer discipline as `posting`: the n² pair-generation
+    // expression must not be inlined into an inferred pre-Generate filter
+    val pairs = lists.select(explode_outer(flatten(
       transform(col("ps"), a => filter(
         transform(col("ps"), b => when(a("pid") < b("pid"),
           struct(a("pid").as("id1"), b("pid").as("id2"),
             a("nsh").as("n1"), b("nsh").as("n2")))),
         x => x.isNotNull)))).as("p"))
+      .filter(col("p").isNotNull)
     pairs.groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("inter"), first(col("p.n1")).as("n1"),
         first(col("p.n2")).as("n2"))

@@ -108,9 +108,15 @@ object Grouped {
     */
   def groupedRegression(df: DataFrame, groupCols: Seq[String],
                         x: Column, y: Column): DataFrame = {
-    val n   = count(lit(1)).cast("double")
-    val sx  = Num.dsum(x);     val sy  = Num.dsum(y)
-    val sxx = Num.dsum(x * x); val sxy = Num.dsum(x * y); val syy = Num.dsum(y * y)
+    // six decimal sums per row are CPU-dense: project (x, y) once, floor
+    // the input parallelism (no-op when the scan is already split — see
+    // Dedup.parallelize), and aggregate the bound attributes
+    val base = Dedup.parallelize(
+      df.select(groupCols.map(col) ++ Seq(x.as("__x"), y.as("__y")): _*))
+    val bx = col("__x"); val by = col("__y")
+    val sx  = Num.dsum(bx);      val sy  = Num.dsum(by)
+    val sxx = Num.dsum(bx * bx); val sxy = Num.dsum(bx * by)
+    val syy = Num.dsum(by * by)
     // zero-variance groups (n=1, constant x or y) have no defined fit →
     // null (the reference's NaN row); also keeps ANSI mode from throwing
     // DIVIDE_BY_ZERO.
@@ -118,8 +124,8 @@ object Grouped {
     val vary = col("syy") - col("sy") * col("sy") / col("n")
     val cov = col("sxy") - col("sx") * col("sy") / col("n")
     val slope = when(varx =!= 0.0, cov / varx)
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), Num.davg(abs(x - y)).as("mae"),
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), Num.davg(abs(bx - by)).as("mae"),
         sx.as("sx"), sy.as("sy"), sxx.as("sxx"), sxy.as("sxy"), syy.as("syy"))
       .select(
         (groupCols.map(col) ++ Seq(

@@ -18,7 +18,13 @@ import org.apache.spark.sql.types.DecimalType
   * plan stays a cheap partial+final HashAggregate with no ordering constraint.
   */
 object Num {
-  private val Wide = DecimalType(30, 6)
+  // 18 digits: the widest precision both engines back with a 64-bit long
+  // (Spark Decimal compact path, DuckDB int64) — the per-row cast and the
+  // partial-sum hot loop stay off BigDecimal/int128. Capacity: per-row
+  // |value| < 1e12 (corpus max ~1e5, squared terms ~1e10); the SUM result
+  // type widens to DECIMAL(28,6) automatically, so accumulation never
+  // overflows before ~1e22.
+  private val Wide = DecimalType(18, 6)
 
   // CAVEAT (learned the hard way): per-row values whose SHORTEST decimal
   // representation terminates at digit 7+ with a trailing 5 (e.g.
@@ -37,7 +43,7 @@ object Num {
 
   /** Oracle-side SQL for the same operations (DuckDB dialect = ANSI). */
   def sqlSum(e: String): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+    s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlAvg(e: String): String =
-    s"(CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE) / count($e))"
+    s"(CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE) / count($e))"
 }

@@ -48,7 +48,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = corpus.select(col(id).as("neighbor_id"), col(vec).as("nv"))
+    val scored = Dedup.parallelize(
+        corpus.select(col(id).as("neighbor_id"), col(vec).as("nv")))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
@@ -75,7 +76,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cent = emb.filter(centroidPred)
       .select(col(id).as("cid"), col(vec).as("cv"))
-    val scored = emb.select(col(id), col(vec))
+    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
       .crossJoin(broadcast(cent))
       .select(col(id), col(vec), col("cid"),
         cosine(col(vec), col("cv")).as("ccos"))
@@ -106,8 +107,9 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, id: String, vec: String,
                    dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
-    val b = emb.select(col(id), col(vec),
-      hyperplaneBucket(col(vec), dim, nPlanes).as("__bucket"))
+    val b = Dedup.parallelize(emb.select(col(id), col(vec)))
+      .select(col(id), col(vec),
+        hyperplaneBucket(col(vec), dim, nPlanes).as("__bucket"))
     val l = b.select(col("__bucket"), col(id).as("id1"), col(vec).as("v1"))
     val r = b.select(col("__bucket"), col(id).as("id2"), col(vec).as("v2"))
     l.join(r, Seq("__bucket")).filter(col("id1") < col("id2"))

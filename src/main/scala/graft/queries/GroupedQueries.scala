@@ -16,7 +16,12 @@ object GroupedQueries extends QueryPack {
     // Flagship TPC-H-Q1-shaped pricing summary: partial+final hash aggregate,
     // decimal-exact sums (Num), single shuffle on the tiny group domain.
     "q1_agg" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // parallelism floor: the bench file is an unsplittable 1-task scan,
+      // and the decimal partial aggregation is the CPU cost (no-op on
+      // well-split sources — Dedup.parallelize)
+      graft.ops.Dedup.parallelize(Tables.lineitem(s, d).select(
+          "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+          "l_discount"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Num.dsum(col("l_quantity")).as("sum_qty"),
@@ -227,7 +232,7 @@ object GroupedQueries extends QueryPack {
       s"""WITH x AS (SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos,
                             unnest(embedding) AS v FROM embeddings)
           SELECT pos,
-                 (CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+                 (CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
                    / count(*)) AS mean_v,
                  count(*) AS n
           FROM x GROUP BY pos ORDER BY pos""",
@@ -236,7 +241,7 @@ object GroupedQueries extends QueryPack {
                             unnest(embedding) AS v FROM embeddings)
           SELECT pos, mean_v FROM (
             SELECT pos,
-                   (CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+                   (CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
                      / count(*)) AS mean_v
             FROM x GROUP BY pos)
           ORDER BY mean_v, pos LIMIT 1""",

@@ -53,7 +53,8 @@ object SimilarityQueries extends QueryPack {
         .orderBy("id1", "id2")),
 
     "sim3_hyperplane_buckets" -> ((s, d) =>
-      Tables.embeddings(s, d)
+      graft.ops.Dedup.parallelize(
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
         .select(col("vec_id"),
           Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"))
         .orderBy("vec_id")),
@@ -62,9 +63,11 @@ object SimilarityQueries extends QueryPack {
     // candidate set only (generate-then-verify). Approximate by design —
     // the oracle mirrors the same bucketing, so results still hash-match.
     "sim4_lsh_ann_topk" -> ((s, d) => {
-      val b = Tables.embeddings(s, d).select(col("vec_id"),
-        Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"),
-        col("embedding"))
+      val b = graft.ops.Dedup.parallelize(
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"),
+          col("embedding"))
       val q = b.filter(col("vec_id") % QMOD === 0)
         .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qv"))
       val cand = b.select(col("vec_id").as("neighbor_id"), col("bucket"),
