@@ -42,6 +42,45 @@ object ModelRegistry {
   def getOrLoad(label: String, load: () => EnergyModel): EnergyModel =
     models.computeIfAbsent(label, _ => load())
   def loadedCount: Int = models.size
+
+  // batched backends live in the same per-JVM cache, separate key space
+  private val backends = new java.util.concurrent.ConcurrentHashMap[String, BatchedBackend]()
+  def getOrLoadBackend(label: String, load: () => BatchedBackend): BatchedBackend =
+    backends.computeIfAbsent(label, _ => load())
+}
+
+/** M1/M3 batched backend seam — the ONNX/torch call shape: ONE call
+  * scores a whole batch (the reference's BatchOCPPredictor feeds a
+  * dataloader of graphs per batch, adslab_predictions.py:52-147). A real
+  * backend binds `predictBatch` to a native session run; this container
+  * has no ML runtime, so the shipped implementation is the deterministic
+  * surrogate — the batching, M3 batch sizing, short-circuiting and the
+  * partition operator around it are real and tested.
+  */
+trait BatchedBackend extends Serializable {
+  def label: String
+  /** Device memory one sample occupies at inference (drives M3). */
+  def bytesPerSample: Long
+  /** (surfaceKey, smiles, nConfigs) per row → energies per row. */
+  def predictBatch(batch: Seq[(String, String, Int)]): Seq[Seq[Double]]
+}
+
+/** Surrogate batched backend: same energies as [[SurrogateModel]] (so the
+  * batched path is bit-exact against the column path), batch boundaries
+  * recorded for test introspection.
+  */
+case class SurrogateBatchedBackend(label: String, seed: String = "s0",
+                                   bytesPerSample: Long = 64L << 20)
+    extends BatchedBackend {
+  private val inner = SurrogateModel(label, seed)
+  def predictBatch(batch: Seq[(String, String, Int)]): Seq[Seq[Double]] = {
+    SurrogateBatchedBackend.observedBatches.add(batch.size)
+    batch.map { case (k, sm, n) => inner.predict(k, sm, n) }
+  }
+}
+object SurrogateBatchedBackend {
+  /** Per-JVM record of batch sizes seen (local[*] test introspection). */
+  val observedBatches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
 
 /** One step of the prediction cascade (config schema
@@ -50,6 +89,9 @@ object ModelRegistry {
   */
 sealed trait CascadeStep
 case class InferenceStep(model: EnergyModel) extends CascadeStep
+/** Batched M1 step through [[Predict.inferenceBatched]] (M3 sizing). */
+case class BatchedInferenceStep(backend: BatchedBackend,
+                                deviceMemBytes: Long) extends CascadeStep
 /** A7 target filter: groups (hashCols) where no row with `smiles` has the
   * most recent `min_<label>` within [lo, hi] are soft-deleted.
   */
@@ -80,6 +122,56 @@ object Predict {
         when(live, array_position(col(dE), array_min(col(dE)))))
   }
 
+  /** M3 dynamic batch sizing (adslab_predictions.py:287-292:
+    * `int(total_memory / gpu_mem_per_sample / 1024**3)`): how many samples
+    * fit in device memory, floored at 1, capped against runaway configs.
+    */
+  def batchSize(deviceMemBytes: Long, bytesPerSample: Long, cap: Int = 4096): Int =
+    math.max(1L, math.min(cap.toLong,
+      deviceMemBytes / math.max(1L, bytesPerSample))).toInt
+
+  /** M1 via the BATCHED partition operator: rows stream through
+    * `mapPartitions`, grouped into M3-sized chunks, each chunk scored by
+    * ONE `predictBatch` call on the executor-singleton backend. This is
+    * the one genuinely-imperative per-partition case (amortizing a native
+    * runtime call over a batch — the `mapInPandas` shape); soft-deleted
+    * rows short-circuit around the batch entirely, like [[inference]].
+    * Bit-exact with [[inference]] for the surrogate backend (PredictSpec
+    * pins it).
+    */
+  def inferenceBatched(df: DataFrame, backend: BatchedBackend,
+                       deviceMemBytes: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dE = dECol(backend.label)
+    val outSchema = df.schema
+      .add(dE, ArrayType(DoubleType))
+      .add(minCol(backend.label), DoubleType)
+      .add(argminCol(backend.label), LongType)
+    val iKey = df.schema.fieldIndex("surface_key")
+    val iSm = df.schema.fieldIndex("adsorbate_smiles")
+    val iCfg = df.schema.fieldIndex("adslab_configs")
+    val iReason = df.schema.fieldIndex("filter_reason")
+    val bs = batchSize(deviceMemBytes, backend.bytesPerSample)
+    val b = backend
+    df.mapPartitions { it =>
+      val model = ModelRegistry.getOrLoadBackend(b.label, () => b)
+      it.grouped(bs).flatMap { chunk =>
+        val (live, dead) = chunk.partition(_.isNullAt(iReason))
+        val scored = if (live.isEmpty) Nil
+          else model.predictBatch(live.map(r =>
+            (r.getString(iKey), r.getString(iSm), r.getSeq[Any](iCfg).size)))
+        val liveRows = live.zip(scored).map { case (r, es) =>
+          val mn = es.min
+          Row.fromSeq(r.toSeq ++ Seq(es, mn, (es.indexOf(mn) + 1).toLong))
+        }
+        val deadRows = dead.map(r =>
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null)))
+        liveRows ++ deadRows
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** A7 grouped target filter step (filters.py:300-348). */
   def targetFilter(df: DataFrame, step: TargetFilterStep, liveMinCol: String,
                    hashCols: Seq[String]): DataFrame = {
@@ -101,6 +193,8 @@ object Predict {
     steps.foldLeft((init, Option.empty[String])) {
       case ((acc, _), InferenceStep(m)) =>
         (inference(acc, m), Some(minCol(m.label)))
+      case ((acc, _), BatchedInferenceStep(b, mem)) =>
+        (inferenceBatched(acc, b, mem), Some(minCol(b.label)))
       case ((acc, Some(live)), f: TargetFilterStep) =>
         (targetFilter(acc, f, live, hashCols), Some(live))
       case ((_, None), _: TargetFilterStep) =>

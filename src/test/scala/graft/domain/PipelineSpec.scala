@@ -183,4 +183,47 @@ class ModelRegistrySpec extends SparkTestBase {
     ModelRegistry.getOrLoad("reg-test", () => load())
     assert(loads == 1)
   }
+
+  test("M3 batch sizing: device memory / per-sample, floor 1, capped") {
+    assert(Predict.batchSize(16L << 30, 2L << 30) == 8)   // 16 GiB / 2 GiB
+    assert(Predict.batchSize(1L << 30, 8L << 30) == 1)    // floor at 1
+    assert(Predict.batchSize(1L << 40, 1L << 10) == 4096) // cap
+  }
+
+  test("M1 batched partition operator == column inference (bit-exact), " +
+    "with M3-sized batches and short-circuit") {
+    import spark.implicits._
+    val rows = (1 to 97).map { i =>
+      ("k" + i, if (i % 2 == 0) "*CO" else "*H", Seq.fill(1 + i % 4)(0),
+        if (i % 10 == 0) "dead" else null)
+    }
+    val df = rows.toDF("surface_key", "adsorbate_smiles", "adslab_configs",
+      "filter_reason")
+    SurrogateBatchedBackend.observedBatches.clear()
+    val backend = SurrogateBatchedBackend("cheap", bytesPerSample = 1L << 30)
+    // no orderBy: its range-partition sampling pass would run the operator
+    // twice and double the observed batch ledger — sort client-side
+    val batched = Predict.inferenceBatched(df, backend, deviceMemBytes = 8L << 30)
+      .collect().toSeq.sortBy(_.getString(0))
+    val columnar = Predict.inference(df, SurrogateModel("cheap"))
+      .collect().toSeq.sortBy(_.getString(0))
+    // identical rows, including null-scored soft-deleted ones
+    assert(batched == columnar)
+    // batches were M3-sized: ≤ 8 live rows per predictBatch call
+    val seen = SurrogateBatchedBackend.observedBatches.toArray(Array.empty[Integer])
+    assert(seen.nonEmpty && seen.forall(_ <= 8))
+    assert(seen.map(_.toInt).sum == rows.count(_._4 == null))
+  }
+
+  test("M5 cascade accepts a batched inference step") {
+    import spark.implicits._
+    val df = Seq(("k1", "*CO", Seq(0, 0), null.asInstanceOf[String]))
+      .toDF("surface_key", "adsorbate_smiles", "adslab_configs", "filter_reason")
+    val out = Predict.cascade(df,
+      Seq(BatchedInferenceStep(SurrogateBatchedBackend("exp"), 8L << 30)),
+      hashCols = Seq("surface_key"))
+    assert(out.columns.contains("min_dE_exp"))
+    assert(out.select("min_dE_exp").as[Double].head() ==
+      SurrogateModel("exp").predict("k1", "*CO", 2).min)
+  }
 }
