@@ -68,27 +68,35 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 case class SeqDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  // strictly float arrays: ArrayData.getFloat on a double array would read
-  // garbage; a wrong-typed column must fail analysis, not corrupt scores
+  // per-side FLOAT or DOUBLE arrays (element accessor is dispatched on the
+  // STATIC type): ArrayData.getFloat on a double array would read garbage,
+  // so any other element type must fail analysis, not corrupt scores
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_seq_dot requires ARRAY<FLOAT> inputs, got " +
+      s"graft_seq_dot requires ARRAY<FLOAT|DOUBLE> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) *
+        (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
     }
     acc
@@ -96,12 +104,14 @@ case class SeqDotExpr(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(v: String, dbl: Boolean, i: String) =
+        if (dbl) s"$v.getDouble($i)" else s"((double) $v.getFloat($i))"
       s"""
       int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
       double ${ev.value}_acc = 0.0;
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-        ${ev.value}_acc += ((double) $a.getFloat(${ev.value}_i))
-          * ((double) $b.getFloat(${ev.value}_i));
+        ${ev.value}_acc += ${get(a, isDouble(left), s"${ev.value}_i")}
+          * ${get(b, isDouble(right), s"${ev.value}_i")};
       }
       ${ev.value} = ${ev.value}_acc;
       """

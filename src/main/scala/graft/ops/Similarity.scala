@@ -130,13 +130,18 @@ object Similarity {
   /** Sign-pattern bucket id over `nPlanes` fixed hyperplanes: bit h = 1 iff
     * v · plane_h > 0. One narrow map — the shuffle happens only on the
     * (bucket) groupBy/join that follows.
+    *
+    * Each projection is ONE [[graft.functions.SeqDotExpr]] against a
+    * literal double-array plane, not a dim-term expression tree: the
+    * unrolled form was 64 terms × planes of codegen source whose janino
+    * compile dominated small-batch latency. Same left-fold order ⇒ same
+    * bits ⇒ same buckets as the oracle's explicit sum.
     */
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { h =>
-      val proj = (0 until dim).map(i =>
-        element_at(vec, i + 1).cast("double") * lit(planeComponent(h, i)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
+      val plane = lit((0 until dim).map(i => planeComponent(h, i)).toArray)
+      when(graft.functions.Exprs.seqDot(vec, plane) > 0, lit(1L << h))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   def hyperplaneBucketSql(vec: String, dim: Int, nPlanes: Int): String =
