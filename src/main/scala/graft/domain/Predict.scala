@@ -172,6 +172,51 @@ object Predict {
     }(Encoders.row(outSchema))
   }
 
+  /** G4 + M1 from STRUCTURES: the real-GNN path shape. Each row's slab
+    * structure is decoded and featurized into a graph (REAL build —
+    * [[Featurize.graph]] over the covalent-radius connectivity kernel),
+    * then scored in M3-sized batches through ONE `predictGraphs` call per
+    * chunk (the reference's make_dataloader batch,
+    * adslab_predictions.py:117-147). Soft-deleted rows short-circuit both
+    * the featurization and the batch.
+    */
+  def inferenceFromStructures(df: DataFrame, backend: GraphEnergyBackend,
+                              deviceMemBytes: Long,
+                              structCol: String = "slab_structure"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add(dECol(backend.label), ArrayType(DoubleType))
+      .add(minCol(backend.label), DoubleType)
+      .add(argminCol(backend.label), LongType)
+    val iStruct = df.schema.fieldIndex(structCol)
+    val iSm = df.schema.fieldIndex("adsorbate_smiles")
+    val iCfg = df.schema.fieldIndex("adslab_configs")
+    val iReason = df.schema.fieldIndex("filter_reason")
+    val bs = batchSize(deviceMemBytes, backend.bytesPerSample)
+    val b = backend
+    // getSeq hands back mutable ArraySeq wrappers — deep-convert so the
+    // Structure fields are the immutable Seqs the geometry kernel expects
+    def decode(r: Row): Structure = Structure(
+      r.getSeq[scala.collection.Seq[Double]](0).map(_.toSeq).toSeq,
+      r.getSeq[Row](1).map(s =>
+        Site(s.getString(0), s.getSeq[Double](1).toSeq, s.getString(2))).toSeq)
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { chunk =>
+        val (live, dead) = chunk.partition(_.isNullAt(iReason))
+        val scored = if (live.isEmpty) Nil
+          else b.predictGraphs(live.map(r =>
+            (Featurize.graph(decode(r.getStruct(iStruct))),
+              r.getString(iSm), r.getSeq[Any](iCfg).size)))
+        val liveRows = live.zip(scored).map { case (r, es) =>
+          val mn = es.min
+          Row.fromSeq(r.toSeq ++ Seq(es, mn, (es.indexOf(mn) + 1).toLong))
+        }
+        liveRows ++ dead.map(r => Row.fromSeq(r.toSeq ++ Seq(null, null, null)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** A7 grouped target filter step (filters.py:300-348). */
   def targetFilter(df: DataFrame, step: TargetFilterStep, liveMinCol: String,
                    hashCols: Seq[String]): DataFrame = {

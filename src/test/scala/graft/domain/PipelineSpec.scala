@@ -215,6 +215,47 @@ class ModelRegistrySpec extends SparkTestBase {
     assert(seen.map(_.toInt).sum == rows.count(_._4 == null))
   }
 
+  test("G4 graph featurization: fcc cell is the complete 4-node bond graph") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    val g = Featurize.graph(fcc)
+    assert(g.nNodes == 4)
+    assert(g.atomicNumbers == Seq(78, 78, 78, 78))
+    // every basis pair sits at a/√2 = 2.77 Å < 2·1.36·1.2 → complete graph,
+    // both directed orientations per bond
+    assert(g.edgeSrc.size == 12)
+    assert(g.edgeSrc.zip(g.edgeDst).forall { case (i, j) => i != j })
+    // symmetric: j→i present for every i→j
+    val es = g.edgeSrc.zip(g.edgeDst).toSet
+    assert(es.forall { case (i, j) => es.contains((j, i)) })
+  }
+
+  test("G4+M1 structure inference: real graph build, batched, short-circuit") {
+    import spark.implicits._
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    val bcc = Fixtures.bulks.find(_.bulk_id == "mp-13").get.bulk_structure
+    val df = Seq(
+      (fcc, "*CO", Seq(0, 0), null.asInstanceOf[String]),
+      (bcc, "*H", Seq(0, 0, 0), null.asInstanceOf[String]),
+      (fcc, "*H", Seq(0), "dead"))
+      .toDF("slab_structure", "adsorbate_smiles", "adslab_configs", "filter_reason")
+    val backend = GraphSurrogateBackend("gnn")
+    val out = Predict.inferenceFromStructures(df, backend, 8L << 30)
+      .collect().toSeq.sortBy(_.getString(1))
+    assert(out.size == 3)
+    val dead = out.find(r => !r.isNullAt(3)).get
+    assert(dead.isNullAt(out.head.fieldIndex("min_dE_gnn")))
+    val live = out.filter(_.isNullAt(3))
+    assert(live.forall(r => !r.isNullAt(r.fieldIndex("min_dE_gnn"))))
+    // deterministic: same graphs → same energies
+    val expected = backend.predictGraphs(Seq((Featurize.graph(fcc), "*CO", 2)))
+      .head.min
+    assert(live.find(_.getString(1) == "*CO").get
+      .getDouble(out.head.fieldIndex("min_dE_gnn")) == expected)
+    // energies stay in the surrogate parity range
+    assert(live.forall { r =>
+      val v = r.getDouble(r.fieldIndex("min_dE_gnn")); v >= -4.0 && v < 2.0 })
+  }
+
   test("M5 cascade accepts a batched inference step") {
     import spark.implicits._
     val df = Seq(("k1", "*CO", Seq(0, 0), null.asInstanceOf[String]))
