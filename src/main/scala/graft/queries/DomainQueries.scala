@@ -59,6 +59,29 @@ object DomainQueries extends QueryPack {
           "adsorbate_smiles")
     }),
 
+    // F9-through-the-pipeline: the same screen driven by a Pourbaix bulk
+    // filter (broadcast diagram join) — Pt/Cu/Au survive, Fe/ZnO drop
+    // before enumeration ever fans out (PipelineSpec pins the kept set).
+    "screen_e2e_pourbaix" -> ((s, _) => {
+      val cfg = Config.fromJson(
+        """{
+          "bulk_filters": {"filter_by_pourbaix_stability": {
+            "pH_lower": 0.0, "pH_upper": 14.0, "pH_step": 2.0,
+            "V_lower": -1.0, "V_upper": 1.0, "V_step": 0.5,
+            "max_decomposition_energy": 0.5}},
+          "adsorbate_smiles": ["*CO"],
+          "max_miller_index": 1,
+          "steps": [{"type": "inference", "label": "cheap"}]
+        }""", Map.empty)
+      Pipeline.compile(s, cfg).results
+        .select(col("bulk_id"),
+          concat_ws(",", col("slab_millers")).as("slab_millers"),
+          col("slab_shift"), col("slab_top"), col("adsorbate_smiles"),
+          col("min_dE_cheap"))
+        .orderBy("bulk_id", "slab_millers", "slab_shift", "slab_top",
+          "adsorbate_smiles")
+    }),
+
     // U16/U17 invertibility + flip over enumerated fixture slabs: for each
     // slab, whether z→−z maps it onto itself and whether flip is an
     // involution on the site set (values pinned in GeometrySpec).
