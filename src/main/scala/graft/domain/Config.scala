@@ -170,6 +170,8 @@ object Config {
         rng.foreach { r =>
           if (r.pHUpper < r.pHLower || r.vUpper < r.vLower)
             errs += "filter_by_pourbaix_stability: range upper below lower"
+          if (r.pHStep.exists(_ <= 0) || r.vStep.exists(_ <= 0))
+            errs += "filter_by_pourbaix_stability: steps must be positive"
         }
       case _ =>
     }

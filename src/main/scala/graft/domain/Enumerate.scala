@@ -282,11 +282,24 @@ object Enumerate {
     * all (miller, shift, top) surfaces; non-invertible slabs contribute a
     * flipped bottom (G5 union, enumeration_utils.py:59-67).
     */
+  /** Candidate shifts → built slabs, deduped by in-plane-translation
+    * equivalence: two cuts of the same plane family that differ only by a
+    * lateral shift are one termination (the reference's get_slabs returns
+    * distinct terminations only). First (smallest) shift wins.
+    */
+  def distinctTerminations(bulk: Structure, m: Seq[Int]): Seq[(Double, Structure)] =
+    shifts(bulk, m).foldLeft(Vector.empty[(Double, Structure)]) {
+      case (acc, sh) =>
+        val slab = slabStructure(bulk, m, sh)
+        if (acc.exists { case (_, kept) =>
+          Geometry.sameUpToInPlaneTranslation(kept, slab) }) acc
+        else acc :+ ((sh, slab))
+    }
+
   def enumerateSlabs(b: Bulk, maxMiller: Int): Seq[Surface] =
     for {
       m <- millerIndices(b.bulk_structure, maxMiller)
-      sh <- shifts(b.bulk_structure, m)
-      slab = slabStructure(b.bulk_structure, m, sh)
+      (sh, slab) <- distinctTerminations(b.bulk_structure, m)
       (struct, top) <- if (Geometry.isInvertibleSlab(slab))
         Seq((slab, true))
       else Seq((slab, true), (Geometry.flip(slab), false))

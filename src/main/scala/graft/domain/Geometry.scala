@@ -324,6 +324,31 @@ object Geometry {
     }
   }
 
+  /** Whether two same-cell structures coincide under some in-plane
+    * translation (dx, dy), z exact — termination equivalence: cuts of the
+    * same plane family that differ only by an in-plane shift are the SAME
+    * termination (SlabGenerator's get_slabs dedups these;
+    * enumerate_slabs_adslabs.py:43-55 keeps distinct ones only).
+    */
+  def sameUpToInPlaneTranslation(a: Structure, b: Structure,
+                                 tol: Double = 1e-5): Boolean = {
+    if (a.sites.size != b.sites.size) return false
+    if (a.sites.isEmpty) return true
+    def wrap(x: Double): Double = x - math.floor(x)
+    val anchorEl = a.sites.groupBy(_.element).minBy(_._2.size)._1
+    val anchor = a.sites.find(_.element == anchorEl).get
+    def matches(dx: Double, dy: Double): Boolean = a.sites.forall { p =>
+      b.sites.exists(q => q.element == p.element &&
+        dWrap(wrap(p.frac_coords(0) + dx), wrap(q.frac_coords(0))) < tol &&
+        dWrap(wrap(p.frac_coords(1) + dy), wrap(q.frac_coords(1))) < tol &&
+        math.abs(p.frac_coords(2) - q.frac_coords(2)) < tol)
+    }
+    b.sites.filter(s => s.element == anchorEl &&
+        math.abs(s.frac_coords(2) - anchor.frac_coords(2)) < tol)
+      .exists(c => matches(c.frac_coords(0) - anchor.frac_coords(0),
+        c.frac_coords(1) - anchor.frac_coords(1)))
+  }
+
   /** Union-find connected components over an adjacency matrix (replaces
     * the reference's graph-tool dependency, nuclearity.py:65-83).
     */

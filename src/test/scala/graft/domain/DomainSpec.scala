@@ -32,6 +32,21 @@ class EnumerateSpec extends AnyFunSuite {
     assert(Enumerate.millerIndices(asym, 1).size > 3)
   }
 
+  test("symmetry rotations form a group (closure, identity, inverses)") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    val ops = Enumerate.symmetryRotations(fcc)
+    def mul(a: Array[Array[Int]], b: Array[Array[Int]]) =
+      Array.tabulate(3, 3)((i, j) =>
+        a(i)(0) * b(0)(j) + a(i)(1) * b(1)(j) + a(i)(2) * b(2)(j))
+    def key(w: Array[Array[Int]]) = w.map(_.toSeq).toSeq
+    val set = ops.map(key).toSet
+    assert(set.size == 48) // no duplicates
+    assert(set.contains(Seq(Seq(1, 0, 0), Seq(0, 1, 0), Seq(0, 0, 1))))
+    // closure: product of any two ops is an op (spot-check a sample)
+    for (a <- ops.take(8); b <- ops.take(8))
+      assert(set.contains(key(mul(a, b))))
+  }
+
   test("termination shifts are the real atomic plane positions") {
     val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
     // fcc (100): planes at h·f ∈ {0, 0.5}; (111): ABC stacking → all sites
@@ -40,6 +55,17 @@ class EnumerateSpec extends AnyFunSuite {
     assert(Enumerate.shifts(fcc, Seq(1, 1, 1)) == Seq(0.0))
     val binary = Fixtures.bulks.find(_.bulk_id == "mp-79").get.bulk_structure
     assert(Enumerate.shifts(binary, Seq(0, 0, 1)) == Seq(0.0, 0.5))
+  }
+
+  test("termination dedup: equivalent lateral cuts collapse, chemistry distinct cuts stay") {
+    val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
+    // fcc(100): both atomic planes are Pt and differ by an in-plane shift
+    // → ONE distinct termination from the two candidates
+    assert(Enumerate.distinctTerminations(fcc, Seq(1, 0, 0)).size == 1)
+    val binary = Fixtures.bulks.find(_.bulk_id == "mp-79").get.bulk_structure
+    // rocksalt-ish (001): Zn-terminated vs O-terminated cuts are NOT
+    // translation-equivalent → both kept
+    assert(Enumerate.distinctTerminations(binary, Seq(0, 0, 1)).size == 2)
   }
 
   test("enumeration is deterministic and copies parent columns") {
