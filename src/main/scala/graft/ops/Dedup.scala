@@ -192,6 +192,47 @@ object Dedup {
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the dedup-GROUPS step after LSH pair generation (every production
+    * dedup pipeline ends with "collapse pairs into clusters, keep one doc
+    * per cluster"). Iterative min-label propagation: each round is one
+    * equi-join + one min-aggregate, converging in O(component diameter)
+    * rounds — near-dup clusters are shallow, so a handful of rounds at any
+    * scale; `localCheckpoint` truncates the growing lineage each round
+    * (the standard iterative-algorithm discipline on Spark).
+    *
+    * Output: (id, component) for EVERY node in `nodes` — component = the
+    * minimum id reachable, so singletons map to themselves and each dup
+    * cluster gets its canonical (minimum) doc as representative.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          src: String, dst: String, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nc")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nc")).as("min_nbr"))
+        .withColumnRenamed("a", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("min_nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Keep-first streaming-style dedup on an id key (batch form of
     * `dropDuplicates`): deterministic representative by (orderCol, tieCol).
     */

@@ -44,6 +44,17 @@ object DedupQueries extends QueryPack {
         K, BANDS, ROWS)
         .orderBy("id1", "id2")),
 
+    // Dedup GROUPS: LSH pairs → connected components; every doc gets its
+    // canonical (minimum reachable) doc_id. The step production dedup runs
+    // after candidate generation — pairs alone aren't a dedup decision.
+    "d7_dup_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+      Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d5_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS)
         .orderBy("doc_id")),
@@ -88,6 +99,30 @@ object DedupQueries extends QueryPack {
         ORDER BY id1, id2"""
   }
 
+  /** d7: transitive closure of the d4 pairs via recursive CTE, min per
+    * node = component representative (gate-scale only; the Spark side is
+    * the scalable iterative form).
+    */
+  private def dupGroupsSql: String = {
+    val keys = (0 until BANDS).map { b =>
+      StableHash.bandKeySql((0 until ROWS).map(r => s"sig${b * ROWS + r}"))
+    }.mkString("[", ", ", "]")
+    val bandIdx = (0 until BANDS).map(b => b.toString).mkString("[", ", ", "]")
+    s"""${hashCte.replaceFirst("WITH", "WITH RECURSIVE")},
+        sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
+        bk AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($keys) AS key FROM sig),
+        pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                                     AND l.doc_id < r.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+        reach AS (SELECT doc_id AS s, doc_id AS t FROM documents
+                  UNION
+                  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        SELECT s AS doc_id, min(t) AS component
+        FROM reach GROUP BY s ORDER BY doc_id"""
+  }
+
   private def simhashSql: String = {
     val bitSums = (0 until BITS).map(j =>
       s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
@@ -125,6 +160,7 @@ object DedupQueries extends QueryPack {
            FROM documents) WHERE rn = 1 ORDER BY doc_id""",
     "d3_minhash_signatures" -> minhashSql,
     "d4_lsh_candidate_pairs" -> lshSql,
+    "d7_dup_groups" -> dupGroupsSql,
     "d5_simhash" -> simhashSql,
     "d6_ngram_jaccard" -> jaccardSql,
   )

@@ -104,6 +104,16 @@ class DedupOpsSpec extends SparkTestBase {
     val pairs = Dedup.lshPairs(df, "doc_id", col("text"), 3, 4, 4).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("connected components: chains collapse to min id, singletons self-map") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (transitive, no direct 1-3 edge), pair 5-6, singletons 4,7
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.connectedComponents(nodes, edges, "doc_id", "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
