@@ -96,6 +96,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One Lloyd iteration for IVF training (the k-means step behind
+    * [[ivfTopK]]'s centroid set): assign every vector to its nearest
+    * centroid — broadcast centroids, narrow scored projection, window
+    * argmin — then recompute centroids as per-dimension decimal-exact
+    * means. Output is FLAT (cid, pos, mean_v, n): the aggregate shuffles
+    * on the tiny C×dim domain, and the flat shape is oracle-comparable.
+    * At 100 TB each iteration = one broadcast + one narrow pass + one
+    * small-domain shuffle; iterate by feeding the means back as centroids.
+    */
+  def kmeansStep(emb: DataFrame, id: String, vec: String,
+                 centroidPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = emb.filter(centroidPred)
+      .select(col(id).as("cid"), col(vec).as("cv"))
+    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"),
+        cosine(col(vec), col("cv")).as("ccos"))
+    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    val assigned = scored.withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+    assigned
+      .select(col("cid"), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(Num.davg(col("v").cast("double")).as("mean_v"),
+        count(lit(1)).as("n"))
+  }
+
   /** Near-duplicate pairs at scale: candidate generation by LSH-bucket
     * self-join — NEVER an all-pairs or low-cardinality-block join — with
     * exact cosine verification on candidates only. The within-bucket term

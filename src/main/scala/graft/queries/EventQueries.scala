@@ -19,6 +19,7 @@ object EventQueries extends QueryPack {
 
   private val HOUR_NS = 3600L * 1000 * 1000 * 1000
   private val GAP_NS = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
+  private val LAG_US = 10L * 60 * 1000 * 1000        // 10 min interval-join lag
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling hourly window per event type (streaming: groupBy(window(...)))
@@ -44,6 +45,27 @@ object EventQueries extends QueryPack {
         .groupBy(col("slide_idx"), col("event_type"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
         .orderBy("slide_idx", "event_type")
+    }),
+
+    // Interval join (streaming analog: StreamOps.intervalJoin with two
+    // watermarks): each error ⋈ same-user clicks in the preceding 10 min.
+    // µs integer arithmetic end-to-end (oracle discipline); the equi-key
+    // on user_id keeps the range condition a post-join filter on a hash
+    // join, never a cartesian.
+    "e6_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          expr("ts DIV 1000").as("ets_us"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts DIV 1000").as("cts_us"))
+      err.join(clk, Seq("user_id"))
+        .filter(col("cts_us") >= col("ets_us") - lit(LAG_US) &&
+          col("cts_us") <= col("ets_us"))
+        .select(col("error_id"), col("click_id"),
+          (col("ets_us") - col("cts_us")).as("lag_us"))
+        .orderBy("error_id", "click_id")
     }),
 
     // Sessionization: 30-min-gap sessions per user (streaming analog:
@@ -89,6 +111,15 @@ object EventQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "e6_interval_join" ->
+      s"""WITH err AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS ets_us
+                       FROM events WHERE event_type = 'error'),
+              clk AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts_us
+                      FROM events WHERE event_type = 'click')
+          SELECT error_id, click_id, ets_us - cts_us AS lag_us
+          FROM err JOIN clk USING (user_id)
+          WHERE cts_us BETWEEN ets_us - $LAG_US AND ets_us
+          ORDER BY error_id, click_id""",
     "e1_tumbling_hourly" ->
       s"""SELECT (epoch_us(ts) // ${HOUR_NS / 1000}) AS hour_bucket, event_type,
                  count(*) AS n, ${Num.sqlSum("value")} AS sum_value

@@ -83,6 +83,13 @@ object SimilarityQueries extends QueryPack {
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")
     }),
+    // IVF TRAINING step: one Lloyd iteration over the same centroid seed
+    // set sim5 probes — per-dimension decimal-exact means, flat output.
+    "sim6_kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 100 === 7)
+        .orderBy("cid", "pos")),
+
     // IVF ANN: centroid subset (vec_id % 100 == 7), nprobe=2 lists probed,
     // exact re-rank on candidates only.
     "sim5_ivf_ann_topk" -> ((s, d) =>
@@ -145,6 +152,25 @@ object SimilarityQueries extends QueryPack {
             FROM scored)
           SELECT query_id, neighbor_id, rank, cos FROM ranked
           WHERE rank <= $TOPK ORDER BY query_id, rank""",
+    "sim6_kmeans_step" -> {
+      val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 7),
+          ranked AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $ccos DESC, c.cid) AS crn
+            FROM embeddings e CROSS JOIN cent c),
+          assign AS (SELECT embedding, cid FROM ranked WHERE crn = 1),
+          x AS (SELECT cid,
+                       CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos,
+                       unnest(embedding) AS v
+                FROM assign)
+          SELECT cid, pos, ${graft.ops.Num.sqlAvg("CAST(v AS DOUBLE)")} AS mean_v,
+                 count(*) AS n
+          FROM x GROUP BY cid, pos ORDER BY cid, pos"""
+    },
     "sim5_ivf_ann_topk" -> {
       val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
       s"""WITH cent AS (

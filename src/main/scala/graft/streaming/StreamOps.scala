@@ -34,6 +34,28 @@ object StreamOps {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream–stream interval join (the canonical attribution join: each
+    * error matched to same-user clicks within the preceding `lag`). BOTH
+    * sides carry a watermark and the join has a two-sided time-range
+    * condition — that pair is what lets the state store evict buffered
+    * rows once the watermark passes the window; with either missing, the
+    * buffered side grows without bound. One shuffle per side on the user
+    * key, range pruning inside the state store. Column contract:
+    * errors(error_id, e_user, ets), clicks(click_id, c_user, cts) with
+    * timestamp-typed ets/cts.
+    */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame,
+                   lag: String = "10 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ets", watermark)
+    val c = clicks.withWatermark("cts", watermark)
+    e.join(c, col("e_user") === col("c_user") &&
+      col("cts") >= col("ets") - expr(s"interval $lag") &&
+      col("cts") <= col("ets"))
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        col("ets"), col("cts"))
+  }
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
                  event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)

@@ -117,6 +117,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks in the window, drops outside") {
+    implicit val sql = spark.sqlContext
+    val errs = MemoryStream[StreamOps.Evt]
+    val clks = MemoryStream[StreamOps.Evt]
+    val eDf = errs.toDF().select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("ets"))
+    val cDf = clks.toDF().select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("cts"))
+    val q = StreamOps.intervalJoin(eDf, cDf, lag = "10 minutes")
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    try {
+      // user 1: click 3 min before the error (in window), click 20 min
+      // before (outside), click AFTER the error (outside — one-sided);
+      // user 2: click in-window but different user than the error
+      clks.addData(StreamOps.Evt(101, ts(12), 1, "click", 1.0),
+        StreamOps.Evt(102, ts(-5), 1, "click", 1.0),
+        StreamOps.Evt(103, ts(20), 1, "click", 1.0),
+        StreamOps.Evt(104, ts(14), 2, "click", 1.0))
+      errs.addData(StreamOps.Evt(201, ts(15), 1, "error", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ijoin")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((201L, 101L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("final session flushes via event-time timeout when the watermark passes") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
