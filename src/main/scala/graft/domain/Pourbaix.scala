@@ -83,8 +83,11 @@ object Pourbaix {
     */
   def filterStable(bulks: DataFrame, diagram: DataFrame,
                    conditions: Seq[Condition],
-                   idCol: String = "bulk_id"): DataFrame =
+                   idCol: String = "bulk_id"): DataFrame = {
+    require(!bulks.columns.contains("pieces"),
+      "filterStable: bulks side already has a 'pieces' column")
     bulks.join(broadcast(diagram.select(col(idCol), col("pieces"))), Seq(idCol))
       .filter(stableAtAny(col("pieces"), conditions))
       .drop("pieces")
+  }
 }
