@@ -219,14 +219,16 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("component").as("nc")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nc")).as("min_nbr"))
         .withColumnRenamed("a", "id")
+      // carry the previous label through the SAME frame: the convergence
+      // check reads the checkpointed result instead of re-joining old labels
+      // (halves the per-round job count — rounds are the cost of iterative CC)
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"),
             coalesce(col("min_nbr"), col("component"))).as("component"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).isEmpty
-      labels = next
+      done = next.filter(col("component") < col("__old")).isEmpty
+      labels = next.drop("__old")
       iter += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
