@@ -32,6 +32,36 @@ class EnumerateSpec extends AnyFunSuite {
     assert(Enumerate.millerIndices(asym, 1).size > 3)
   }
 
+  test("hexagonal cell: 24 rotation parts, orbits partition the candidates") {
+    val a = 2.95; val c = 4.68
+    val hcp = Structure(
+      Seq(Seq(a, 0, 0), Seq(-a / 2, a * math.sqrt(3) / 2, 0), Seq(0, 0, c)),
+      Seq(Site("Ti", Seq(0.0, 0.0, 0.0), "a"),
+        Site("Ti", Seq(1.0 / 3, 2.0 / 3, 0.5), "a")))
+    val ops = Enumerate.symmetryRotations(hcp)
+    // P6₃/mmc rotation parts = D6h order 24 (the 6₃ screw's fractional
+    // translation is found by the site test)
+    assert(ops.size == 24, s"got ${ops.size}")
+    val reps = Enumerate.millerIndices(hcp, 1)
+    val all = Enumerate.millerIndices(1)
+    assert(reps.size < all.size) // reduction happened
+    def normalize(m: Seq[Int]) = {
+      val sgn = if (m.find(_ != 0).get < 0) -1 else 1; m.map(_ * sgn)
+    }
+    def orbit(m: Seq[Int]): Set[Seq[Int]] = ops.map { w =>
+      normalize(Seq(
+        w(0)(0) * m(0) + w(0)(1) * m(1) + w(0)(2) * m(2),
+        w(1)(0) * m(0) + w(1)(1) * m(1) + w(1)(2) * m(2),
+        w(2)(0) * m(0) + w(2)(1) * m(1) + w(2)(2) * m(2)))
+    }.toSet
+    val orbits = reps.map(orbit)
+    // pairwise disjoint and jointly covering (within the candidate range)
+    for (Seq(o1, o2) <- orbits.combinations(2))
+      assert(o1.intersect(o2).isEmpty, "orbits must be disjoint")
+    val covered = orbits.reduce(_ ++ _)
+    assert(all.forall(covered.contains), "every candidate is in some orbit")
+  }
+
   test("symmetry rotations form a group (closure, identity, inverses)") {
     val fcc = Fixtures.bulks.find(_.bulk_id == "mp-126").get.bulk_structure
     val ops = Enumerate.symmetryRotations(fcc)
