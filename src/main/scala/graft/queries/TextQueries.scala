@@ -43,6 +43,33 @@ object TextQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // Train/test split the PRODUCTION way: deterministic content-hash
+    // bucketing, not RNG — reproducible across runs/engines, stable as
+    // the corpus grows, and leak-free when keyed by the dedup component.
+    "t5_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(pmod(StableHash.polyHash(
+              concat_ws("", lit("split|"), col("doc_id").cast("string"))),
+            lit(100)) < 80, "train").otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // Token-budget packing: docs packed into ~512-token bins per lang
+    // (context-window filling). Prefix-sum over a PARTITIONED window —
+    // global greedy packing would be a single-task window; per-lang (or
+    // per-shard) keys keep it one keyed shuffle at any scale.
+    "t6_token_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) DIV 512"))
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
   )
 
   private def langidSql: String = {
@@ -80,6 +107,22 @@ object TextQueries extends QueryPack {
         FROM c ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "t5_hash_split" ->
+      s"""SELECT doc_id,
+                 CASE WHEN ${StableHash.polyHashSql(
+        "concat('split|', CAST(doc_id AS VARCHAR))")} % 100 < 80
+                      THEN 'train' ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""",
+    "t6_token_packing" ->
+      """WITH x AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+                    FROM documents),
+          c AS (SELECT doc_id, lang, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                                ORDER BY doc_id) AS BIGINT) AS cum
+                FROM x)
+          SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS pack_id
+          FROM c ORDER BY doc_id""",
     "t1_langid" -> langidSql,
     "t2_quality_score" -> qualitySql,
     "t3_token_counts" ->
