@@ -98,3 +98,61 @@ class FilterPropertySpec extends SparkTestBase {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
   }
 }
+
+/** Randomized equivalence: distributed operators vs brute-force in-memory
+  * references — the strongest correctness net for join/graph semantics
+  * (the oracle gate pins one dataset; these pin the CONTRACT).
+  */
+class OperatorPropertySpec extends SparkTestBase {
+  import spark.implicits._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  test("asofJoin agrees with the O(n^2) reference on random inputs") {
+    val genLeft = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    val genRight = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    val prop = Prop.forAll(genLeft, genRight) { (l, r) =>
+      // unique (key, time) on both sides (asofJoin's documented precondition;
+      // left ids must also be unique to compare row-for-row)
+      val left = l.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = r.distinct
+        .groupBy { case (k, t) => (k, t) }.map(_._2.head)
+        .zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }.toSeq
+      val lDf = left.toDF("lid", "k", "lt")
+      val rDf = right.toDF("rid", "k", "rt")
+      val got = AsOfJoin.asofJoin(lDf, rDf, Seq("k"), col("lt"), col("rt"),
+        Seq("matched_rid" -> col("rid")))
+        .select("lid", "matched_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      val ref = left.map { case (lid, k, lt) =>
+        val cands = right.filter { case (_, rk, rt) => rk == k && rt <= lt }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy { case (rid, _, rt) => (rt, rid) }._1))
+      }.toMap
+      got == ref
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
+  test("connectedComponents agrees with in-memory union-find on random graphs") {
+    val genEdges = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    val prop = Prop.forAll(genEdges) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      val nodes = (1L to 12L).toSeq
+      val got = Dedup.connectedComponents(nodes.toDF("id"),
+        edges.toDF("id1", "id2"), "id", "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to canonical minimums
+      val ref = nodes.map(n => n -> find(n)).toMap
+      got == ref
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+}
