@@ -106,12 +106,16 @@ object Similarity {
     * small-domain shuffle; iterate by feeding the means back as centroids.
     */
   def kmeansStep(emb: DataFrame, id: String, vec: String,
-                 centroidPred: Column): DataFrame = {
+                 centroidPred: Column): DataFrame =
+    kmeansStepFrom(emb, id, vec,
+      emb.filter(centroidPred).select(col(id).as("cid"), col(vec).as("cv")))
+
+  /** One Lloyd iteration against an explicit centroid frame (cid, cv). */
+  def kmeansStepFrom(emb: DataFrame, id: String, vec: String,
+                     centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = emb.filter(centroidPred)
-      .select(col(id).as("cid"), col(vec).as("cv"))
     val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(centroids))
       .select(col(id), col(vec), col("cid"),
         cosine(col(vec), col("cv")).as("ccos"))
     val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
@@ -122,6 +126,31 @@ object Similarity {
       .groupBy("cid", "pos")
       .agg(Num.davg(col("v").cast("double")).as("mean_v"),
         count(lit(1)).as("n"))
+  }
+
+  /** Full k-means training: `iters` Lloyd rounds, each round's means fed
+    * back as the next centroid set (rebuilt into array form by a sorted
+    * collect over the tiny C×dim frame). The loop is a driver-side fold
+    * over CENTROID frames — dim-sized, localCheckpoint'd — never over the
+    * corpus; per round the corpus sees one broadcast + one narrow pass +
+    * one small-domain shuffle. Empty clusters drop out (their centroid
+    * simply has no assigned rows), the standard Lloyd behavior.
+    */
+  def kmeansTrain(emb: DataFrame, id: String, vec: String,
+                  seedPred: Column, iters: Int): DataFrame = {
+    var cent = emb.filter(seedPred)
+      .select(col(id).as("cid"),
+        transform(col(vec), x => x.cast("double")).as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val flat = kmeansStepFrom(emb, id, vec, cent)
+      cent = flat.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+          x => x.getField("mean_v")).as("cv"))
+        .localCheckpoint()
+    }
+    cent
   }
 
   /** Near-duplicate pairs at scale: candidate generation by LSH-bucket

@@ -119,6 +119,28 @@ class DedupOpsSpec extends SparkTestBase {
 class SimilarityOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("kmeansTrain converges to the two obvious cluster means") {
+    // two tight clusters on orthogonal axes; seeds = one member of each
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (5L, Array(0.1f, 1.0f, 0.1f, 0.0f)),
+      (6L, Array(0.0f, 0.9f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(df, "vec_id", "embedding",
+      col("vec_id") === 1 || col("vec_id") === 4, iters = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(trained.keySet == Set(1L, 4L))
+    // cluster {1,2,3} mean x-component = (1.0 + 1.0 + 0.9)/3
+    assert(math.abs(trained(1L).head - (1.0 + 1.0 + 0.9f.toDouble) / 3) < 1e-6)
+    assert(math.abs(trained(4L)(1) - (1.0 + 1.0 + 0.9f.toDouble) / 3) < 1e-6)
+    // means dominated by the cluster axis
+    assert(trained(1L).head > trained(1L)(1))
+    assert(trained(4L)(1) > trained(4L).head)
+  }
+
   test("cosine: identity 1, orthogonal 0") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
