@@ -97,14 +97,20 @@ object Config {
               Pourbaix.Condition(c.get("pH").asDouble(), c.get("V").asDouble(),
                 c.get("max_decomposition_energy").asDouble())))
           else None
-          val rng = if (v.has("pH_lower"))
+          val rng = if (v.has("pH_lower")) {
+            // pH_lower makes the whole window required (config_validation
+            // .py:138-162 dependency rules): defaulting a missing bound to
+            // 0.0 would silently screen the wrong pH/V window
+            def req(f: String): Double = {
+              if (!v.has(f)) throw new IllegalArgumentException(
+                s"filter_by_pourbaix_stability: '$f' is required when pH_lower is given")
+              v.get(f).asDouble()
+            }
             Some(PourbaixRange(v.get("pH_lower").asDouble(),
-              Option(v.get("pH_upper")).map(_.asDouble()).getOrElse(0.0),
-              Option(v.get("V_lower")).map(_.asDouble()).getOrElse(0.0),
-              Option(v.get("V_upper")).map(_.asDouble()).getOrElse(0.0),
-              Option(v.get("max_decomposition_energy")).map(_.asDouble()).getOrElse(0.0),
+              req("pH_upper"), req("V_lower"), req("V_upper"),
+              req("max_decomposition_energy"),
               optD(v, "pH_step"), optD(v, "V_step")))
-          else None
+          } else None
           PourbaixStability(cl, rng)
         case (k, _) =>
           // the reference warns on unknown keys (filters.py:134-135); a

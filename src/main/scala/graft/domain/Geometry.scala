@@ -303,13 +303,19 @@ object Geometry {
     val zs = s.sites.map(_.frac_coords(2))
     val zc = (zs.min + zs.max) / 2
     def wrap(x: Double): Double = x - math.floor(x)
-    def mapsUnder(dx: Double, dy: Double): Boolean = s.sites.forall { t =>
-      val zr = 2 * zc - t.frac_coords(2)
-      s.sites.exists { o =>
-        o.element == t.element &&
-          dWrap(wrap(t.frac_coords(0) + dx), wrap(o.frac_coords(0))) < tol &&
-          dWrap(wrap(-t.frac_coords(1) + dy), wrap(o.frac_coords(1))) < tol &&
-          math.abs(o.frac_coords(2) - zr) < tol
+    // one-to-one: each image site may be claimed once, else two sources
+    // collapsing onto one near-coincident target would fake a symmetry
+    def mapsUnder(dx: Double, dy: Double): Boolean = {
+      val pool = scala.collection.mutable.ArrayBuffer.from(s.sites)
+      s.sites.forall { t =>
+        val zr = 2 * zc - t.frac_coords(2)
+        val i = pool.indexWhere { o =>
+          o.element == t.element &&
+            dWrap(wrap(t.frac_coords(0) + dx), wrap(o.frac_coords(0))) < tol &&
+            dWrap(wrap(-t.frac_coords(1) + dy), wrap(o.frac_coords(1))) < tol &&
+            math.abs(o.frac_coords(2) - zr) < tol
+        }
+        i >= 0 && { pool.remove(i); true }
       }
     }
     val anchor = s.sites.head
@@ -337,11 +343,19 @@ object Geometry {
     def wrap(x: Double): Double = x - math.floor(x)
     val anchorEl = a.sites.groupBy(_.element).minBy(_._2.size)._1
     val anchor = a.sites.find(_.element == anchorEl).get
-    def matches(dx: Double, dy: Double): Boolean = a.sites.forall { p =>
-      b.sites.exists(q => q.element == p.element &&
-        dWrap(wrap(p.frac_coords(0) + dx), wrap(q.frac_coords(0))) < tol &&
-        dWrap(wrap(p.frac_coords(1) + dy), wrap(q.frac_coords(1))) < tol &&
-        math.abs(p.frac_coords(2) - q.frac_coords(2)) < tol)
+    // one-to-one matching (bijection): with equal site counts, two a-sites
+    // within tol of the same b-site must NOT both match it, or degenerate
+    // near-coincident structures are declared equivalent and a genuinely
+    // distinct termination gets dropped by distinctTerminations
+    def matches(dx: Double, dy: Double): Boolean = {
+      val pool = scala.collection.mutable.ArrayBuffer.from(b.sites)
+      a.sites.forall { p =>
+        val i = pool.indexWhere(q => q.element == p.element &&
+          dWrap(wrap(p.frac_coords(0) + dx), wrap(q.frac_coords(0))) < tol &&
+          dWrap(wrap(p.frac_coords(1) + dy), wrap(q.frac_coords(1))) < tol &&
+          math.abs(p.frac_coords(2) - q.frac_coords(2)) < tol)
+        i >= 0 && { pool.remove(i); true }
+      }
     }
     b.sites.filter(s => s.element == anchorEl &&
         math.abs(s.frac_coords(2) - anchor.frac_coords(2)) < tol)

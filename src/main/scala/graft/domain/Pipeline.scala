@@ -74,11 +74,13 @@ object Pipeline {
         acc.sample(withReplacement = false, f, Filters.sampleSeed)
           .observe(f"bulk_${i + 1}%02d_sample", count(lit(1)))
       case (acc, (p: PourbaixStability, i)) =>
-        val dg = diagram.getOrElse {
-          val sp = ds.sparkSession
-          import sp.implicits._
-          Fixtures.pourbaixDiagrams.toDF()
-        }
+        // no silent fixture fallback: filtering real bulks by hard-coded
+        // test-fixture physics would drop everything but fixture ids with
+        // no warning — compile() supplies the fixture diagram only when
+        // the bulks themselves are the fixture default
+        val dg = diagram.getOrElse(throw new IllegalArgumentException(
+          "filter_by_pourbaix_stability requires a diagram table " +
+            "(bulk_id, pieces); none was supplied"))
         Pourbaix.filterStable(acc, dg, Config.pourbaixConditions(p))
           .observe(f"bulk_${i + 1}%02d_pourbaix", count(lit(1)))
       case (acc, (flt, i)) =>
@@ -171,7 +173,16 @@ object Pipeline {
     val ledger = new Ledger
 
     val bulkDs = bulks.getOrElse(spark.createDataset(Fixtures.bulks))
-    val filtered = filterBulks(bulkDs.toDF(), cfg.bulkFilters, diagram)
+    // the fixture diagram is valid only for the fixture bulks; a caller
+    // screening its own bulks must bring its own diagram table
+    val hasPourbaix = cfg.bulkFilters.exists(_.isInstanceOf[PourbaixStability])
+    val dg = diagram.orElse {
+      if (hasPourbaix && bulks.isEmpty) Some(Fixtures.pourbaixDiagrams.toDF())
+      else None
+    }
+    require(!hasPourbaix || dg.isDefined,
+      "filter_by_pourbaix_stability with custom bulks requires a diagram table")
+    val filtered = filterBulks(bulkDs.toDF(), cfg.bulkFilters, dg)
     val surfaces = enumerateSurfaces(spark, filtered.as[Bulk], cfg.maxMiller, cfg.slabFilters)
     val adslabs = enumerateAdslabs(spark, surfaces, cfg.adsorbateSmiles)
 

@@ -45,10 +45,13 @@ object Npz {
     require(b.length >= 10 && b(0) == 0x93.toByte &&
       new String(b, 1, 5, "US-ASCII") == "NUMPY", "not an NPY payload")
     val major = b(6) & 0xff
+    require(major == 1 || b.length >= 12, "truncated NPY v2+ header length")
     val (hlen, hoff) =
       if (major == 1) ((b(8) & 0xff) | ((b(9) & 0xff) << 8), 10)
       else ((b(8) & 0xff) | ((b(9) & 0xff) << 8) | ((b(10) & 0xff) << 16) |
         ((b(11) & 0xff) << 24), 12)
+    require(hlen >= 0 && hoff.toLong + hlen <= b.length,
+      s"NPY header length $hlen overruns payload of ${b.length} bytes")
     val header = new String(b, hoff, hlen, "ISO-8859-1")
     def field(re: String, what: String): String =
       re.r.findFirstMatchIn(header)
@@ -60,6 +63,16 @@ object Npz {
     val shape = field("'shape'\\s*:\\s*\\(([^)]*)\\)", "shape")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val n = shape.product // empty shape () = scalar → product 1
+    val elemSize = descr match {
+      case "<f8" | "<i8"            => 8L
+      case "<f4" | "<i4"            => 4L
+      case u if u.startsWith("<U")  => 4L * u.drop(2).toInt
+      case d => throw new IllegalArgumentException(s"unsupported npy dtype '$d'")
+    }
+    // a truncated member must be a clean hard error, not BufferUnderflow
+    require(b.length - hoff - hlen >= n.toLong * elemSize,
+      s"NPY payload holds ${b.length - hoff - hlen} bytes, " +
+        s"need ${n.toLong * elemSize} for shape (${shape.mkString(",")}) $descr")
     val bb = ByteBuffer.wrap(b, hoff + hlen, b.length - hoff - hlen)
       .order(ByteOrder.LITTLE_ENDIAN)
     descr match {
