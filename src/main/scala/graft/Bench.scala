@@ -27,20 +27,31 @@ object Bench {
     }
     // a failed query must read as failure, never as a fast run: it reports
     // -1 and is excluded from the total, and the failures list is explicit
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "-1.0")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def dict(rs: Seq[(String, Double, Boolean)]): String = rs.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(v) else "-1.0")
     }.mkString("{", ",", "}")
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
-    // stdout alone gets lost in sbt log noise (round-1 BENCH parsed:null) —
-    // the file is the reliable channel, the println stays for humans
+    def line(qs: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    // full per-query map → file; the driver reads a 2000-char stdout TAIL
+    // (BENCH_r01/r02 "tail"), so the stdout line must stay well under that —
+    // it carries the total plus a fixed headline subset for regression
+    // tracking, one per operator family plus the known hotspots
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+      (line(dict(results)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val headline = Set(
+      "q1_agg", "m5_pipeline_screen", "screen_e2e_fixture",
+      "d4_lsh_candidate_pairs", "d6_ngram_jaccard", "d7_dup_groups",
+      "sim1_bruteforce_topk", "sim2b_neardup_bucketed", "sim5_ivf_ann_topk",
+      "t1_langid", "a5_grouped_regression", "a7_grouped_exists_keep",
+      "a8_group_topk", "ao1_asof_join", "j4_composite_key_left_join",
+      "e2_sessionize", "g1_enumerate_explode", "pr1_parity_report")
+    println(line(dict(results.filter(r => headline(r._1) || !r._3))))
     spark.stop()
   }
 }
