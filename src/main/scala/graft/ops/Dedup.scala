@@ -197,8 +197,11 @@ object Dedup {
     * dedup pipeline ends with "collapse pairs into clusters, keep one doc
     * per cluster"). Iterative min-label propagation: each round is one
     * equi-join + one min-aggregate, converging in O(component diameter)
-    * rounds — near-dup clusters are shallow, so a handful of rounds at any
-    * scale; `localCheckpoint` truncates the growing lineage each round
+    * rounds of propagation alone; each round additionally composes the
+    * label map with itself (pointer jumping: component ← label(component)),
+    * which doubles the reach per round → O(log diameter) convergence, so a
+    * long near-dup chain (common in shingle dedup) cannot exhaust maxIter;
+    * `localCheckpoint` truncates the growing lineage each round
     * (the standard iterative-algorithm discipline on Spark).
     *
     * Output: (id, component) for EVERY node in `nodes` — component = the
@@ -222,10 +225,21 @@ object Dedup {
       // carry the previous label through the SAME frame: the convergence
       // check reads the checkpointed result instead of re-joining old labels
       // (halves the per-round job count — rounds are the cost of iterative CC)
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hooked = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"),
             coalesce(col("min_nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      // pointer jump: component ← label(component). Every label is itself a
+      // node id (the invariant: a label is the min id reached so far, and
+      // that node's own label is connected to it), so the self-join is total
+      // and the composed label stays within the component while skipping
+      // ahead as far as the labeled node has already reached.
+      val next = hooked.join(
+          hooked.select(col("id").as("component"), col("component").as("__jump")),
+          Seq("component"), "left")
+        .select(col("id"), col("__old"),
+          coalesce(col("__jump"), col("component")).as("component"))
         .localCheckpoint()
       done = next.filter(col("component") < col("__old")).isEmpty
       labels = next.drop("__old")

@@ -155,4 +155,16 @@ class OperatorPropertySpec extends SparkTestBase {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
   }
+
+  test("connectedComponents converges on a long chain in O(log d) rounds") {
+    // a 100-link chain needs 99 rounds under one-hop propagation; pointer
+    // jumping must close it within 10 (reach doubles per round)
+    val n = 100L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, edges, "id", "id1", "id2", maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L))
+  }
 }
