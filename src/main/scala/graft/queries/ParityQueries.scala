@@ -64,6 +64,21 @@ object ParityQueries extends QueryPack {
           col("g._5").as("broken_bond_score"), col("g._6").as("surface_density_score"))
         .orderBy("bulk_id", "slab_millers", "slab_shift")
     }),
+
+    // S6 real .traj read through the driver gate: spec-conformant ULM
+    // fixtures written to a scratch dir, parsed distributed, per-frame
+    // energies + the anomaly screen verdict against a literal oracle.
+    "s6_traj_energies" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.sources.UlmFixtures.writeTo(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_s6_trajs"))
+      graft.sources.Sources.readTrajectories(s, dir).toDF()
+        .select(regexp_extract(col("path"), "([^/]+)\\.traj", 1).as("traj"),
+          col("goodTrajectory").as("good_trajectory"),
+          posexplode(col("energies")).as(Seq("frame", "ml_energy")))
+        .select(col("traj"), col("frame"), col("ml_energy"), col("good_trajectory"))
+        .orderBy("traj", "frame")
+    }),
   )
 
   private def parityOracle: String = {
@@ -101,5 +116,17 @@ object ParityQueries extends QueryPack {
                    count(*) AS n
             FROM x GROUP BY frame)
           SELECT frame, mae, me, n FROM c ORDER BY mae, frame LIMIT 1""",
+    // the s6 fixtures are deterministic — the oracle is their pinned
+    // content (frame is posexplode's INT, energies exact binary doubles)
+    "s6_traj_energies" ->
+      """SELECT traj, CAST(frame AS INT) AS frame,
+                CAST(ml_energy AS DOUBLE) AS ml_energy, good_trajectory
+         FROM (VALUES
+           ('desorbed', 0, -3.25, false),
+           ('desorbed', 1, -1.5, false),
+           ('stable', 0, -3.25, true),
+           ('stable', 1, -3.5, true),
+           ('stable', 2, -3.75, true))
+           AS t(traj, frame, ml_energy, good_trajectory)""",
   )
 }

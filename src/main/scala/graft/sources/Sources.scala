@@ -84,8 +84,8 @@ object Sources {
   }
   case class TrajRecord(path: String, energies: Seq[Double], goodTrajectory: Boolean)
 
-  /** STUB parser — deterministic from content (no ase in this container);
-    * the binaryFile plumbing around it is the real operator.
+  /** STUB parser — deterministic from content; kept for synthetic tests of
+    * the plumbing. The real default is [[UlmTraj.Parser]].
     */
   object FakeTrajParser extends TrajParser {
     def parse(path: String, bytes: Array[Byte]): TrajRecord = {
@@ -98,15 +98,32 @@ object Sources {
   }
 
   /** S6: glob a directory of trajectory files distributed via the
-    * binaryFile source; parse per file.
+    * binaryFile source; parse per file ([[UlmTraj.Parser]] reads the real
+    * ASE ULM container).
     */
   def readTrajectories(spark: SparkSession, dir: String,
-                       parser: TrajParser = FakeTrajParser): Dataset[TrajRecord] = {
+                       parser: TrajParser = UlmTraj.Parser): Dataset[TrajRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").option("pathGlobFilter", "*.traj").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, bytes) => parser.parse(p, bytes) }
+  }
+
+  /** S6: frame-level trajectory read — one row per frame with the typed
+    * structure, for downstream anomaly/energy analysis without re-parsing.
+    */
+  def readTrajectoryFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.traj").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        UlmTraj.frames(bytes).map { f =>
+          (p, f.index, f.energy, f.numbers.size, f.tags, UlmTraj.toStructure(f))
+        }
+      }
+      .toDF("path", "frame", "energy", "natoms", "tags", "structure")
   }
 
   /** S7: KV side-store probe as a broadcast left join (the LMDB Pourbaix

@@ -68,10 +68,10 @@ class SourcesSpec extends SparkTestBase {
     Files.write(dir.resolve("a.traj"), "frame1 frame2".getBytes)
     Files.write(dir.resolve("b.traj"), "other content".getBytes)
     Files.write(dir.resolve("ignore.txt"), "not a traj".getBytes)
-    val out = Sources.readTrajectories(spark, dir.toString).collect()
+    val out = Sources.readTrajectories(spark, dir.toString, Sources.FakeTrajParser).collect()
     assert(out.length == 2)
     assert(out.forall(_.energies.nonEmpty))
-    val again = Sources.readTrajectories(spark, dir.toString).collect()
+    val again = Sources.readTrajectories(spark, dir.toString, Sources.FakeTrajParser).collect()
     assert(out.map(_.energies.sum).sorted.sameElements(again.map(_.energies.sum).sorted))
   }
 
