@@ -93,4 +93,45 @@ object TextOps {
       (lit(1.0) - comps("stopword_ratio")) * lit(0.3) +
       least(comps("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.1)
   }
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** PII patterns restricted to the Java-regex ∩ RE2 common subset so the
+    * Spark expressions and the DuckDB oracle share one definition
+    * (character classes, bounded/unbounded repetition, ASCII \b only).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d ]{6,}\\d"
+
+  /** Redact emails, then IPs, then phone numbers — in that order: the
+    * earlier placeholders contain no digits, so the greedy phone pattern
+    * cannot swallow a just-redacted IP's digit runs. Pure narrow map;
+    * linear scans at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+        lit(ipv4Re), lit("<IP>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(ipv4Re), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))))
+
+  // ---- intra-document repetition ----------------------------------------
+
+  /** Repetition score from word 5-grams: 1 − distinct/total. A boilerplate-
+    * heavy document repeats its n-grams; clean prose doesn't. Per-row only.
+    */
+  def repetitionComponents(ts: Column, k: Int = 5): Seq[(String, Column)] = {
+    val nGrams = when(size(ts) >= k, size(ts) - (k - 1)).otherwise(lit(0))
+    val nDistinct = size(Dedup.shinglesFromTokens(ts, k))
+    Seq("n_grams" -> nGrams, "n_distinct" -> nDistinct,
+      "repetition" -> when(nGrams > 0,
+        lit(1.0) - nDistinct.cast("double") / nGrams.cast("double"))
+        .otherwise(lit(0.0)))
+  }
 }

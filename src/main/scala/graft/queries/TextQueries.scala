@@ -70,6 +70,81 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "n_tokens", "pack_id")
         .orderBy("doc_id")
     }),
+
+    // PII redaction over text seeded with deterministic synthetic PII (the
+    // corpus itself is PII-free word salad — seeding makes every pattern
+    // provably fire instead of a vacuous all-zeros pass). Narrow map.
+    "t7_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ping 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +"), (col("doc_id") + 100000000L).cast("string"))
+      val counts = TextOps.piiCounts(col("t"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id") +: counts.map { case (n, c) => c.as(n) }
+          :+ TextOps.redactPii(col("t")).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: candidate docs sharing any 8-gram with the
+    // held-out "benchmark" slice (doc_id % 10 == 0) are contaminated. The
+    // join is gram → gram: posting lists, never docs × docs; the benchmark
+    // side is the small one and AQE broadcasts it when it fits.
+    "t8_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"),
+          explode_outer(graft.ops.Dedup.shinglesFromTokens(col("__ts"), 8)).as("g"))
+        .filter(col("g").isNotNull)
+      val bench = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
+      val hits = grams.filter(col("doc_id") % 10 =!= 0)
+        .join(bench, Seq("g"))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quota sampling (domain balancing): keep ≤10 docs per
+    // source in deterministic hash order (cap < every source's count here,
+    // so the cap provably bites) — one keyed shuffle, and Spark plans the
+    // rank-filter as WindowGroupLimit (top-k pushdown).
+    "t9_domain_quota" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          StableHash.polyHash(concat_ws("",
+            lit("quota|"), col("doc_id").cast("string"))).as("__h"))
+        .withColumn("quota_rank", row_number().over(w))
+        .filter(col("quota_rank") <= 10)
+        .select("doc_id", "source", "quota_rank")
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition (boilerplate detection): 5-gram
+    // distinct/total ratio, per-row, shuffle-free. The synthetic corpus has
+    // zero natural repetition (every doc's 5-grams are distinct), so docs
+    // with doc_id % 5 == 0 are seeded with deterministic boilerplate (their
+    // own first 20 tokens re-appended) — same rationale as t7's PII seed:
+    // the positive path must provably fire.
+    "t10_repetition" -> ((s, d) => {
+      val seeded = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(split(col("text"), " "), 1, 20), " ")))
+        .otherwise(col("text"))
+      val comps = TextOps.repetitionComponents(col("__ts"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(seeded, " ").as("__ts"))
+        .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("repetitive", col("repetition") > 0.1)
+        .orderBy("doc_id")
+    }),
   )
 
   private def langidSql: String = {
@@ -135,5 +210,73 @@ object TextQueries extends QueryPack {
     "t4_fingerprint" ->
       s"""SELECT doc_id, ${StableHash.polyHashSql("text")} AS fp
           FROM documents ORDER BY doc_id""",
+    "t7_pii_redact" -> {
+      val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 call +' || CAST(doc_id + 100000000 AS VARCHAR)"
+      s"""WITH a AS (SELECT doc_id, $aug AS t FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '${TextOps.emailRe}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(t, '${TextOps.ipv4Re}')) AS INT) AS n_ips,
+                 CAST(len(regexp_extract_all(t, '${TextOps.phoneRe}')) AS INT) AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '${TextOps.emailRe}', '<EMAIL>', 'g'),
+                   '${TextOps.ipv4Re}', '<IP>', 'g'),
+                   '${TextOps.phoneRe}', '<PHONE>', 'g') AS redacted
+          FROM a ORDER BY doc_id""" },
+    "t8_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          i AS (SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM t),
+          n AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                FROM i),
+          b AS (SELECT DISTINCT g FROM n WHERE doc_id % 10 = 0),
+          h AS (SELECT n.doc_id, count(DISTINCT n.g) AS n_hits
+                FROM n JOIN b USING (g) WHERE n.doc_id % 10 <> 0
+                GROUP BY n.doc_id)
+          SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 coalesce(h.n_hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
+    "t9_domain_quota" ->
+      s"""WITH x AS (SELECT doc_id, source,
+                 ${StableHash.polyHashSql("concat('quota|', CAST(doc_id AS VARCHAR))")} AS h
+              FROM documents),
+          r AS (SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY h, doc_id) AS INT) AS quota_rank
+                FROM x)
+          SELECT doc_id, source, quota_rank FROM r
+          WHERE quota_rank <= 10 ORDER BY doc_id""",
+    "t10_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                 string_split(CASE WHEN doc_id % 5 = 0
+                   THEN text || ' ' ||
+                        array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+                   ELSE text END, ' ') AS ts
+               FROM documents),
+          i AS (SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                FROM t),
+          g AS (SELECT doc_id,
+                       count(DISTINCT array_to_string(list_slice(ts, i, i + 4), ' '))
+                         AS n_distinct
+                FROM i GROUP BY doc_id),
+          c AS (SELECT t.doc_id,
+                       CAST(greatest(len(t.ts) - 4, 0) AS INT) AS n_grams,
+                       CAST(coalesce(g.n_distinct, 0) AS INT) AS n_distinct
+                FROM t LEFT JOIN g ON t.doc_id = g.doc_id)
+          SELECT doc_id, n_grams, n_distinct,
+                 CASE WHEN n_grams > 0
+                      THEN CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)
+                                               / CAST(n_grams AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END AS repetition,
+                 CASE WHEN n_grams > 0
+                      THEN (CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)
+                                                / CAST(n_grams AS DOUBLE)) > 0.1
+                      ELSE false END AS repetitive
+          FROM c ORDER BY doc_id""",
   )
 }
