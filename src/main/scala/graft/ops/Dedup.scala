@@ -213,7 +213,14 @@ object Dedup {
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    // iterate ONLY over nodes that touch an edge: everything else is its
+    // own singleton component and never changes — at dedup scale that is
+    // the overwhelming majority of the corpus, so the loop tables shrink
+    // from |nodes| to |dup-cluster members|. Seeding with the first hop
+    // (component = min(id, direct neighbors)) also saves one full round.
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
       .localCheckpoint()
     var iter = 0
     var done = false
@@ -229,24 +236,31 @@ object Dedup {
         .select(col("id"), col("component").as("__old"),
           least(col("component"),
             coalesce(col("min_nbr"), col("component"))).as("component"))
-        .localCheckpoint()
-      // pointer jump: component ← label(component). Every label is itself a
-      // node id (the invariant: a label is the min id reached so far, and
-      // that node's own label is connected to it), so the self-join is total
-      // and the composed label stays within the component while skipping
-      // ahead as far as the labeled node has already reached.
+      // pointer jump: component ← label(component), joined against the
+      // PREVIOUS round's already-materialized labels (no extra checkpoint).
+      // Every label is itself a node id whose own label is connected to it,
+      // so the composed label stays within the component; reach r+1 (hook)
+      // composed with reach r (labels) ≈ doubles per round → O(log d).
+      // the convergence check rides the checkpoint materialization as an
+      // observed metric — no separate job per round
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = hooked.join(
-          hooked.select(col("id").as("component"), col("component").as("__jump")),
+          labels.select(col("id").as("component"), col("component").as("__jump")),
           Seq("component"), "left")
         .select(col("id"), col("__old"),
           coalesce(col("__jump"), col("component")).as("component"))
+        .observe(obs, sum(when(col("component") < col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      done = next.filter(col("component") < col("__old")).isEmpty
+      done = Option(obs.get("changed")).collect { case l: Long => l }.getOrElse(0L) == 0L
       labels = next.drop("__old")
       iter += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    // edgeless nodes re-enter as their own component
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Keep-first streaming-style dedup on an id key (batch form of
