@@ -75,4 +75,18 @@ class GeometrySpec extends AnyFunSuite {
       slab.sites :+ Site("Pt", Seq(0.1, 0.2, 0.62), "b"))
     assert(!Geometry.isInvertibleSlab(broken))
   }
+
+  test("translation equivalence is a bijection: co-located targets cannot " +
+       "absorb two sources") {
+    // two a-sites 0.1 apart, both within tol=0.11 of b's site at 0.05; b's
+    // other site (0.5) matches neither one-to-one. forall/exists matching
+    // wrongly declared these equivalent (both a-sites claiming b@0.05) and
+    // distinctTerminations then dropped a genuinely distinct termination.
+    val lat = Seq(Seq(4.0, 0.0, 0.0), Seq(0.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0))
+    def st(xs: Double*) =
+      Structure(lat, xs.map(x => Site("Cu", Seq(x, 0.0, 0.5), "a")))
+    assert(!Geometry.sameUpToInPlaneTranslation(st(0.0, 0.1), st(0.05, 0.5), tol = 0.11))
+    // sanity: a true rigid translation still matches under the same tol
+    assert(Geometry.sameUpToInPlaneTranslation(st(0.0, 0.1), st(0.05, 0.15), tol = 0.11))
+  }
 }

@@ -63,6 +63,33 @@ class SourcesSpec extends SparkTestBase {
     assert(out.filter(_._2 == "mp-2").forall(_._3 == -2.25))
   }
 
+  test("S5: truncated/overrunning NPY members fail cleanly (no buffer errors)") {
+    def npy(descr: String, shape: String, payload: Array[Byte]): Array[Byte] = {
+      val header = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($shape), }\n"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x93); out.write("NUMPY".getBytes("US-ASCII"))
+      out.write(1); out.write(0)
+      out.write(header.length & 0xff); out.write((header.length >> 8) & 0xff)
+      out.write(header.getBytes("ISO-8859-1")); out.write(payload)
+      out.toByteArray
+    }
+    // payload holds 2 doubles, shape says 3 → hard error naming the deficit
+    val short = intercept[IllegalArgumentException](
+      Npz.readNpy(npy("<f8", "3,", Array.fill(16)(0: Byte))))
+    assert(short.getMessage.contains("need 24"))
+    // well-formed control: same builder, honest shape
+    Npz.readNpy(npy("<f8", "2,", Array.fill(16)(0: Byte))) match {
+      case Npz.NpDoubles(Seq(2), d) => assert(d.toSeq == Seq(0.0, 0.0))
+      case other => fail(s"$other")
+    }
+    // v2 header with a truncated length field
+    val v2 = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 2, 0, 1, 0)
+    intercept[IllegalArgumentException](Npz.readNpy(v2))
+    // v1 header length overrunning the buffer
+    intercept[IllegalArgumentException](
+      Npz.readNpy(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0, 0x40, 0)))
+  }
+
   test("S6: binaryFile trajectory source parses each file deterministically") {
     val dir = Files.createTempDirectory("trajs")
     Files.write(dir.resolve("a.traj"), "frame1 frame2".getBytes)

@@ -75,6 +75,36 @@ class UlmSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Ulm.readItems("short".getBytes))
   }
 
+  test("ULM round-trips random item sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genArrD = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+      .map(xs => VArrD(Seq(xs.size), xs.toArray))
+    val genArrL = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      .map(xs => VArrL(Seq(xs.size), xs.toArray))
+    val genItems = Gen.nonEmptyListOf(Gen.zip(genArrD, genArrL, Gen.chooseNum(-1e9, 1e9))
+      .map { case (d, l, n) => VObj(Seq("d" -> d, "l" -> l, "n" -> VNum(n))) })
+    val prop = Prop.forAll(genItems) { items =>
+      val bytes = Ulm.write("prop", items)
+      val (tag, _, back) = Ulm.readItems(bytes)
+      tag == "prop" && back.size == items.size &&
+        items.zip(back).forall { case (VObj(fs), node) =>
+          val m = fs.toMap
+          val VArrD(_, d) = m("d"): @unchecked
+          val VArrL(_, l) = m("l"): @unchecked
+          val VNum(n) = m("n"): @unchecked
+          (Ulm.ndarray(bytes, node.get("d")) match {
+            case Ulm.NdDoubles(_, dd) => dd.sameElements(d)
+            case _ => false
+          }) &&
+          (Ulm.ndarray(bytes, node.get("l")) match {
+            case Ulm.NdLongs(_, ll) => ll.sameElements(l)
+            case _ => false
+          }) && node.get("n").asDouble() == n
+        }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
+  }
+
   test("distributed S6 read: per-file records and per-frame rows") {
     val dir = Files.createTempDirectory("ulmtrajs")
     Files.write(dir.resolve("good.traj"), stableTraj)
