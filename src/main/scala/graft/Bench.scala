@@ -32,18 +32,21 @@ object Bench {
     def dict(rs: Seq[(String, Double, Boolean)]): String = rs.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(v) else "-1.0")
     }.mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false) => k }
+    // the stdout line must stay under the 2000-char tail even on a
+    // mass-failure run: cap the failures listed there (full list → file)
+    def failArr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    def line(qs: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    def line(qs: String, fs: Seq[String]) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failures":${failed.size},"queries":$qs,"failures":${failArr(fs)},"sf":"$sfDir"}"""
     // full per-query map → file; the driver reads a 2000-char stdout TAIL
     // (BENCH_r01/r02 "tail"), so the stdout line must stay well under that —
     // it carries the total plus a fixed headline subset for regression
     // tracking, one per operator family plus the known hotspots
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(dict(results)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(dict(results), failed) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = Set(
       "q1_agg", "m5_pipeline_screen", "screen_e2e_fixture",
       "d4_lsh_candidate_pairs", "d6_ngram_jaccard", "d7_dup_groups",
@@ -51,7 +54,9 @@ object Bench {
       "t1_langid", "a5_grouped_regression", "a7_grouped_exists_keep",
       "a8_group_topk", "ao1_asof_join", "j4_composite_key_left_join",
       "e2_sessionize", "g1_enumerate_explode", "pr1_parity_report")
-    println(line(dict(results.filter(r => headline(r._1) || !r._3))))
+    val failedShown = failed.take(10)
+    println(line(dict(results.filter(r => headline(r._1) || failedShown.contains(r._1))),
+      failedShown))
     spark.stop()
   }
 }

@@ -102,7 +102,9 @@ object Config {
             // .py:138-162 dependency rules): defaulting a missing bound to
             // 0.0 would silently screen the wrong pH/V window
             def req(f: String): Double = {
-              if (!v.has(f)) throw new IllegalArgumentException(
+              // hasNonNull: an explicit JSON null must be an error too, not
+              // a silent 0.0 via NullNode.asDouble()
+              if (!v.hasNonNull(f)) throw new IllegalArgumentException(
                 s"filter_by_pourbaix_stability: '$f' is required when pH_lower is given")
               v.get(f).asDouble()
             }

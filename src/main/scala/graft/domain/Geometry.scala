@@ -288,6 +288,30 @@ object Geometry {
     val d = math.abs(a - b); math.min(d, 1.0 - d)
   }
 
+  /** Whether a PERFECT bipartite matching exists under `compatible`
+    * (Kuhn's augmenting paths). Greedy first-fit can false-negative when
+    * an early source claims the only target a later source fits; the
+    * augmenting path reassigns it. Termination cells are tiny, so the
+    * O(V·E) worst case is irrelevant.
+    */
+  private def hasPerfectMatching(n: Int, compatible: (Int, Int) => Boolean): Boolean = {
+    val matchOfB = Array.fill(n)(-1)
+    def augment(a: Int, seen: Array[Boolean]): Boolean = {
+      var b = 0
+      while (b < n) {
+        if (!seen(b) && compatible(a, b)) {
+          seen(b) = true
+          if (matchOfB(b) < 0 || augment(matchOfB(b), seen)) {
+            matchOfB(b) = a; return true
+          }
+        }
+        b += 1
+      }
+      false
+    }
+    (0 until n).forall(a => augment(a, Array.fill(n)(false)))
+  }
+
   /** U16 for vacuum slabs: invertibility judged about the slab's own
     * z-center (a slab with vacuum is not z-periodic, so the bulk wrap test
     * above would call every slab non-invertible). A slab is invertible iff
@@ -305,19 +329,18 @@ object Geometry {
     def wrap(x: Double): Double = x - math.floor(x)
     // one-to-one: each image site may be claimed once, else two sources
     // collapsing onto one near-coincident target would fake a symmetry
-    def mapsUnder(dx: Double, dy: Double): Boolean = {
-      val pool = scala.collection.mutable.ArrayBuffer.from(s.sites)
-      s.sites.forall { t =>
+    // (bijection via maximum matching, not greedy — greedy false-negatives
+    // when an early site claims a later site's only target)
+    val ss = s.sites.toIndexedSeq
+    def mapsUnder(dx: Double, dy: Double): Boolean =
+      hasPerfectMatching(ss.size, (ti, oi) => {
+        val t = ss(ti); val o = ss(oi)
         val zr = 2 * zc - t.frac_coords(2)
-        val i = pool.indexWhere { o =>
-          o.element == t.element &&
-            dWrap(wrap(t.frac_coords(0) + dx), wrap(o.frac_coords(0))) < tol &&
-            dWrap(wrap(-t.frac_coords(1) + dy), wrap(o.frac_coords(1))) < tol &&
-            math.abs(o.frac_coords(2) - zr) < tol
-        }
-        i >= 0 && { pool.remove(i); true }
-      }
-    }
+        o.element == t.element &&
+          dWrap(wrap(t.frac_coords(0) + dx), wrap(o.frac_coords(0))) < tol &&
+          dWrap(wrap(-t.frac_coords(1) + dy), wrap(o.frac_coords(1))) < tol &&
+          math.abs(o.frac_coords(2) - zr) < tol
+      })
     val anchor = s.sites.head
     val zrAnchor = 2 * zc - anchor.frac_coords(2)
     s.sites.exists { cand =>
@@ -346,17 +369,19 @@ object Geometry {
     // one-to-one matching (bijection): with equal site counts, two a-sites
     // within tol of the same b-site must NOT both match it, or degenerate
     // near-coincident structures are declared equivalent and a genuinely
-    // distinct termination gets dropped by distinctTerminations
-    def matches(dx: Double, dy: Double): Boolean = {
-      val pool = scala.collection.mutable.ArrayBuffer.from(b.sites)
-      a.sites.forall { p =>
-        val i = pool.indexWhere(q => q.element == p.element &&
+    // distinct termination gets dropped by distinctTerminations. Maximum
+    // matching, not greedy first-fit: greedy can false-negative on true
+    // equivalences when an early site steals a later site's only target.
+    val as = a.sites.toIndexedSeq
+    val bs = b.sites.toIndexedSeq
+    def matches(dx: Double, dy: Double): Boolean =
+      hasPerfectMatching(as.size, (pi, qi) => {
+        val p = as(pi); val q = bs(qi)
+        q.element == p.element &&
           dWrap(wrap(p.frac_coords(0) + dx), wrap(q.frac_coords(0))) < tol &&
           dWrap(wrap(p.frac_coords(1) + dy), wrap(q.frac_coords(1))) < tol &&
-          math.abs(p.frac_coords(2) - q.frac_coords(2)) < tol)
-        i >= 0 && { pool.remove(i); true }
-      }
-    }
+          math.abs(p.frac_coords(2) - q.frac_coords(2)) < tol
+      })
     b.sites.filter(s => s.element == anchorEl &&
         math.abs(s.frac_coords(2) - anchor.frac_coords(2)) < tol)
       .exists(c => matches(c.frac_coords(0) - anchor.frac_coords(0),

@@ -64,8 +64,11 @@ object Pipeline {
   }
 
   /** Stage 1: bulk filters in user order, one observe point per filter.
-    * `diagram` feeds F9 (Pourbaix) — defaults to the fixture diagram
-    * table; a real deployment passes its own (bulk_id, pieces) table.
+    * `diagram` feeds F9 (Pourbaix) and is REQUIRED when a Pourbaix filter
+    * is configured — there is no fixture fallback here (filtering real
+    * bulks by fixture physics would silently drop everything non-fixture);
+    * `compile()` supplies the fixture diagram only when the bulks
+    * themselves are the fixture default.
     */
   def filterBulks(ds: DataFrame, filters: Seq[BulkFilter],
                   diagram: Option[DataFrame] = None): DataFrame =

@@ -210,8 +210,14 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           src: String, dst: String, maxIter: Int = 30): DataFrame = {
+    // edges referencing ids outside `nodes` are dropped up front (two
+    // one-time semi-joins): otherwise an out-of-nodes endpoint could
+    // become a component label or transitively merge in-node components
+    val nodeIds = nodes.select(col(idCol).as("id"))
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       .localCheckpoint()
     // iterate ONLY over nodes that touch an edge: everything else is its
     // own singleton component and never changes — at dedup scale that is

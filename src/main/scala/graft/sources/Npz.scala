@@ -62,7 +62,11 @@ object Npz {
       "fortran_order npy not supported")
     val shape = field("'shape'\\s*:\\s*\\(([^)]*)\\)", "shape")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-    val n = shape.product // empty shape () = scalar → product 1
+    require(shape.forall(_ >= 0), s"negative dimension in shape (${shape.mkString(",")})")
+    // long product: an Int product overflow (e.g. 65536×32768 dims) would
+    // go negative and vacuously pass the payload-bounds check below
+    val n = shape.foldLeft(1L)(_ * _.toLong) // empty shape () = scalar → 1
+    require(n <= Int.MaxValue, s"shape (${shape.mkString(",")}) exceeds ${Int.MaxValue} elements")
     val elemSize = descr match {
       case "<f8" | "<i8"            => 8L
       case "<f4" | "<i4"            => 4L
@@ -70,20 +74,21 @@ object Npz {
       case d => throw new IllegalArgumentException(s"unsupported npy dtype '$d'")
     }
     // a truncated member must be a clean hard error, not BufferUnderflow
-    require(b.length - hoff - hlen >= n.toLong * elemSize,
+    require(b.length - hoff - hlen >= n * elemSize,
       s"NPY payload holds ${b.length - hoff - hlen} bytes, " +
-        s"need ${n.toLong * elemSize} for shape (${shape.mkString(",")}) $descr")
+        s"need ${n * elemSize} for shape (${shape.mkString(",")}) $descr")
+    val nI = n.toInt
     val bb = ByteBuffer.wrap(b, hoff + hlen, b.length - hoff - hlen)
       .order(ByteOrder.LITTLE_ENDIAN)
     descr match {
-      case "<f8" => NpDoubles(shape, Array.fill(n)(bb.getDouble))
-      case "<f4" => NpDoubles(shape, Array.fill(n)(bb.getFloat.toDouble))
-      case "<i8" => NpLongs(shape, Array.fill(n)(bb.getLong))
-      case "<i4" => NpLongs(shape, Array.fill(n)(bb.getInt.toLong))
+      case "<f8" => NpDoubles(shape, Array.fill(nI)(bb.getDouble))
+      case "<f4" => NpDoubles(shape, Array.fill(nI)(bb.getFloat.toDouble))
+      case "<i8" => NpLongs(shape, Array.fill(nI)(bb.getLong))
+      case "<i4" => NpLongs(shape, Array.fill(nI)(bb.getInt.toLong))
       case u if u.startsWith("<U") =>
         // fixed-width UTF-32LE code points, NUL-padded
         val width = u.drop(2).toInt
-        NpStrings(shape, Array.fill(n) {
+        NpStrings(shape, Array.fill(nI) {
           val sb = new java.lang.StringBuilder(width)
           var i = 0
           var stop = false

@@ -112,6 +112,9 @@ object Sources {
 
   /** S6: frame-level trajectory read — one row per frame with the typed
     * structure, for downstream anomaly/energy analysis without re-parsing.
+    * Per-file fault tolerance matches [[UlmTraj.Parser]]: one corrupt file
+    * in a 10,000-trajectory corpus contributes zero rows instead of
+    * aborting the job after task retries.
     */
   def readTrajectoryFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,7 +122,9 @@ object Sources {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        UlmTraj.frames(bytes).map { f =>
+        val fs = try UlmTraj.frames(bytes)
+                 catch { case _: Exception => Seq.empty[UlmTraj.TrajFrame] }
+        fs.map { f =>
           (p, f.index, f.energy, f.numbers.size, f.tags, UlmTraj.toStructure(f))
         }
       }

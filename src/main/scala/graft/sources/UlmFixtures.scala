@@ -43,9 +43,17 @@ object UlmFixtures {
     frame(3.9, -3.25, first = true),
     frame(9.0, -1.5, first = false)))
 
-  /** Write both fixtures into a directory; returns the directory path. */
+  /** Write both fixtures into a directory; returns the directory path.
+    * Pre-existing `*.traj` files are removed first — the s6 gate query
+    * globs the directory against a hard-pinned oracle, so a stale file
+    * from an older fixture set would poison the comparison.
+    */
   def writeTo(dir: java.nio.file.Path): String = {
     java.nio.file.Files.createDirectories(dir)
+    val old = java.nio.file.Files.list(dir)
+    try old.filter(_.toString.endsWith(".traj"))
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally old.close()
     java.nio.file.Files.write(dir.resolve("stable.traj"), stable)
     java.nio.file.Files.write(dir.resolve("desorbed.traj"), desorbed)
     dir.toString
