@@ -112,4 +112,41 @@ object StreamOps {
           }
       }
   }
+
+  case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
+
+  /** Per-key streaming quota — the streaming twin of `t9_domain_quota`:
+    * admit at most `k` events per key, each tagged with its admission
+    * rank; everything past the cap is dropped. State is ONE counter per
+    * key, and an event-time timeout expires idle counters (quota resets
+    * after `ttl` of key inactivity) so an unbounded key space cannot grow
+    * state forever — the state-bound discipline every production
+    * rate-cap/stratified-sampling stream needs.
+    */
+  def quota(spark: SparkSession, events: Dataset[Evt], k: Int = 10,
+            watermarkDelay: String = "1 minute",
+            ttlMs: Long = 2L * 3600 * 1000): Dataset[QuotaOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.getOrElse(0)
+            val out = Seq.newBuilder[QuotaOut]
+            var maxTsMs = Long.MinValue
+            // deterministic admission under intra-batch disorder
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              maxTsMs = math.max(maxTsMs, e.ts.getTime)
+              if (n < k) { n += 1; out += QuotaOut(e.event_id, user, n) }
+            }
+            state.update(n)
+            if (maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTsMs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -165,4 +165,32 @@ class StreamingSpec extends SparkTestBase {
       assert(done.contains((1L, 2)), s"final session not flushed: ${done.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming quota admits k per key across batches, then drops") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    ms.addData(
+      StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(1), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(1), 2, "view", 1.0))
+    val q = StreamOps.quota(spark, ms.toDS(), k = 2)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: user 1 is already at its cap, user 2 admits one more
+      ms.addData(
+        StreamOps.Evt(4, ts(2), 1, "click", 1.0),
+        StreamOps.Evt(5, ts(2), 2, "view", 1.0),
+        StreamOps.Evt(6, ts(3), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("quota_out")
+        .select("event_id", "user_id", "quota_rank")
+        .as[(Long, Long, Int)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L),
+        s"admissions wrong: ${rows.toSeq}")
+      assert(rows.collect { case (_, 1L, r) => r }.toSeq == Seq(1, 2))
+      assert(rows.collect { case (_, 2L, r) => r }.toSeq == Seq(1, 2))
+    } finally q.stop()
+  }
 }
