@@ -57,6 +57,17 @@ object AsOfJoin {
     carried.filter(col("__tag") === 1)
       .drop((Seq("__t", "__tag") ++ carry.map(c => s"__c_${c._1}")): _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * rightTime ≥ leftTime within the key — the backward machinery on
+    * negated times (max(−t_r) under −t_r ≤ −t_l ⇔ min(t_r) under
+    * t_r ≥ t_l), so it inherits the one-shuffle union-scan plan and the
+    * simultaneous-match tie rule. Numeric time columns only.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                      leftTime: Column, rightTime: Column,
+                      carry: Seq[(String, Column)]): DataFrame =
+    asofJoin(left, right, key, negate(leftTime), negate(rightTime), carry)
 }
 
 /** Skew-aware aggregation (SURVEY §7.4 #5: post-fan-out hot keys).

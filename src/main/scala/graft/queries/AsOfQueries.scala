@@ -27,6 +27,20 @@ object AsOfQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Forward variant: the user's NEXT click at or after each error.
+    "ao3_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.asofJoinForward(errors, clicks, Seq("user_id"),
+          col("ets"), col("cts"), Seq("click_id" -> col("click_id")))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -48,6 +62,17 @@ object AsOfQueries extends QueryPack {
          SELECT e.event_id, e.user_id, c.click_id
          FROM err e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ets >= c.cts
+         ORDER BY e.event_id""",
+    "ao3_asof_forward" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM err e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ets <= c.cts
          ORDER BY e.event_id""",
     "ao2_salted_agg" ->
       """SELECT l_returnflag,

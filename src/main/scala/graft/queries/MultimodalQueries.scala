@@ -31,6 +31,14 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("meta.kind").as("kind"),
           size(MediaOps.sampleFrameIndices(col("meta"), 3)).as("n_sampled"))
         .orderBy("media_id")),
+
+    "mm3_resize_meta" -> ((s, d) =>
+      MediaOps.withResizedMeta(
+          MediaOps.mediaFromDocuments(Tables.documents(s, d)), 64, 48)
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nFrames").as("n_frames"))
+        .orderBy("media_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +57,12 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
                 CAST((n_chars % 30) // 3 + 1 AS INT) AS n_sampled
+         FROM documents ORDER BY media_id""",
+    "mm3_resize_meta" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+                CAST(n_chars % 30 + 1 AS INT) AS n_frames
          FROM documents ORDER BY media_id""",
   )
 }

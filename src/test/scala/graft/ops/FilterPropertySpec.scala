@@ -134,6 +134,31 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
   }
 
+  test("asofJoinForward agrees with the O(n^2) reference on random inputs") {
+    val genLeft = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    val genRight = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    val prop = Prop.forAll(genLeft, genRight) { (l, r) =>
+      val left = l.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = r.distinct
+        .groupBy { case (k, t) => (k, t) }.map(_._2.head)
+        .zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }.toSeq
+      val lDf = left.toDF("lid", "k", "lt")
+      val rDf = right.toDF("rid", "k", "rt")
+      val got = AsOfJoin.asofJoinForward(lDf, rDf, Seq("k"), col("lt"), col("rt"),
+        Seq("matched_rid" -> col("rid")))
+        .select("lid", "matched_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      val ref = left.map { case (lid, k, lt) =>
+        val cands = right.filter { case (_, rk, rt) => rk == k && rt >= lt }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy { case (rid, _, rt) => (rt, -rid) }._1))
+      }.toMap
+      got == ref
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
   test("connectedComponents agrees with in-memory union-find on random graphs") {
     val genEdges = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
     val prop = Prop.forAll(genEdges) { es =>
