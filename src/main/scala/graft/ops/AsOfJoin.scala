@@ -36,8 +36,12 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asofJoin carry names collide with left/key columns: ${clash.mkString(", ")}")
     val payloadCols = left.columns.filterNot(key.contains).toSeq
+    // NULL right times sort FIRST under ascending (__t, __tag) and would be
+    // carried into every otherwise-unmatched left row; DuckDB ASOF never
+    // matches NULL times, so drop them (a NULL left time then matches
+    // nothing and yields null carries, same as the oracle)
     val tagged =
-      right.select(
+      right.filter(rightTime.isNotNull).select(
         key.map(col) ++
           Seq(rightTime.as("__t"), lit(0).as("__tag")) ++
           carry.map { case (n, c) => c.as(s"__c_$n") }: _*)

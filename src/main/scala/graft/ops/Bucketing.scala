@@ -15,7 +15,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket key first (same Murmur3 hash as the bucket
+    // assignment) → exactly ONE file per bucket. With multiple files per
+    // bucket Spark cannot trust per-bucket sortedness and re-inserts a
+    // Sort above the scan (with spark.sql.legacy.bucketedTableScan
+    // .outputOrdering=true and single-file buckets, the join is both
+    // exchange-free AND sort-free — BucketingSpec pins both).
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)

@@ -20,6 +20,23 @@ class AsOfSpec extends SparkTestBase {
     assert(out("d").contains(50.0))   // equal time matches (>= semantics)
   }
 
+  test("null right times never match (DuckDB ASOF semantics)") {
+    val quotes = Seq((1L, Option.empty[Long], 99.0), (1L, Some(10L), 100.0))
+      .toDF("k", "qt", "price")
+    val trades = Seq((1L, 5L, "early"), (1L, 15L, "late")).toDF("k", "tt", "trade")
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("k"),
+      col("tt"), col("qt"), Seq("price" -> col("price")))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    // the null-time quote must not be carried into the unmatched early row
+    assert(out("early").isEmpty)
+    assert(out("late").contains(100.0))
+    val fwd = AsOfJoin.asofJoinForward(trades, quotes, Seq("k"),
+      col("tt"), col("qt"), Seq("price" -> col("price")))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(fwd("early").contains(100.0))
+    assert(fwd("late").isEmpty)
+  }
+
   test("as-of join uses one shuffle on the key (no range explosion)") {
     val quotes = Seq((1L, 10L, 1.0)).toDF("k", "qt", "price")
     val trades = Seq((1L, 15L, "a")).toDF("k", "tt", "trade")

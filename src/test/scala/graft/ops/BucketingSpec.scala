@@ -27,16 +27,26 @@ class BucketingSpec extends SparkTestBase {
     // planner takes it
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one file per bucket (writeBucketed repartitions) + this conf → the
+    // scan reports its sort order too, so the SMJ needs neither Exchange
+    // nor Sort (the conf is off by default since 3.0 because multi-file
+    // buckets interleave)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
       val joined = Bucketing.colocatedJoin(spark, "bkt_a", "bkt_b", "k")
-      assert(joined.count() == 500)
+      // collect() executes THIS dataset's QueryExecution (count() would
+      // build a different one and leave this plan unexecuted)
+      assert(joined.collect().length == 500)
       val plan = joined.queryExecution.executedPlan.toString
       val exchanges = plan.split("\n").count(l =>
         l.contains("Exchange") && !l.contains("Reused"))
       assert(exchanges == 0, s"bucketed join must not shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(!plan.linesIterator.exists(_.trim.matches("[:+]- Sort \\[.*")),
+        s"single-file buckets + outputOrdering must not re-sort:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }

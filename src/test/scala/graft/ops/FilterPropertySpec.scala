@@ -141,8 +141,7 @@ class OperatorPropertySpec extends SparkTestBase {
       val left = l.distinct.zipWithIndex
         .map { case ((k, t), i) => (i.toLong, k, t) }
       val right = r.distinct
-        .groupBy { case (k, t) => (k, t) }.map(_._2.head)
-        .zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }.toSeq
+        .zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
       val lDf = left.toDF("lid", "k", "lt")
       val rDf = right.toDF("rid", "k", "rt")
       val got = AsOfJoin.asofJoinForward(lDf, rDf, Seq("k"), col("lt"), col("rt"),
