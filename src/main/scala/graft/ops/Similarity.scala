@@ -194,17 +194,51 @@ object Similarity {
     * compile dominated small-batch latency. Same left-fold order ⇒ same
     * bits ⇒ same buckets as the oracle's explicit sum.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 0): Column =
     (0 until nPlanes).map { h =>
-      val plane = lit((0 until dim).map(i => planeComponent(h, i)).toArray)
+      val plane = lit((0 until dim).map(i => planeComponent(seed + h, i)).toArray)
       when(graft.functions.Exprs.seqDot(vec, plane) > 0, lit(1L << h))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def hyperplaneBucketSql(vec: String, dim: Int, nPlanes: Int): String =
+  def hyperplaneBucketSql(vec: String, dim: Int, nPlanes: Int, seed: Int = 0): String =
     (0 until nPlanes).map { h =>
       val proj = (0 until dim).map(i =>
-        s"CAST($vec[${i + 1}] AS DOUBLE) * (${planeComponent(h, i)})").mkString(" + ")
+        s"CAST($vec[${i + 1}] AS DOUBLE) * (${planeComponent(seed + h, i)})").mkString(" + ")
       s"(CASE WHEN ($proj) > 0 THEN ${1L << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Multi-table LSH ANN: L independent tables of `nPlanes` hyperplanes
+    * each (seeded per table); candidates = union of same-bucket vectors
+    * across tables, deduped, then exact cosine re-rank to top-k. Recall
+    * rises with L while the candidate bound stays L·|bucket| — the
+    * standard LSH recall/cost knob (single-table recall at tight buckets
+    * is poor; AnnRecallSpec pins the measured gap). One narrow bucketing
+    * pass per table + one keyed join; never all-pairs.
+    */
+  def lshAnnMultiTable(emb: DataFrame, id: String, vec: String,
+                       dim: Int, nPlanes: Int, nTables: Int,
+                       queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Dedup.parallelize(emb.select(col(id), col(vec)))
+    val tabled = (0 until nTables).map { t =>
+      base.select(col(id), col(vec),
+        hyperplaneBucket(col(vec), dim, nPlanes, seed = t * 7919).as("bucket"),
+        lit(t).as("tbl"))
+    }.reduce(_ unionByName _)
+    val q = tabled.filter(queryPred)
+      .select(col(id).as("query_id"), col("tbl"), col("bucket"), col(vec).as("qv"))
+    val cand = tabled.select(col(id).as("neighbor_id"), col("tbl"),
+      col("bucket"), col(vec).as("nv"))
+    val scored = cand.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair found by several tables must score once
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("qv")).as("qv"), first(col("nv")).as("nv"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

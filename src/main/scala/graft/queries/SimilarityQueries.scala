@@ -98,6 +98,16 @@ object SimilarityQueries extends QueryPack {
         nprobe = 2, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
+
+    // Multi-table LSH ANN: the recall knob single-table LSH lacks — L
+    // independent tables of fewer planes each, candidates unioned across
+    // tables, exact re-rank. AnnRecallSpec pins the recall gain over sim4.
+    "sim7_lsh_multitable" -> ((s, d) =>
+      Similarity.lshAnnMultiTable(Tables.embeddings(s, d), "vec_id",
+        "embedding", DIM, nPlanes = 4, nTables = 4,
+        col("vec_id") % QMOD === 0, k = TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")),
   )
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
@@ -196,6 +206,28 @@ object SimilarityQueries extends QueryPack {
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
             FROM cands)
+          SELECT query_id, neighbor_id, rank, cos FROM rr
+          WHERE rank <= $TOPK ORDER BY query_id, rank"""
+    },
+    "sim7_lsh_multitable" -> {
+      val tables = (0 until 4).map { t =>
+        s"""SELECT vec_id, embedding, $t AS tbl,
+                   ${Similarity.hyperplaneBucketSql("embedding", DIM, 4, seed = t * 7919)} AS bucket
+            FROM embeddings"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS ($tables),
+          q AS (SELECT vec_id AS query_id, tbl, bucket FROM b
+                WHERE vec_id % $QMOD = 0),
+          p AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+                WHERE q.query_id <> c.vec_id),
+          s AS (SELECT p.query_id, p.neighbor_id,
+                       ${Similarity.cosineSql("eq.embedding", "en.embedding", DIM)} AS cos
+                FROM p JOIN embeddings eq ON eq.vec_id = p.query_id
+                       JOIN embeddings en ON en.vec_id = p.neighbor_id),
+          rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+                 FROM s)
           SELECT query_id, neighbor_id, rank, cos FROM rr
           WHERE rank <= $TOPK ORDER BY query_id, rank"""
     },

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** ANN QUALITY evidence (not just plumbing correctness): recall@k of each
+  * approximate path against the exact brute-force baseline on the real
+  * sf0.001 embeddings. The single-table LSH path (sim4: 6 planes = 64
+  * buckets) is recall-starved by design — it exists as the tight-bucket
+  * candidate bound; the multi-table path (sim7: 4 tables × 4 planes) is
+  * the recall knob. Thresholds pin measured values with margin so a
+  * regression in bucketing/probing logic (not noise — everything here is
+  * deterministic) fails loudly.
+  */
+class AnnRecallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def neighborSets(q: String): Map[Long, Set[Long]] =
+    graft.SparkEntry.queries(q)(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  private def recall(exact: Map[Long, Set[Long]],
+                     approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  test("multi-table LSH recovers the recall single-table LSH gives up") {
+    val exact = neighborSets("sim1_bruteforce_topk")
+    assert(exact.nonEmpty)
+    val single = recall(exact, neighborSets("sim4_lsh_ann_topk"))
+    val multi = recall(exact, neighborSets("sim7_lsh_multitable"))
+    val ivf = recall(exact, neighborSets("sim5_ivf_ann_topk"))
+    // measured on this corpus: single = 0.12, multi = 0.48, ivf = 0.50
+    assert(multi > single + 0.2,
+      f"multi-table LSH must clearly beat single-table: multi=$multi%.3f single=$single%.3f")
+    assert(ivf >= 0.4, f"IVF nprobe=2 recall regressed: $ivf%.3f")
+  }
+}
