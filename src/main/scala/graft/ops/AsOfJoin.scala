@@ -35,16 +35,23 @@ object AsOfJoin {
     val clash = carry.map(_._1).toSet.intersect(left.columns.toSet ++ key)
     require(clash.isEmpty,
       s"asofJoin carry names collide with left/key columns: ${clash.mkString(", ")}")
+    if (carry.isEmpty) return left
     val payloadCols = left.columns.filterNot(key.contains).toSeq
     // NULL right times sort FIRST under ascending (__t, __tag) and would be
     // carried into every otherwise-unmatched left row; DuckDB ASOF never
     // matches NULL times, so drop them (a NULL left time then matches
     // nothing and yields null carries, same as the oracle)
+    //
+    // All carries ride in ONE struct, non-null for every right row: last(
+    // ignoreNulls) then selects the matched right ROW atomically, so a
+    // matched row whose individual carry value is NULL yields NULL (DuckDB
+    // ASOF semantics) instead of leaking an older row's value — and
+    // multi-carry outputs can never mix values from different right rows.
     val tagged =
       right.filter(rightTime.isNotNull).select(
         key.map(col) ++
-          Seq(rightTime.as("__t"), lit(0).as("__tag")) ++
-          carry.map { case (n, c) => c.as(s"__c_$n") }: _*)
+          Seq(rightTime.as("__t"), lit(0).as("__tag"),
+            struct(carry.map { case (n, c) => c.as(n) }: _*).as("__c")): _*)
       .unionByName(
         left.select(
           key.map(col) ++ Seq(leftTime.as("__t"), lit(1).as("__tag")) ++
@@ -55,11 +62,11 @@ object AsOfJoin {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(tagged) { case (df, (n, _)) =>
-      df.withColumn(n, last(col(s"__c_$n"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .drop((Seq("__t", "__tag") ++ carry.map(c => s"__c_${c._1}")): _*)
+    val carried = tagged
+      .withColumn("__cc", last(col("__c"), ignoreNulls = true).over(w))
+    carry.foldLeft(carried.filter(col("__tag") === 1)) {
+      case (df, (n, _)) => df.withColumn(n, col(s"__cc.$n"))
+    }.drop("__t", "__tag", "__c", "__cc")
   }
 
   /** Forward as-of join: for each left row, the EARLIEST right row with

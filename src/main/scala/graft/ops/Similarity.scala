@@ -221,14 +221,16 @@ object Similarity {
                        queryPred: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Dedup.parallelize(emb.select(col(id), col(vec)))
-    val tabled = (0 until nTables).map { t =>
-      base.select(col(id), col(vec),
+    def bucketed(df: DataFrame): DataFrame = (0 until nTables).map { t =>
+      df.select(col(id), col(vec),
         hyperplaneBucket(col(vec), dim, nPlanes, seed = t * 7919).as("bucket"),
         lit(t).as("tbl"))
     }.reduce(_ unionByName _)
-    val q = tabled.filter(queryPred)
+    // bucket the full corpus ONCE (candidate side); the query side filters
+    // FIRST, so its projections run over |Q| rows, not a second full pass
+    val q = bucketed(base.filter(queryPred))
       .select(col(id).as("query_id"), col("tbl"), col("bucket"), col(vec).as("qv"))
-    val cand = tabled.select(col(id).as("neighbor_id"), col("tbl"),
+    val cand = bucketed(base).select(col(id).as("neighbor_id"), col("tbl"),
       col("bucket"), col(vec).as("nv"))
     val scored = cand.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -114,14 +114,18 @@ object StreamOps {
   }
 
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
+  case class QuotaState(n: Int, lastTsMs: Long)
 
   /** Per-key streaming quota — the streaming twin of `t9_domain_quota`:
     * admit at most `k` events per key, each tagged with its admission
-    * rank; everything past the cap is dropped. State is ONE counter per
-    * key, and an event-time timeout expires idle counters (quota resets
-    * after `ttl` of key inactivity) so an unbounded key space cannot grow
-    * state forever — the state-bound discipline every production
-    * rate-cap/stratified-sampling stream needs.
+    * rank; everything past the cap is dropped. State is one (counter,
+    * latest-event-time) pair per key, and an event-time timeout expires
+    * idle counters (quota resets after `ttl` of key inactivity) so an
+    * unbounded key space cannot grow state forever — the state-bound
+    * discipline every production rate-cap/stratified-sampling stream
+    * needs. The persisted latest-event-time keeps a late (but
+    * watermark-valid) batch from rewinding the timeout below the key's
+    * true latest activity.
     */
   def quota(spark: SparkSession, events: Dataset[Evt], k: Int = 10,
             watermarkDelay: String = "1 minute",
@@ -129,22 +133,27 @@ object StreamOps {
     import spark.implicits._
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Int, QuotaOut](
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[Evt], state: GroupState[Int]) =>
+        (user: Long, rows: Iterator[Evt], state: GroupState[QuotaState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var n = state.getOption.getOrElse(0)
+            val st = state.getOption.getOrElse(QuotaState(0, Long.MinValue))
+            var n = st.n
+            var lastTs = st.lastTsMs
             val out = Seq.newBuilder[QuotaOut]
-            var maxTsMs = Long.MinValue
             // deterministic admission under intra-batch disorder
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              maxTsMs = math.max(maxTsMs, e.ts.getTime)
+              lastTs = math.max(lastTs, e.ts.getTime)
               if (n < k) { n += 1; out += QuotaOut(e.event_id, user, n) }
             }
-            state.update(n)
-            if (maxTsMs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTsMs + ttlMs)
+            state.update(QuotaState(n, lastTs))
+            if (lastTs != Long.MinValue)
+              // clamp: a ttl shorter than the watermark delay would target
+              // a timestamp at/below the current watermark, which
+              // setTimeoutTimestamp rejects (killing the query)
+              state.setTimeoutTimestamp(
+                math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

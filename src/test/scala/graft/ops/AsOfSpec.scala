@@ -37,6 +37,21 @@ class AsOfSpec extends SparkTestBase {
     assert(fwd("late").isEmpty)
   }
 
+  test("a matched right row's NULL carry stays NULL (no older-row leak)") {
+    val quotes = Seq((1L, 5L, Some(50.0), "x"), (1L, 10L, Option.empty[Double], "y"))
+      .toDF("k", "qt", "price", "src")
+    val trades = Seq((1L, 15L, "a"), (1L, 7L, "b")).toDF("k", "tt", "trade")
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("k"),
+      col("tt"), col("qt"), Seq("price" -> col("price"), "src" -> col("src")))
+      .select("trade", "price", "src")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // t=15 matches quote@10: its price is NULL and must STAY null; both
+    // carries must come from the same (t=10) row — no (50.0, "y") mixing
+    assert(out("a") == ((None, Some("y"))))
+    assert(out("b") == ((Some(50.0), Some("x"))))
+  }
+
   test("as-of join uses one shuffle on the key (no range explosion)") {
     val quotes = Seq((1L, 10L, 1.0)).toDF("k", "qt", "price")
     val trades = Seq((1L, 15L, "a")).toDF("k", "tt", "trade")
