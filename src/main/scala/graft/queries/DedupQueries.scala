@@ -55,6 +55,22 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Dedup APPLY: the corpus rewrite that dedup exists for — keep each
+    // group's canonical (minimum-id) member, drop the rest, and audit how
+    // many near-dups each survivor absorbed. Same CC labels as d7 plus one
+    // keyed join; no broadcast (survivors ≈ corpus size at scale).
+    "d8_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+      val sizes = Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).cast("int").as("group_size"))
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(sizes, col("doc_id") === col("component"))
+        .drop("component")
+        .orderBy("doc_id")
+    }),
+
     "d5_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS)
         .orderBy("doc_id")),
@@ -103,7 +119,7 @@ object DedupQueries extends QueryPack {
     * node = component representative (gate-scale only; the Spark side is
     * the scalable iterative form).
     */
-  private def dupGroupsSql: String = {
+  private def componentCte: String = {
     val keys = (0 until BANDS).map { b =>
       StableHash.bandKeySql((0 until ROWS).map(r => s"sig${b * ROWS + r}"))
     }.mkString("[", ", ", "]")
@@ -118,10 +134,22 @@ object DedupQueries extends QueryPack {
                   UNION ALL SELECT id2, id1 FROM pairs),
         reach AS (SELECT doc_id AS s, doc_id AS t FROM documents
                   UNION
-                  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
-        SELECT s AS doc_id, min(t) AS component
-        FROM reach GROUP BY s ORDER BY doc_id"""
+                  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        comp AS (SELECT s AS doc_id, min(t) AS component
+                 FROM reach GROUP BY s)"""
   }
+
+  private def dupGroupsSql: String =
+    s"""$componentCte
+        SELECT doc_id, component FROM comp ORDER BY doc_id"""
+
+  private def dedupApplySql: String =
+    s"""$componentCte,
+        sz AS (SELECT component, CAST(count(*) AS INT) AS group_size
+               FROM comp GROUP BY component)
+        SELECT d.doc_id, d.source, d.n_chars, sz.group_size
+        FROM sz JOIN documents d ON d.doc_id = sz.component
+        ORDER BY doc_id"""
 
   private def simhashSql: String = {
     val bitSums = (0 until BITS).map(j =>
@@ -161,6 +189,7 @@ object DedupQueries extends QueryPack {
     "d3_minhash_signatures" -> minhashSql,
     "d4_lsh_candidate_pairs" -> lshSql,
     "d7_dup_groups" -> dupGroupsSql,
+    "d8_dedup_apply" -> dedupApplySql,
     "d5_simhash" -> simhashSql,
     "d6_ngram_jaccard" -> jaccardSql,
   )

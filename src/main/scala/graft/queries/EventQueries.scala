@@ -52,6 +52,20 @@ object EventQueries extends QueryPack {
     // µs integer arithmetic end-to-end (oracle discipline); the equi-key
     // on user_id keeps the range condition a post-join filter on a hash
     // join, never a cartesian.
+    // Stream–static enrichment (batch twin of StreamOps.enrich): every
+    // event picks up its user's dim attributes via a BROADCAST join — the
+    // one join shape that is shuffle-free on the 100-TB fact side and, in
+    // the streaming form, needs no watermark (static side re-broadcast per
+    // micro-batch).
+    "e7_stream_static_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").as("nation_key"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .join(broadcast(dim), Seq("user_id"))
+        .orderBy("event_id")
+    }),
+
     "e6_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val err = ev.filter(col("event_type") === "error")
@@ -111,6 +125,11 @@ object EventQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+                c.c_mktsegment AS segment, c.c_nationkey AS nation_key
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY event_id""",
     "e6_interval_join" ->
       s"""WITH err AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS ets_us
                        FROM events WHERE event_type = 'error'),

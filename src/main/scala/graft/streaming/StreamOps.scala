@@ -28,6 +28,14 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream–static enrichment: each event joined to a static dim table on
+    * `key`. Stateless — no watermark needed (nothing is buffered); the
+    * static side is broadcast, so the unbounded fact stream never
+    * shuffles. Batch twin: `e7_stream_static_enrich`.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
+    events.join(broadcast(dim), key)
+
   /** Streaming dedup on event_id within the watermark horizon
     * (dropDuplicates — the streaming form of [[graft.ops.Dedup.keepFirst]]).
     */

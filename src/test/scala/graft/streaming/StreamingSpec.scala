@@ -36,6 +36,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins dim attributes without a watermark") {
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(1, ts(0), 10, "click", 1.0),
+      StreamOps.Evt(2, ts(1), 11, "view", 2.0),
+      StreamOps.Evt(3, ts(2), 99, "click", 3.0))) // no dim row → dropped
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY")).toDF("user_id", "segment")
+    val q = StreamOps.enrich(ms.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("event_id", "segment").as[(Long, String)].collect().toMap
+      assert(rows == Map(1L -> "BUILDING", 2L -> "MACHINERY"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids") {
     val ms = mkEvents(Seq(
       StreamOps.Evt(7, ts(0), 1, "click", 1.0),
