@@ -234,11 +234,14 @@ object Similarity {
       col("bucket"), col(vec).as("nv"))
     val scored = cand.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // a pair found by several tables must score once
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("qv")).as("qv"), first(col("nv")).as("nv"))
+      // score BEFORE the pair-dedup shuffle: a pair found by L' tables
+      // computes its (identical) cosine L' times — a few SeqDot flops —
+      // but the exchange then carries one double per pair instead of two
+      // dim-float vectors, which is what dominates at corpus scale
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
