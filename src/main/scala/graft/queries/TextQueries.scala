@@ -153,6 +153,26 @@ object TextQueries extends QueryPack {
         .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     }),
+
+    // Corpus-statistics scoring (the CCNet-perplexity SHAPE, integer-exact:
+    // no log/float model): pass 1 aggregates global per-token document
+    // frequency; pass 2 joins the stats back and scores each doc by the
+    // mean DF of its tokens — low score = doc built from rare terms. The
+    // vocabulary table is broadcast (vocabularies stay ≤ millions of rows
+    // even at 100 TB; were that to break, the join degrades gracefully to
+    // a shuffle on the token key).
+    "t12_term_df_score" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val dfreq = tok.groupBy("tk").agg(countDistinct("doc_id").as("df"))
+      tok.join(broadcast(dfreq), Seq("tk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("df_sum"),
+          (col("df_sum").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_df"))
+        .orderBy("doc_id")
+    }),
   )
 
   private def langidSql: String = {
@@ -305,5 +325,14 @@ object TextQueries extends QueryPack {
                   AND (stop_count >= 2)) AS keep
           FROM c ORDER BY doc_id"""
     },
+    "t12_term_df_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                      FROM documents),
+          dfreq AS (SELECT tk, count(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+          j AS (SELECT t.doc_id, d.df FROM tok t JOIN dfreq d USING (tk))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(df) AS BIGINT) AS df_sum,
+                 CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
   )
 }
