@@ -114,6 +114,17 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
+
+  test("d8 apply: one canonical survivor per d7 component, sizes partition the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val comps = graft.SparkEntry.queries("d7_dup_groups")(spark, sf)
+      .select("component").distinct().as[Long].collect().toSet
+    val d8 = graft.SparkEntry.queries("d8_dedup_apply")(spark, sf)
+    val survivors = d8.select("doc_id").as[Long].collect().toSet
+    assert(survivors == comps) // survivor ⇔ component representative
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(d8.agg(sum("group_size")).as[Long].head() == nDocs) // no doc lost or double-counted
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
