@@ -210,16 +210,11 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           src: String, dst: String, maxIter: Int = 30): DataFrame = {
-    // localCheckpoint blocks stay cached until explicitly unpersisted; a
-    // long-running session (Bench runs 100+ queries in one JVM) would
-    // accumulate every round's blocks and degrade under memory pressure.
-    // Track each checkpoint's backing RDD and free superseded ones — only
-    // the FINAL (edge-touched-nodes-sized) label table stays cached for
-    // the caller's lazy join.
-    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
+    // checkpoint lifecycle ([[Blocks]]): a long-running session (Bench
+    // runs 100+ queries in one JVM) would accumulate every round's blocks
+    // and degrade under memory pressure — free superseded ones; only the
+    // FINAL (edge-touched-nodes-sized) label table stays cached for the
+    // caller's lazy join.
     // edges referencing ids outside `nodes` are dropped up front (two
     // one-time semi-joins): otherwise an out-of-nodes endpoint could
     // become a component label or transitively merge in-node components
@@ -269,11 +264,11 @@ object Dedup {
           .otherwise(0L)).as("changed"))
         .localCheckpoint()
       done = Option(obs.get("changed")).collect { case l: Long => l }.getOrElse(0L) == 0L
-      backingRdd(labels).foreach(_.unpersist()) // superseded by `next`
+      Blocks.unpersist(labels) // superseded by `next`
       labels = next.drop("__old")
       iter += 1
     }
-    backingRdd(sym).foreach(_.unpersist()) // only used inside the loop
+    Blocks.unpersist(sym) // only used inside the loop
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     // edgeless nodes re-enter as their own component
     nodes.select(col(idCol).as("id"))

@@ -144,11 +144,13 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val flat = kmeansStepFrom(emb, id, vec, cent)
-      cent = flat.groupBy("cid")
+      val next = flat.groupBy("cid")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mean_v")))),
           x => x.getField("mean_v")).as("cv"))
         .localCheckpoint()
+      Blocks.unpersist(cent) // superseded once `next` is materialized
+      cent = next
     }
     cent
   }
