@@ -75,6 +75,18 @@ object DedupQueries extends QueryPack {
       Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS)
         .orderBy("doc_id")),
 
+    // Fingerprint-keyed ingest dedup: content-defined (simhash) key, keep
+    // the earliest doc per fingerprint — the batch form of dropDuplicates
+    // on a computed content hash at ingest (98/500 docs collide at
+    // sf0.01). One shuffle on the fingerprint; the streaming twin is
+    // StreamOps.dedup's dropDuplicates shape on the same key.
+    "d9_fingerprint_dedup" -> ((s, d) =>
+      Dedup.keepFirst(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS),
+        Seq("simhash"), Seq(col("doc_id")))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+
     "d6_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", col("text"), K,
         Some(col("source")))
@@ -164,6 +176,22 @@ object DedupQueries extends QueryPack {
         SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id"""
   }
 
+  private def fingerprintDedupSql: String = {
+    val bitSums = (0 until BITS).map(j =>
+      s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
+      .mkString(",\n               ")
+    val fp = (0 until BITS).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
+        s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+        f AS (SELECT doc_id, $fp AS simhash FROM s)
+        SELECT doc_id, simhash FROM f
+        QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1
+        ORDER BY doc_id"""
+  }
+
   private def jaccardSql: String =
     s"""$hashCte,
         z AS (SELECT doc_id, source, len(hs) AS nsh, unnest(hs) AS shingle FROM h)
@@ -191,6 +219,7 @@ object DedupQueries extends QueryPack {
     "d7_dup_groups" -> dupGroupsSql,
     "d8_dedup_apply" -> dedupApplySql,
     "d5_simhash" -> simhashSql,
+    "d9_fingerprint_dedup" -> fingerprintDedupSql,
     "d6_ngram_jaccard" -> jaccardSql,
   )
 }
