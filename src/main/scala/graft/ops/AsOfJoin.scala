@@ -31,10 +31,13 @@ object AsOfJoin {
                leftTime: Column, rightTime: Column,
                carry: Seq[(String, Column)]): DataFrame = {
     // a carry name equal to a left column would silently overwrite left
-    // payload via withColumn — fail loudly instead
-    val clash = carry.map(_._1).toSet.intersect(left.columns.toSet ++ key)
+    // payload via withColumn — and one equal to an internal scratch column
+    // would be extracted then dropped — fail loudly on both
+    val internal = Set("__t", "__tag", "__c", "__cc")
+    val clash = carry.map(_._1).toSet
+      .intersect(left.columns.toSet ++ key ++ internal)
     require(clash.isEmpty,
-      s"asofJoin carry names collide with left/key columns: ${clash.mkString(", ")}")
+      s"asofJoin carry names collide with left/key/internal columns: ${clash.mkString(", ")}")
     if (carry.isEmpty) return left
     val payloadCols = left.columns.filterNot(key.contains).toSeq
     // NULL right times sort FIRST under ascending (__t, __tag) and would be

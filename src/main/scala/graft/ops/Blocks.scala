@@ -17,9 +17,20 @@ private[graft] object Blocks {
 
   /** Free the checkpoint blocks backing `df` (no-op for un-checkpointed
     * frames). Non-blocking: eviction proceeds asynchronously.
+    *
+    * `df` must be a checkpoint ROOT (the checkpointed frame itself, or a
+    * narrow projection over exactly one) — on a frame that merely
+    * references several checkpointed inputs, freeing "the first one found"
+    * could destroy unrecomputable data a still-live sibling plan needs
+    * (localCheckpoint truncates lineage; there is nothing to recompute
+    * from). Enforced, not just documented.
     */
-  def unpersist(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
+  def unpersist(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
       case lr: LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }
+    require(rdds.size <= 1,
+      s"Blocks.unpersist expects a checkpoint root; found ${rdds.size} checkpointed inputs")
+    rdds.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -235,41 +235,47 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("b"), col("component").as("nc")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nc")).as("min_nbr"))
-        .withColumnRenamed("a", "id")
-      // carry the previous label through the SAME frame: the convergence
-      // check reads the checkpointed result instead of re-joining old labels
-      // (halves the per-round job count — rounds are the cost of iterative CC)
-      val hooked = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("__old"),
-          least(col("component"),
-            coalesce(col("min_nbr"), col("component"))).as("component"))
-      // pointer jump: component ← label(component), joined against the
-      // PREVIOUS round's already-materialized labels (no extra checkpoint).
-      // Every label is itself a node id whose own label is connected to it,
-      // so the composed label stays within the component; reach r+1 (hook)
-      // composed with reach r (labels) ≈ doubles per round → O(log d).
-      // the convergence check rides the checkpoint materialization as an
-      // observed metric — no separate job per round
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = hooked.join(
-          labels.select(col("id").as("component"), col("component").as("__jump")),
-          Seq("component"), "left")
-        .select(col("id"), col("__old"),
-          coalesce(col("__jump"), col("component")).as("component"))
-        .observe(obs, sum(when(col("component") < col("__old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .localCheckpoint()
-      done = Option(obs.get("changed")).collect { case l: Long => l }.getOrElse(0L) == 0L
-      Blocks.unpersist(labels) // superseded by `next`
-      labels = next.drop("__old")
-      iter += 1
-    }
-    Blocks.unpersist(sym) // only used inside the loop
-    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // exception safety: a mid-loop failure (task error, non-convergence)
+    // must not strand the accumulated blocks in a long-lived session —
+    // free the live label table on ANY abnormal exit, sym on every exit
+    try {
+      while (!done && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("b"), col("component").as("nc")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("nc")).as("min_nbr"))
+          .withColumnRenamed("a", "id")
+        // carry the previous label through the SAME frame: the convergence
+        // check reads the checkpointed result instead of re-joining old labels
+        // (halves the per-round job count — rounds are the cost of iterative CC)
+        val hooked = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("component").as("__old"),
+            least(col("component"),
+              coalesce(col("min_nbr"), col("component"))).as("component"))
+        // pointer jump: component ← label(component), joined against the
+        // PREVIOUS round's already-materialized labels (no extra checkpoint).
+        // Every label is itself a node id whose own label is connected to it,
+        // so the composed label stays within the component; reach r+1 (hook)
+        // composed with reach r (labels) ≈ doubles per round → O(log d).
+        // the convergence check rides the checkpoint materialization as an
+        // observed metric — no separate job per round
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+        val next = hooked.join(
+            labels.select(col("id").as("component"), col("component").as("__jump")),
+            Seq("component"), "left")
+          .select(col("id"), col("__old"),
+            coalesce(col("__jump"), col("component")).as("component"))
+          .observe(obs, sum(when(col("component") < col("__old"), 1L)
+            .otherwise(0L)).as("changed"))
+          .localCheckpoint()
+        done = Option(obs.get("changed")).collect { case l: Long => l }.getOrElse(0L) == 0L
+        Blocks.unpersist(labels) // superseded by `next`
+        labels = next.drop("__old")
+        iter += 1
+      }
+      require(done, s"connectedComponents did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable => Blocks.unpersist(labels); throw t
+    } finally Blocks.unpersist(sym) // only used inside the loop
     // edgeless nodes re-enter as their own component
     nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")

@@ -142,15 +142,20 @@ object Similarity {
       .select(col(id).as("cid"),
         transform(col(vec), x => x.cast("double")).as("cv"))
       .localCheckpoint()
-    for (_ <- 0 until iters) {
-      val flat = kmeansStepFrom(emb, id, vec, cent)
-      val next = flat.groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mean_v")))),
-          x => x.getField("mean_v")).as("cv"))
-        .localCheckpoint()
-      Blocks.unpersist(cent) // superseded once `next` is materialized
-      cent = next
+    try {
+      for (_ <- 0 until iters) {
+        val flat = kmeansStepFrom(emb, id, vec, cent)
+        val next = flat.groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+            x => x.getField("mean_v")).as("cv"))
+          .localCheckpoint()
+        Blocks.unpersist(cent) // superseded once `next` is materialized
+        cent = next
+      }
+    } catch {
+      // a mid-training failure must not strand the live centroid blocks
+      case t: Throwable => Blocks.unpersist(cent); throw t
     }
     cent
   }

@@ -163,20 +163,11 @@ object DedupQueries extends QueryPack {
         FROM sz JOIN documents d ON d.doc_id = sz.component
         ORDER BY doc_id"""
 
-  private def simhashSql: String = {
-    val bitSums = (0 until BITS).map(j =>
-      s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
-      .mkString(",\n               ")
-    val fp = (0 until BITS).map(j =>
-      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-        th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
-        s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
-        SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id"""
-  }
-
-  private def fingerprintDedupSql: String = {
+  /** Shared simhash CTE ending in `f(doc_id, simhash)`: d5 appends its
+    * SELECT, d9 appends its QUALIFY — one fingerprint definition, like
+    * [[componentCte]] for d7/d8.
+    */
+  private def simhashCte: String = {
     val bitSums = (0 until BITS).map(j =>
       s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
       .mkString(",\n               ")
@@ -186,7 +177,15 @@ object DedupQueries extends QueryPack {
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
         th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
         s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
-        f AS (SELECT doc_id, $fp AS simhash FROM s)
+        f AS (SELECT doc_id, $fp AS simhash FROM s)"""
+  }
+
+  private def simhashSql: String =
+    s"""$simhashCte
+        SELECT doc_id, simhash FROM f ORDER BY doc_id"""
+
+  private def fingerprintDedupSql: String = {
+    s"""$simhashCte
         SELECT doc_id, simhash FROM f
         QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1
         ORDER BY doc_id"""

@@ -52,6 +52,16 @@ class AsOfSpec extends SparkTestBase {
     assert(out("b") == ((Some(50.0), Some("x"))))
   }
 
+  test("carry names colliding with internal scratch columns fail loudly") {
+    val quotes = Seq((1L, 10L, 1.0)).toDF("k", "qt", "price")
+    val trades = Seq((1L, 15L, "a")).toDF("k", "tt", "trade")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(trades, quotes, Seq("k"),
+        col("tt"), col("qt"), Seq("__cc" -> col("price")))
+    }
+    assert(e.getMessage.contains("__cc"))
+  }
+
   test("as-of join uses one shuffle on the key (no range explosion)") {
     val quotes = Seq((1L, 10L, 1.0)).toDF("k", "qt", "price")
     val trades = Seq((1L, 15L, "a")).toDF("k", "tt", "trade")
