@@ -154,6 +154,26 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic corpus shuffle + shard materialization — the step
+    // between packing (t6) and training: every doc gets a seed-derived
+    // pseudo-random SHARD and a stable position WITHIN its shard. The
+    // within-shard ordering window partitions on the shard key, so the
+    // sort never exceeds one shard (corpus_size / n_shards rows) per task
+    // — a global orderBy here would be the classic single-range-sort
+    // bottleneck at 100 TB.
+    "t13_shuffle_shard" -> ((s, d) => {
+      val h = StableHash.polyHash(
+        concat_ws("", lit("shuffle|"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-statistics scoring (the CCNet-perplexity SHAPE, integer-exact:
     // no log/float model): pass 1 aggregates global per-token document
     // frequency; pass 2 joins the stats back and scores each doc by the
@@ -325,6 +345,14 @@ object TextQueries extends QueryPack {
                   AND (stop_count >= 2)) AS keep
           FROM c ORDER BY doc_id"""
     },
+    "t13_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+                 ${StableHash.polyHashSql("concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS h
+               FROM documents)
+          SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                      AS INT) AS pos
+          FROM h ORDER BY doc_id""",
     "t12_term_df_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
                       FROM documents),
