@@ -129,6 +129,21 @@ object Dedup {
       sum((shiftright(col("th"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j")
     }
 
+  /** DuckDB twins of [[simhashAgg]] and the fingerprint fold — generated
+    * beside the Spark expressions so every oracle (d5, d9, tp1) shares one
+    * simhash definition. `simhashBitSumsSql` aggregates over a CTE exposing
+    * per-token hashes as `th`; `simhashFpSql` folds the `b<j>` sums.
+    */
+  def simhashBitSumsSql(bits: Int): String =
+    (0 until bits).map(j =>
+      s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
+      .mkString(",\n               ")
+
+  def simhashFpSql(bits: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
   def simhash(df: DataFrame, id: String, text: Column, bits: Int = 32): DataFrame = {
     val tok = parallelize(df.select(col(id), text.as("__txt")))
       .select(col(id), explode(split(col("__txt"), " ")).as("t"))

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+
+/** Compiled training-data pipeline — the text-side analog of the domain
+  * screening cascade (M5, `graft.domain.Predict.cascade`): Gopher rule
+  * filter → content-fingerprint dedup → per-source quota → deterministic
+  * shuffle-shard, composed into ONE declarative plan. Per-stage
+  * cardinalities ride `observe()` metrics (`tp_00_input` … `tp_04_shard`),
+  * collected by the same [[graft.domain.Pipeline.Ledger]] listener during
+  * the single final action — provenance costs no extra job, the A1/A10
+  * discipline.
+  *
+  * Scale shape: stages 1–2 are narrow maps + one fingerprint shuffle;
+  * stages 3–4 are bounded windows (per-source, per-shard) — nothing sorts
+  * globally, nothing collects to the driver.
+  */
+object TextPipeline {
+
+  case class Config(capPerSource: Int = 10, nShards: Int = 8, bits: Int = 32)
+
+  def compile(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // stage 1: per-doc rule audit, keep rule-passing docs
+    val keep = TextOps.gopherComponents(col("__ts")).toMap.apply("keep")
+    val kept = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.tokens(col("text")).as("__ts"))
+      .observe("tp_00_input", count(lit(1)))
+      .filter(keep).drop("__ts")
+      .observe("tp_01_rules", count(lit(1)))
+    // stage 2: content-fingerprint dedup, keep the earliest per simhash
+    val sim = Dedup.simhash(kept, "doc_id", col("text"), cfg.bits)
+    val deduped = Dedup.keepFirst(
+        kept.join(sim, Seq("doc_id")), Seq("simhash"), Seq(col("doc_id")))
+      .observe("tp_02_dedup", count(lit(1)))
+    // stage 3: per-source quota (bounded window per source)
+    val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val quota = deduped.withColumn("__rank", row_number().over(wq))
+      .filter(col("__rank") <= cfg.capPerSource).drop("__rank")
+      .observe("tp_03_quota", count(lit(1)))
+    // stage 4: deterministic shard + within-shard position (t13 semantics)
+    val h = StableHash.polyHash(
+      concat_ws("", lit("shuffle|"), col("doc_id").cast("string")))
+    val ws = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    quota.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(cfg.nShards)).cast("int"))
+      .withColumn("pos", row_number().over(ws))
+      .select(col("doc_id"), col("source"), col("simhash"), col("shard"), col("pos"))
+      .observe("tp_04_shard", count(lit(1)))
+  }
+}

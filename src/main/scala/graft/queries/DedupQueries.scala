@@ -168,12 +168,8 @@ object DedupQueries extends QueryPack {
     * [[componentCte]] for d7/d8.
     */
   private def simhashCte: String = {
-    val bitSums = (0 until BITS).map(j =>
-      s"CAST(sum(((th >> $j) & 1) * 2 - 1) AS BIGINT) AS b$j")
-      .mkString(",\n               ")
-    val fp = (0 until BITS).map(j =>
-      s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
+    val bitSums = Dedup.simhashBitSumsSql(BITS)
+    val fp = Dedup.simhashFpSql(BITS)
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
         th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
         s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),

@@ -174,6 +174,13 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The composed pipeline (TextPipeline.compile): rules → fingerprint
+    // dedup → per-source quota → shuffle-shard in one plan. Stage counts
+    // ride observe() (TextPipelineSpec); the gate checks the final corpus.
+    "tp1_text_pipeline" -> ((s, d) =>
+      graft.ops.TextPipeline.compile(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // Corpus-statistics scoring (the CCNet-perplexity SHAPE, integer-exact:
     // no log/float model): pass 1 aggregates global per-token document
     // frequency; pass 2 joins the stats back and scores each doc by the
@@ -344,6 +351,34 @@ object TextQueries extends QueryPack {
                   AND (mean_word_len BETWEEN 4.0 AND 5.0)
                   AND (stop_count >= 2)) AS keep
           FROM c ORDER BY doc_id"""
+    },
+    "tp1_text_pipeline" -> {
+      val stops = TextOps.gopherStopwords.map(x => s"'$x'").mkString("[", ", ", "]")
+      val bits = graft.ops.TextPipeline.Config().bits
+      s"""WITH x AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
+                     FROM documents),
+          c AS (SELECT doc_id, source, text FROM x
+                WHERE len(ts) BETWEEN 30 AND 90
+                  AND (CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum')
+                            AS DOUBLE) / CAST(len(ts) AS DOUBLE)) BETWEEN 4.0 AND 5.0
+                  AND len(list_filter(ts, w -> list_contains($stops, w))) >= 2),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM c),
+          th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
+          sh AS (SELECT doc_id, ${graft.ops.Dedup.simhashBitSumsSql(bits)}
+                 FROM th GROUP BY doc_id),
+          f AS (SELECT doc_id, ${graft.ops.Dedup.simhashFpSql(bits)} AS simhash FROM sh),
+          dd AS (SELECT c.doc_id, c.source, f.simhash FROM c JOIN f USING (doc_id)
+                 QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1),
+          q AS (SELECT doc_id, source, simhash FROM dd
+                QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10),
+          hs AS (SELECT doc_id, source, simhash,
+                        ${StableHash.polyHashSql(
+        "concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS h
+                 FROM q)
+          SELECT doc_id, source, simhash, CAST(h % 8 AS INT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                      AS INT) AS pos
+          FROM hs ORDER BY doc_id"""
     },
     "t13_shuffle_shard" ->
       s"""WITH h AS (SELECT doc_id,
