@@ -144,6 +144,21 @@ object Dedup {
       s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
 
+  /** Per-row simhash over an already-hashed token array — ONE narrow pass,
+    * no explode/groupBy/join-back: bit j is set iff
+    * 2·|{h : bit_j(h) = 1}| − n > 0, identical to [[simhash]]'s grouped
+    * ±1 sums (DedupOpsSpec pins the equality). The grouped form pays off
+    * when the token explode is reused for other per-token stats; this is
+    * the single-pass map for pipelines that only need the fingerprint.
+    */
+  def simhashCol(tokenHashes: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(size(filter(tokenHashes,
+          h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
+          > size(tokenHashes),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def simhash(df: DataFrame, id: String, text: Column, bits: Int = 32): DataFrame = {
     val tok = parallelize(df.select(col(id), text.as("__txt")))
       .select(col(id), explode(split(col("__txt"), " ")).as("t"))

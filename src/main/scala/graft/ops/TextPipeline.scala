@@ -23,18 +23,22 @@ object TextPipeline {
   case class Config(capPerSource: Int = 10, nShards: Int = 8, bits: Int = 32)
 
   def compile(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    // stage 1: per-doc rule audit, keep rule-passing docs
+    // stage 1: per-doc rule audit, keep rule-passing docs (the token array
+    // stays in flight — stage 2 reuses it, so the corpus is scanned ONCE)
     val keep = TextOps.gopherComponents(col("__ts")).toMap.apply("keep")
     val kept = docs
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("__ts"))
       .observe("tp_00_input", count(lit(1)))
-      .filter(keep).drop("__ts")
+      .filter(keep)
       .observe("tp_01_rules", count(lit(1)))
-    // stage 2: content-fingerprint dedup, keep the earliest per simhash
-    val sim = Dedup.simhash(kept, "doc_id", col("text"), cfg.bits)
+    // stage 2: content-fingerprint dedup, keep the earliest per simhash —
+    // the per-row fingerprint column, not the explode/groupBy/join-back
+    // form (which would re-execute stage 1 on the join's second branch)
+    val tsh = transform(col("__ts"), t => StableHash.polyHash(t))
     val deduped = Dedup.keepFirst(
-        kept.join(sim, Seq("doc_id")), Seq("simhash"), Seq(col("doc_id")))
+        kept.withColumn("simhash", Dedup.simhashCol(tsh, cfg.bits)).drop("__ts"),
+        Seq("simhash"), Seq(col("doc_id")))
       .observe("tp_02_dedup", count(lit(1)))
     // stage 3: per-source quota (bounded window per source)
     val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))

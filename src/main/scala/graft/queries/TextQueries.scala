@@ -354,7 +354,8 @@ object TextQueries extends QueryPack {
     },
     "tp1_text_pipeline" -> {
       val stops = TextOps.gopherStopwords.map(x => s"'$x'").mkString("[", ", ", "]")
-      val bits = graft.ops.TextPipeline.Config().bits
+      val cfg = graft.ops.TextPipeline.Config()
+      val bits = cfg.bits
       s"""WITH x AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
                      FROM documents),
           c AS (SELECT doc_id, source, text FROM x
@@ -370,14 +371,16 @@ object TextQueries extends QueryPack {
           dd AS (SELECT c.doc_id, c.source, f.simhash FROM c JOIN f USING (doc_id)
                  QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1),
           q AS (SELECT doc_id, source, simhash FROM dd
-                QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10),
+                QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                        <= ${cfg.capPerSource}),
           hs AS (SELECT doc_id, source, simhash,
                         ${StableHash.polyHashSql(
         "concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS h
                  FROM q)
-          SELECT doc_id, source, simhash, CAST(h % 8 AS INT) AS shard,
-                 CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
-                      AS INT) AS pos
+          SELECT doc_id, source, simhash,
+                 CAST(h % ${cfg.nShards} AS INT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % ${cfg.nShards}
+                                         ORDER BY h, doc_id) AS INT) AS pos
           FROM hs ORDER BY doc_id"""
     },
     "t13_shuffle_shard" ->
