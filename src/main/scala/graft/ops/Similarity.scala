@@ -41,6 +41,75 @@ object Similarity {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** Squared-L2 over the subspace [off, off+n) — left fold from 0.0 so the
+    * DuckDB twin ([[l2SubSql]], 1-based list_reduce) is bit-identical.
+    */
+  def l2Sub(a: Column, b: Column, off: Int, n: Int): Column =
+    (0 until n).map { i =>
+      val d = a.getItem(off + i).cast("double") - b.getItem(off + i).cast("double")
+      d * d
+    }.foldLeft(lit(0.0))(_ + _)
+
+  def l2SubSql(a: String, b: String, off: Int, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(${off + 1}, ${off + n}), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y)"
+
+  /** Product-quantization ANN (the FAISS IVF-PQ memory-compression shape):
+    * the vector space splits into `nSub` subspaces; every corpus vector is
+    * ENCODED as its per-subspace nearest codeword (argmin over the
+    * broadcast codebook, tie → lowest cid), and query↔vector distance is
+    * approximated ADC-style — the query precomputes its distance to every
+    * codeword per subspace (a |Q|·C·nSub table, broadcast), and a vector's
+    * approximate distance is the fixed-order sum of table lookups at its
+    * codes. At 100 TB the corpus is stored/joined as nSub SMALL ints per
+    * vector (the compression), the scan side never rejoins the raw floats,
+    * and the per-subspace lookup join is against a broadcast table.
+    * Codewords here are a deterministic corpus subset (id predicate), like
+    * [[ivfTopK]] — training (k-means per subspace) is orthogonal.
+    */
+  def pqTopK(emb: DataFrame, id: String, vec: String,
+             centroidPred: Column, queryPred: Column,
+             dim: Int, nSub: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / nSub
+    val cent = emb.filter(centroidPred).select(col(id).as("cid"), col(vec).as("cv"))
+    def subDists(df: DataFrame, outId: String): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .select(Seq(col(id).as(outId), col("cid")) ++
+          (0 until nSub).map(mm =>
+            l2Sub(col(vec), col("cv"), mm * sub, sub).as(s"d$mm")): _*)
+    // encode the corpus: per subspace, the nearest codeword id
+    val codeAggs = (0 until nSub).map(mm =>
+      min(struct(col(s"d$mm"), col("cid"))).getField("cid").as(s"code$mm"))
+    val codes = subDists(Dedup.parallelize(emb.select(col(id), col(vec))), "vid")
+      .groupBy(col("vid")).agg(codeAggs.head, codeAggs.tail: _*)
+    val ncodes = codes.select(col("vid").as("neighbor_id"),
+      posexplode(array((0 until nSub).map(mm => col(s"code$mm")): _*))
+        .as(Seq("m", "code")))
+    // query-side ADC distance table: (query_id, subspace, codeword, dist)
+    val qd = subDists(emb.filter(queryPred).select(col(id), col(vec)), "query_id")
+      .select(col("query_id"), col("cid").as("qcid"),
+        posexplode(array((0 until nSub).map(mm => col(s"d$mm")): _*))
+          .as(Seq("qm", "qd")))
+    // lookup + fixed-order sum (one non-null slot per subspace → the
+    // double addition order is literal, not shuffle-dependent)
+    val qdSlots = (0 until nSub).map(mm =>
+      sum(when(col("qm") === mm, col("qd"))).as(s"qd$mm"))
+    val parts = ncodes.join(broadcast(qd),
+        col("m") === col("qm") && col("code") === col("qcid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(qdSlots.head, qdSlots.tail: _*)
+    val adist = (0 until nSub).map(mm => col(s"qd$mm")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    parts.filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k: broadcast the (small) query side against the full
     * corpus, rank per query by (score desc, neighbor id) — one broadcast
     * join + one window, no cartesian shuffle.

@@ -108,6 +108,16 @@ object SimilarityQueries extends QueryPack {
         col("vec_id") % QMOD === 0, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
+
+    // Product-quantization ANN: corpus compressed to nSub codeword ids,
+    // queries scored ADC-style against a broadcast distance table — the
+    // memory-compression ANN the brute/LSH/IVF variants don't cover.
+    "sim8_pq_ann_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 10 === 7, col("vec_id") % QMOD === 0,
+        DIM, nSub = 8, k = TOPK)
+        .select("query_id", "neighbor_id", "rank", "adist")
+        .orderBy("query_id", "rank")),
   )
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
@@ -229,6 +239,45 @@ object SimilarityQueries extends QueryPack {
                      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
                  FROM s)
           SELECT query_id, neighbor_id, rank, cos FROM rr
+          WHERE rank <= $TOPK ORDER BY query_id, rank"""
+    },
+    "sim8_pq_ann_topk" -> {
+      val nSub = 8
+      val sub = DIM / nSub
+      def dCols(a: String, b: String) = (0 until nSub).map(mm =>
+        s"${Similarity.l2SubSql(a, b, mm * sub, sub)} AS d$mm")
+        .mkString(",\n                   ")
+      val codeArms = (0 until nSub).map { mm =>
+        s"""SELECT vec_id, $mm AS m, cid AS code FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d$mm, cid) AS rn FROM sc) WHERE rn = 1"""
+      }.mkString("\nUNION ALL\n")
+      val qdArms = (0 until nSub).map(mm =>
+        s"SELECT query_id, $mm AS m, cid, d$mm AS qd FROM qsc")
+        .mkString("\nUNION ALL\n")
+      val slots = (0 until nSub).map(mm =>
+        s"sum(CASE WHEN qd.m = $mm THEN qd.qd END) AS qd$mm")
+        .mkString(",\n                   ")
+      val adist = (0 until nSub).map(mm => s"qd$mm").mkString(" + ")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                        WHERE vec_id % 10 = 7),
+          sc AS (SELECT e.vec_id, c.cid,
+                   ${dCols("e.embedding", "c.cv")}
+                 FROM embeddings e CROSS JOIN cent c),
+          codes AS ($codeArms),
+          qsc AS (SELECT vec_id AS query_id, cid,
+                    ${(0 until nSub).map(mm => s"d$mm").mkString(", ")}
+                  FROM sc WHERE vec_id % $QMOD = 0),
+          qd AS ($qdArms),
+          p AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   $slots
+                FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cid
+                GROUP BY 1, 2),
+          a AS (SELECT query_id, neighbor_id, $adist AS adist FROM p
+                WHERE query_id <> neighbor_id),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS INT) AS rank FROM a)
+          SELECT query_id, neighbor_id, rank, adist FROM r
           WHERE rank <= $TOPK ORDER BY query_id, rank"""
     },
   )

@@ -29,6 +29,30 @@ class AnnRecallSpec extends SparkTestBase {
     per.sum / per.size
   }
 
+  test("PQ ADC ranking beats chance against the exact L2 baseline") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact L2 top-k (PQ approximates L2, not cosine — the fair baseline)
+    val emb = graft.Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.l2Sub(col("qv"), col("nv"), 0, 64).as("l2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val pq = recall(exact, neighborSets("sim8_pq_ann_topk"))
+    val n = graft.Tables.embeddings(spark, d).count().toDouble
+    val chance = 5.0 / (n - 1) // random top-5 overlap expectation
+    info(f"PQ recall=$pq%.3f chance=$chance%.4f")
+    assert(pq > 10 * chance,
+      f"PQ ADC ranking regressed to near-chance: recall=$pq%.3f chance=$chance%.4f")
+  }
+
   test("multi-table LSH recovers the recall single-table LSH gives up") {
     val exact = neighborSets("sim1_bruteforce_topk")
     assert(exact.nonEmpty)
