@@ -121,9 +121,76 @@ case class SeqDotExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Sequential squared-L2 over the element range [off, off+n) of two
+  * FLOAT|DOUBLE arrays — the subspace-distance kernel behind PQ encoding
+  * ([[graft.ops.Similarity.pqTopK]]). Identical fold order to the unrolled
+  * `Σ (a[i]−b[i])²` left fold from 0.0 (each element cast to double before
+  * subtraction), so the DuckDB `list_reduce` twin stays bit-equal — but
+  * one tight codegen loop instead of an n-term expression tree (the same
+  * janino-compile-latency trade [[SeqDotExpr]] documents).
+  */
+case class SeqL2Expr(left: Expression, right: Expression, off: Int, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_seq_l2 requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
+    val end = math.min(off + n, math.min(x.numElements(), y.numElements()))
+    var acc = 0.0
+    var i = off
+    while (i < end) {
+      val d = (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) -
+        (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(v: String, dbl: Boolean, i: String) =
+        if (dbl) s"$v.getDouble($i)" else s"((double) $v.getFloat($i))"
+      s"""
+      int ${ev.value}_end = java.lang.Math.min($off + $n,
+        java.lang.Math.min($a.numElements(), $b.numElements()));
+      double ${ev.value}_acc = 0.0;
+      for (int ${ev.value}_i = $off; ${ev.value}_i < ${ev.value}_end; ${ev.value}_i++) {
+        double ${ev.value}_d = ${get(a, isDouble(left), s"${ev.value}_i")}
+          - ${get(b, isDouble(right), s"${ev.value}_i")};
+        ${ev.value}_acc += ${ev.value}_d * ${ev.value}_d;
+      }
+      ${ev.value} = ${ev.value}_acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeqL2Expr =
+    copy(left = l, right = r)
+}
+
 object Exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
   def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
   def seqDot(a: Column, b: Column): Column =
     column(SeqDotExpr(expression(a), expression(b)))
+  def seqL2(a: Column, b: Column, off: Int, n: Int): Column =
+    column(SeqL2Expr(expression(a), expression(b), off, n))
 }

@@ -41,14 +41,13 @@ object Similarity {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
-  /** Squared-L2 over the subspace [off, off+n) — left fold from 0.0 so the
-    * DuckDB twin ([[l2SubSql]], 1-based list_reduce) is bit-identical.
+  /** Squared-L2 over the subspace [off, off+n) — the codegen'd
+    * [[graft.functions.SeqL2Expr]] kernel: sequential left fold from 0.0,
+    * so the DuckDB twin ([[l2SubSql]], 1-based list_reduce) is
+    * bit-identical, without the n-term unrolled expression tree.
     */
   def l2Sub(a: Column, b: Column, off: Int, n: Int): Column =
-    (0 until n).map { i =>
-      val d = a.getItem(off + i).cast("double") - b.getItem(off + i).cast("double")
-      d * d
-    }.foldLeft(lit(0.0))(_ + _)
+    graft.functions.Exprs.seqL2(a, b, off, n)
 
   def l2SubSql(a: String, b: String, off: Int, n: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -73,6 +72,8 @@ object Similarity {
              centroidPred: Column, queryPred: Column,
              dim: Int, nSub: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(dim % nSub == 0,
+      s"pqTopK: nSub=$nSub must divide dim=$dim (trailing dims would be silently dropped)")
     val sub = dim / nSub
     val cent = emb.filter(centroidPred).select(col(id).as("cid"), col(vec).as("cv"))
     def subDists(df: DataFrame, outId: String): DataFrame =

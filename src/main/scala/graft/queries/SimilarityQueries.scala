@@ -13,11 +13,13 @@ import graft.ops.Similarity
   */
 object SimilarityQueries extends QueryPack {
 
-  private val DIM = 64
+  private[graft] val DIM = 64
   private val PLANES = 6
-  private val TOPK = 5
-  private val QMOD = 50       // query subset: vec_id % QMOD == 0
-  private val NEARDUP_T = 0.2 // cosine threshold for near-dup pairs
+  private[graft] val TOPK = 5
+  private[graft] val QMOD = 50 // query subset: vec_id % QMOD == 0
+  private val NEARDUP_T = 0.2  // cosine threshold for near-dup pairs
+  private val NSUB = 8         // PQ subspaces (sim8)
+  private val CMOD = 10        // PQ codebook subset: vec_id % CMOD == 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
@@ -114,8 +116,8 @@ object SimilarityQueries extends QueryPack {
     // memory-compression ANN the brute/LSH/IVF variants don't cover.
     "sim8_pq_ann_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 10 === 7, col("vec_id") % QMOD === 0,
-        DIM, nSub = 8, k = TOPK)
+        col("vec_id") % CMOD === 7, col("vec_id") % QMOD === 0,
+        DIM, nSub = NSUB, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
   )
@@ -242,7 +244,7 @@ object SimilarityQueries extends QueryPack {
           WHERE rank <= $TOPK ORDER BY query_id, rank"""
     },
     "sim8_pq_ann_topk" -> {
-      val nSub = 8
+      val nSub = NSUB
       val sub = DIM / nSub
       def dCols(a: String, b: String) = (0 until nSub).map(mm =>
         s"${Similarity.l2SubSql(a, b, mm * sub, sub)} AS d$mm")
@@ -260,7 +262,7 @@ object SimilarityQueries extends QueryPack {
         .mkString(",\n                   ")
       val adist = (0 until nSub).map(mm => s"qd$mm").mkString(" + ")
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                        WHERE vec_id % 10 = 7),
+                        WHERE vec_id % $CMOD = 7),
           sc AS (SELECT e.vec_id, c.cid,
                    ${dCols("e.embedding", "c.cv")}
                  FROM embeddings e CROSS JOIN cent c),

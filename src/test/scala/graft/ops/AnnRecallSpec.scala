@@ -16,10 +16,12 @@ class AnnRecallSpec extends SparkTestBase {
 
   private val d = "/root/testdata/sf0.001"
 
-  private def neighborSets(q: String): Map[Long, Set[Long]] =
-    graft.SparkEntry.queries(q)(spark, d)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+  private def setsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  private def neighborSets(q: String): Map[Long, Set[Long]] =
+    setsOf(graft.SparkEntry.queries(q)(spark, d))
 
   private def recall(exact: Map[Long, Set[Long]],
                      approx: Map[Long, Set[Long]]): Double = {
@@ -32,22 +34,21 @@ class AnnRecallSpec extends SparkTestBase {
   test("PQ ADC ranking beats chance against the exact L2 baseline") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    import graft.queries.SimilarityQueries.{DIM, QMOD, TOPK}
     // exact L2 top-k (PQ approximates L2, not cosine — the fair baseline)
     val emb = graft.Tables.embeddings(spark, d)
-    val q = emb.filter(col("vec_id") % 50 === 0)
+    val q = emb.filter(col("vec_id") % QMOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Similarity.l2Sub(col("qv"), col("nv"), 0, 64).as("l2"))
+        Similarity.l2Sub(col("qv"), col("nv"), 0, DIM).as("l2"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
-    val exact = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = setsOf(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK))
+    assert(exact.nonEmpty)
     val pq = recall(exact, neighborSets("sim8_pq_ann_topk"))
-    val n = graft.Tables.embeddings(spark, d).count().toDouble
-    val chance = 5.0 / (n - 1) // random top-5 overlap expectation
+    val chance = TOPK.toDouble / (emb.count().toDouble - 1)
     info(f"PQ recall=$pq%.3f chance=$chance%.4f")
     assert(pq > 10 * chance,
       f"PQ ADC ranking regressed to near-chance: recall=$pq%.3f chance=$chance%.4f")

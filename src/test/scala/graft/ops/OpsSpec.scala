@@ -198,6 +198,23 @@ class CustomExprSpec extends SparkTestBase {
       .filter(col("fast") =!= col("ref")).count()
     assert(rows == 0)
   }
+
+  test("SeqL2Expr equals the unrolled subspace fold") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f, 0.5f), Array(0.5f, 4.75f, -1.5f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f, 0.4f), Array(0.4f, 0.3f, 0.2f, 0.1f)))
+      .toDF("a", "b")
+    def unrolled(off: Int, n: Int) = (0 until n).map { i =>
+      val d = col("a").getItem(off + i).cast("double") -
+        col("b").getItem(off + i).cast("double")
+      d * d
+    }.foldLeft(lit(0.0))(_ + _)
+    val rows = df.select(
+      graft.functions.Exprs.seqL2(col("a"), col("b"), 1, 2).as("fast"),
+      unrolled(1, 2).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(rows == 0)
+  }
 }
 
 class StableHashSpec extends AnyFunSuite {
