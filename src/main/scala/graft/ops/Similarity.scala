@@ -71,34 +71,48 @@ object Similarity {
   def pqTopK(emb: DataFrame, id: String, vec: String,
              centroidPred: Column, queryPred: Column,
              dim: Int, nSub: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(dim % nSub == 0,
       s"pqTopK: nSub=$nSub must divide dim=$dim (trailing dims would be silently dropped)")
     val sub = dim / nSub
+    // untrained codebook: per-subspace slices of a deterministic corpus
+    // subset — the special case of [[pqTopKFrom]]'s explicit codebook
     val cent = emb.filter(centroidPred).select(col(id).as("cid"), col(vec).as("cv"))
+    val codebook = (0 until nSub).map(mm =>
+      cent.select(lit(mm).as("m"), col("cid"),
+        slice(col("cv"), mm * sub + 1, sub).as("cv"))).reduce(_ unionByName _)
+    pqTopKFrom(emb, id, vec, codebook, queryPred, dim, nSub, k)
+  }
+
+  /** PQ ANN against an EXPLICIT per-subspace codebook `(m, cid, cv)` (cv =
+    * the sub-dim codeword) — the trained-codebook entry point: per-subspace
+    * k-means ([[kmeansTrain]] over sliced vectors) feeds this, and
+    * [[pqTopK]] is the untrained special case (AnnRecallSpec measures the
+    * training gain).
+    */
+  def pqTopKFrom(emb: DataFrame, id: String, vec: String, codebook: DataFrame,
+                 queryPred: Column, dim: Int, nSub: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % nSub == 0,
+      s"pqTopKFrom: nSub=$nSub must divide dim=$dim (trailing dims would be silently dropped)")
+    val sub = dim / nSub
     def subDists(df: DataFrame, outId: String): DataFrame =
-      df.crossJoin(broadcast(cent))
-        .select(Seq(col(id).as(outId), col("cid")) ++
-          (0 until nSub).map(mm =>
-            l2Sub(col(vec), col("cv"), mm * sub, sub).as(s"d$mm")): _*)
+      df.crossJoin(broadcast(codebook))
+        .select(col(id).as(outId), col("m"), col("cid"),
+          l2Sub(slice(col(vec), col("m") * sub + 1, lit(sub)), col("cv"), 0, sub)
+            .as("dist"))
     // encode the corpus: per subspace, the nearest codeword id
-    val codeAggs = (0 until nSub).map(mm =>
-      min(struct(col(s"d$mm"), col("cid"))).getField("cid").as(s"code$mm"))
-    val codes = subDists(Dedup.parallelize(emb.select(col(id), col(vec))), "vid")
-      .groupBy(col("vid")).agg(codeAggs.head, codeAggs.tail: _*)
-    val ncodes = codes.select(col("vid").as("neighbor_id"),
-      posexplode(array((0 until nSub).map(mm => col(s"code$mm")): _*))
-        .as(Seq("m", "code")))
+    val codes = subDists(Dedup.parallelize(emb.select(col(id), col(vec))), "neighbor_id")
+      .groupBy(col("neighbor_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
     // query-side ADC distance table: (query_id, subspace, codeword, dist)
     val qd = subDists(emb.filter(queryPred).select(col(id), col(vec)), "query_id")
-      .select(col("query_id"), col("cid").as("qcid"),
-        posexplode(array((0 until nSub).map(mm => col(s"d$mm")): _*))
-          .as(Seq("qm", "qd")))
+      .select(col("query_id"), col("m").as("qm"), col("cid").as("qcid"),
+        col("dist").as("qd"))
     // lookup + fixed-order sum (one non-null slot per subspace → the
     // double addition order is literal, not shuffle-dependent)
     val qdSlots = (0 until nSub).map(mm =>
       sum(when(col("qm") === mm, col("qd"))).as(s"qd$mm"))
-    val parts = ncodes.join(broadcast(qd),
+    val parts = codes.join(broadcast(qd),
         col("m") === col("qm") && col("code") === col("qcid"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(qdSlots.head, qdSlots.tail: _*)

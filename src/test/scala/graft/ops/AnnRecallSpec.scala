@@ -31,11 +31,11 @@ class AnnRecallSpec extends SparkTestBase {
     per.sum / per.size
   }
 
-  test("PQ ADC ranking beats chance against the exact L2 baseline") {
+  // exact L2 top-k (PQ approximates L2, not cosine — the fair baseline)
+  private lazy val exactL2: Map[Long, Set[Long]] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.queries.SimilarityQueries.{DIM, QMOD, TOPK}
-    // exact L2 top-k (PQ approximates L2, not cosine — the fair baseline)
     val emb = graft.Tables.embeddings(spark, d)
     val q = emb.filter(col("vec_id") % QMOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -44,14 +44,44 @@ class AnnRecallSpec extends SparkTestBase {
       .select(col("query_id"), col("neighbor_id"),
         Similarity.l2Sub(col("qv"), col("nv"), 0, DIM).as("l2"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
-    val exact = setsOf(scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOPK))
-    assert(exact.nonEmpty)
-    val pq = recall(exact, neighborSets("sim8_pq_ann_topk"))
-    val chance = TOPK.toDouble / (emb.count().toDouble - 1)
+    setsOf(scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TOPK))
+  }
+
+  test("PQ ADC ranking beats chance against the exact L2 baseline") {
+    import graft.queries.SimilarityQueries.TOPK
+    assert(exactL2.nonEmpty)
+    val pq = recall(exactL2, neighborSets("sim8_pq_ann_topk"))
+    val n = graft.Tables.embeddings(spark, d).count().toDouble
+    val chance = TOPK.toDouble / (n - 1)
     info(f"PQ recall=$pq%.3f chance=$chance%.4f")
     assert(pq > 10 * chance,
       f"PQ ADC ranking regressed to near-chance: recall=$pq%.3f chance=$chance%.4f")
+  }
+
+  test("trained per-subspace codebooks beat corpus-point codewords") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries.{DIM, QMOD, TOPK}
+    val nSub = 8
+    val sub = DIM / nSub
+    val emb = graft.Tables.embeddings(spark, d)
+    // per-subspace k-means (2 Lloyd rounds) from the same seed set the
+    // untrained sim8 codebook uses — the training lever at scale
+    val trained = (0 until nSub).map { mm =>
+      Similarity.kmeansTrain(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), mm * sub + 1, sub).as("embedding")),
+          "vec_id", "embedding", col("vec_id") % 10 === 7, iters = 2)
+        .select(lit(mm).as("m"), col("cid"), col("cv"))
+    }.reduce(_ unionByName _)
+    val trainedSets = setsOf(Similarity.pqTopKFrom(emb, "vec_id", "embedding",
+      trained, col("vec_id") % QMOD === 0, DIM, nSub, TOPK))
+    val tr = recall(exactL2, trainedSets)
+    val untr = recall(exactL2, neighborSets("sim8_pq_ann_topk"))
+    // measured on this corpus: trained = 0.34, untrained = 0.20 — margin
+    // pins the direction, not the exact value (everything is deterministic)
+    info(f"trained=$tr%.3f untrained=$untr%.3f")
+    assert(tr >= untr + 0.05,
+      f"training gain regressed: trained=$tr%.3f untrained=$untr%.3f")
   }
 
   test("multi-table LSH recovers the recall single-table LSH gives up") {
