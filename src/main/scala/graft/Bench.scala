@@ -53,7 +53,8 @@ object Bench {
       "sim1_bruteforce_topk", "sim2b_neardup_bucketed", "sim5_ivf_ann_topk",
       "t1_langid", "a5_grouped_regression", "a7_grouped_exists_keep",
       "a8_group_topk", "ao1_asof_join", "j4_composite_key_left_join",
-      "e2_sessionize", "g1_enumerate_explode", "pr1_parity_report")
+      "e2_sessionize", "g1_enumerate_explode", "pr1_parity_report",
+      "rj2_interval_overlap", "w1_running_sum")
     val failedShown = failed.take(10)
     println(line(dict(results.filter(r => headline(r._1) || failedShown.contains(r._1))),
       failedShown))

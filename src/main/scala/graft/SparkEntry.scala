@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     FilterQueries, GroupedQueries, JoinQueries, FanoutQueries, ScalarQueries,
     TextQueries, DedupQueries, SimilarityQueries, EventQueries, PipelineQueries,
-    MultimodalQueries, DomainQueries, ParityQueries, AsOfQueries, CubeQueries)
+    MultimodalQueries, DomainQueries, ParityQueries, AsOfQueries, CubeQueries,
+    RangeQueries, WindowQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full screening-pipeline shape: fan-out, broadcast cross join,

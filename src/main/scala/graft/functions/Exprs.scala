@@ -186,9 +186,85 @@ case class SeqL2Expr(left: Expression, right: Expression, off: Int, n: Int)
     copy(left = l, right = r)
 }
 
+/** All n minhash signatures in ONE pass over the shingle-hash array.
+  *
+  * Semantically identical to n separate
+  * `array_min(transform(hs, h -> (h*aᵢ+bᵢ) % P))` columns (including the
+  * NULL result for an empty array), but those traverse — and box — the
+  * array n times per row; this is a single fused loop, so the whole
+  * signature matrix costs one array scan. The minhash family (d3/d4/d7/d8:
+  * signatures, LSH pairs, dup groups, dedup apply) sits on this kernel.
+  */
+case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "need ≥1 (a,b) param pair")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input → NULL (array_min parity)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires ARRAY<BIGINT> input, got ${other.sql}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < as.length) {
+        val v = (h * as(j) + bs(j)) % StableHash.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val m = as.length
+      s"""
+      int ${ev.value}_n = $c.numElements();
+      if (${ev.value}_n == 0) {
+        ${ev.isNull} = true;
+      } else {
+        long[] ${ev.value}_m = new long[$m];
+        java.util.Arrays.fill(${ev.value}_m, Long.MAX_VALUE);
+        for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+          long ${ev.value}_h = $c.getLong(${ev.value}_i);
+          for (int ${ev.value}_j = 0; ${ev.value}_j < $m; ${ev.value}_j++) {
+            long ${ev.value}_v = (${ev.value}_h * $aRef[${ev.value}_j]
+              + $bRef[${ev.value}_j]) % ${StableHash.P}L;
+            if (${ev.value}_v < ${ev.value}_m[${ev.value}_j])
+              ${ev.value}_m[${ev.value}_j] = ${ev.value}_v;
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_m);
+      }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
 object Exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
   def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
+  def minHash(c: Column, n: Int): Column = {
+    val ps = StableHash.affineParams(n)
+    column(MinHashExpr(expression(c), ps.map(_._1).toArray, ps.map(_._2).toArray))
+  }
   def seqDot(a: Column, b: Column): Column =
     column(SeqDotExpr(expression(a), expression(b)))
   def seqL2(a: Column, b: Column, off: Int, n: Int): Column =

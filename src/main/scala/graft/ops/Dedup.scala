@@ -85,12 +85,29 @@ object Dedup {
     df.groupBy(sha2(text, 256).as("text_sha"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
-  /** MinHash signature columns sig0..sig{n-1} for a shingle-hash array. */
+  /** MinHash signature columns sig0..sig{n-1} for a shingle-hash array —
+    * the built-in-HOF reference form: n separate array traversals. Kept as
+    * the semantic reference the fused kernel is property-tested against;
+    * production paths go through [[withMinhashSigs]].
+    */
   def minhashSigs(shingleHashes: Column, n: Int): Seq[(String, Column)] =
     StableHash.affineParams(n).zipWithIndex.map { case ((a, b), i) =>
       s"sig$i" -> array_min(
         transform(shingleHashes, h => (h * a + b) % StableHash.P))
     }
+
+  /** Append sig0..sig{n-1} minhash columns in ONE pass over `hs` via the
+    * codegen [[graft.functions.MinHashExpr]] kernel (identical values to
+    * [[minhashSigs]], one array scan instead of n). The fused array is
+    * materialized in its own projection — multi-referenced, so
+    * CollapseProject keeps it evaluated once.
+    */
+  def withMinhashSigs(df: DataFrame, hs: Column, n: Int): DataFrame = {
+    val others = df.columns.map(col).toSeq
+    df.select(others :+ graft.functions.Exprs.minHash(hs, n).as("__mh"): _*)
+      .select(others ++ (0 until n).map(i =>
+        col("__mh").getItem(i).as(s"sig$i")): _*)
+  }
 
   /** LSH candidate pairs: band the signature, hash each band, self-join on
     * (band, key). `bands`·`rows` must equal the signature width.
@@ -98,8 +115,8 @@ object Dedup {
   def lshPairs(df: DataFrame, id: String, text: Column,
                k: Int, bands: Int, rows: Int): DataFrame = {
     val hashed = hashedShingles(df, text, k, Seq(col(id)))
-    val sigs = minhashSigs(col("__hs"), bands * rows)
-    val sigDf = hashed.select(col(id) +: sigs.map { case (nm, c) => c.as(nm) }: _*)
+    val sigDf = withMinhashSigs(hashed.select(col(id), col("__hs")),
+      col("__hs"), bands * rows).drop("__hs")
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         StableHash.bandKey((0 until rows).map(r => col(s"sig${b * rows + r}")))
@@ -249,8 +266,15 @@ object Dedup {
     // one-time semi-joins): otherwise an out-of-nodes endpoint could
     // become a component label or transitively merge in-node components
     val nodeIds = nodes.select(col(idCol).as("id"))
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    // symmetrize via explode, NOT union(edges, swapped-edges): a union of
+    // two selects over the same unmaterialized plan evaluates the (often
+    // expensive — LSH candidate generation) edge plan twice before the
+    // checkpoint; the explode emits both directions from one pass
+    val sym = edges
+      .select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       .localCheckpoint()

@@ -34,8 +34,9 @@ object DedupQueries extends QueryPack {
     "d3_minhash_signatures" -> ((s, d) => {
       val hashed = Dedup.hashedShingles(Tables.documents(s, d),
         col("text"), K, Seq(col("doc_id")))
-      val sigs = Dedup.minhashSigs(col("__hs"), SIG)
-      hashed.select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      Dedup.withMinhashSigs(hashed.select(col("doc_id"), col("__hs")),
+          col("__hs"), SIG)
+        .drop("__hs")
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ordered-window analytics (running totals, lag deltas, ranked slices) —
+  * the per-group sequential reads a trajectory/ledger consumer does. All
+  * windows are `partitionBy(key).orderBy(unique keys)`: one shuffle on the
+  * key, sequential scan within each partition, no global sort. Running
+  * sums accumulate in DECIMAL so the fold is exact and order-stable
+  * ([[graft.ops.Num]] discipline applied to window frames).
+  */
+object WindowQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Running per-customer spend: the cumulative-ledger shape.
+    "w1_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("seq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "seq")
+    }),
+
+    // Per-user deltas between consecutive events (lag): the derivative a
+    // trajectory-anomaly screen reads. Ordering key (ts, event_id) is
+    // unique, so the pairing — and the double subtraction — is exact.
+    "w2_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .filter(col("delta").isNotNull)
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Top-3-by-rank within each priority, ties kept (rank, not row_number):
+    // the deterministic ranked-slice read.
+    "w3_ranked_slice" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS INT) AS seq,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, seq""",
+    "w2_lag_delta" ->
+      """SELECT user_id, event_id, delta FROM (
+           SELECT user_id, event_id,
+                  value - lag(value, 1) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS delta
+           FROM events)
+         WHERE delta IS NOT NULL
+         ORDER BY user_id, event_id""",
+    "w3_ranked_slice" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                       AS INT) AS rnk
+           FROM orders)
+         WHERE rnk <= 3
+         ORDER BY o_orderpriority, rnk, o_orderkey""",
+  )
+}

@@ -186,6 +186,21 @@ class CustomExprSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("MinHashExpr equals the n-pass array_min reference, incl. empty") {
+    val df = Seq(
+      Seq(5L, 999999999L, 0L, 123456789L),
+      Seq(42L),
+      Seq.empty[Long], // reference yields NULL sigs; fused must too
+      (1L to 200L).toSeq)
+      .toDF("hs")
+    val n = 16
+    val fused = Dedup.withMinhashSigs(df, col("hs"), n).drop("hs")
+    val refCols = Dedup.minhashSigs(col("hs"), n)
+    val ref = df.select(refCols.map { case (nm, c) => c.as(nm) }: _*)
+    // row-aligned comparison via except in both directions (schemas match)
+    assert(fused.exceptAll(ref).count() == 0 && ref.exceptAll(fused).count() == 0)
+  }
+
   test("SeqDotExpr equals the interpreted zip_with fold") {
     val df = Seq(
       (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.75f, -1.5f)),
