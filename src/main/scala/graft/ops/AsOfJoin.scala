@@ -105,3 +105,26 @@ object SaltedAgg {
       .agg(sum(col("__partial")).as(outName))
   }
 }
+
+/** Skew-aware equi-join by explicit salting — for the cases AQE's runtime
+  * skew split can't reach: a skewed SHUFFLED hash/SMJ join inside an
+  * iterative loop (AQE replans only the first execution), or a build side
+  * too big to broadcast with one pathological key. The big (skewed) side
+  * gets a random salt in [0, salts); the small side is replicated once per
+  * salt value (explode of a literal range — `salts`× its size, which must
+  * stay ≪ the big side); the join key becomes (key, salt), so one hot key
+  * fans across `salts` reducers instead of one straggler.
+  */
+object SaltedJoin {
+  def inner(big: DataFrame, small: DataFrame, key: Seq[String],
+            salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val bs = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    // sequence over int literals yields array<int> — no cast on the
+    // generator (a generator nested in any expression fails analysis)
+    val ss = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bs.join(ss, key :+ "__salt").drop("__salt")
+  }
+}

@@ -277,6 +277,9 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .join(nodeIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      // (measured: pre-partitioning sym on the probe key before the
+      // checkpoint does NOT pay off here — AQE re-plans the per-round
+      // joins anyway and the extra up-front exchange is pure cost)
       .localCheckpoint()
     // iterate ONLY over nodes that touch an edge: everything else is its
     // own singleton component and never changes — at dedup scale that is

@@ -38,7 +38,10 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
     val p = points.withColumn("__bin", floor(pCol / w))
-    val iv = intervals.withColumn("__bin",
+    // drop reversed intervals (hi < lo) up front: no point can qualify,
+    // and sequence(start > stop) DESCENDS in Spark — it would silently
+    // replicate the malformed row across every bin it doesn't touch
+    val iv = intervals.filter(loCol <= hiCol).withColumn("__bin",
       explode(sequence(floor(loCol / w), floor(hiCol / w))))
     p.join(iv, Seq("__bin"))
       .filter(pCol >= loCol && pCol < hiCol)
@@ -53,8 +56,11 @@ object RangeJoin {
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
-    val l = left.withColumn("__bin", explode(sequence(floor(lLo / w), floor(lHi / w))))
-    val r = right.withColumn("__bin", explode(sequence(floor(rLo / w), floor(rHi / w))))
+    // same reversed-interval guard as pointInInterval
+    val l = left.filter(lLo <= lHi)
+      .withColumn("__bin", explode(sequence(floor(lLo / w), floor(lHi / w))))
+    val r = right.filter(rLo <= rHi)
+      .withColumn("__bin", explode(sequence(floor(rLo / w), floor(rHi / w))))
     l.join(r, Seq("__bin"))
       .filter(lLo <= rHi && rLo <= lHi &&
         // exactly-once guard: emit only in the bin owning max(lLo, rLo)

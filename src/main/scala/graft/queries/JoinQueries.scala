@@ -89,9 +89,30 @@ object JoinQueries extends QueryPack {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
+
+    // Skew-safe SHUFFLED join via explicit salting ([[graft.ops.SaltedJoin]]):
+    // lineitem (big side, salted) ⋈ orders-projection (replicated per salt)
+    // on the order key — the plan AQE can't fix when the join sits in an
+    // iterative loop or the build side exceeds broadcast. Semantics are
+    // exactly the plain join (oracle below IS the plain join).
+    "j8_salted_join" -> ((s, d) => {
+      val small = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SaltedJoin.inner(Tables.lineitem(s, d), small,
+          Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          Num.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "j8_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+                 ${Num.sqlSum("l_extendedprice")} AS sum_price
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "j1_cross_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name
          FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""",

@@ -166,4 +166,45 @@ object StreamOps {
           }
       }
   }
+
+  case class RunningOut(user_id: Long, event_id: Long, seq: Int,
+                        running_value: Double)
+  case class RunningState(n: Int, total: Double, lastTsMs: Long)
+
+  /** Per-key running totals — the streaming twin of `w1_running_sum`'s
+    * cumulative-ledger window. State per key is one (count, total,
+    * latest-ts) triple; each event is emitted with its sequence number and
+    * the cumulative value. Within a batch events are folded in (ts,
+    * event_id) order so intra-batch disorder is deterministic; cross-batch
+    * order is event-arrival (a true global event-time order over an
+    * unbounded stream would require unbounded buffering — the watermarked
+    * batch twin is the exact-order form). Event-time timeout expires idle
+    * keys so unbounded key spaces cannot grow state forever.
+    */
+  def runningTotals(spark: SparkSession, events: Dataset[Evt],
+                    watermarkDelay: String = "1 minute",
+                    ttlMs: Long = 2L * 3600 * 1000): Dataset[RunningOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningState, RunningOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[RunningState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(RunningState(0, 0.0, Long.MinValue))
+            val out = Seq.newBuilder[RunningOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              st = RunningState(st.n + 1, st.total + e.value,
+                math.max(st.lastTsMs, e.ts.getTime))
+              out += RunningOut(user, e.event_id, st.n, st.total)
+            }
+            state.update(st)
+            if (st.lastTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -61,6 +61,15 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSet === naiveOverlap(ls, rs))
   }
 
+  test("reversed intervals are dropped, not replicated across bins") {
+    val got = RangeJoin.pointInInterval(
+        Seq((1L, 5.0)).toDF("pid", "v"), col("v"),
+        Seq((9L, 100.0, 0.0), (10L, 0.0, 10.0)).toDF("iid", "lo", "hi"),
+        col("lo"), col("hi"), binWidth = 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L)))
+  }
+
   test("binned plan is an equi-join — no nested-loop/cartesian fallback") {
     val p = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "v")
     val iv = (1 to 50).map(i => (i.toLong, i * 2.0, i * 2.0 + 5.0))

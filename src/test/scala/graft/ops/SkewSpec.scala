@@ -46,4 +46,23 @@ class SkewSpec extends SparkTestBase {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("SaltedJoin.inner equals the plain join and spreads the hot key") {
+    // 90% of the big side on one key
+    val big = spark.range(20000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+      col("id").as("row_id"))
+    val small = spark.range(100).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val plain = big.join(small, Seq("k"))
+      .select("k", "row_id", "v").as[(Long, Long, Long)].collect().toSet
+    val salted = SaltedJoin.inner(big, small, Seq("k"), salts = 4)
+      .select("k", "row_id", "v").as[(Long, Long, Long)].collect().toSet
+    assert(salted === plain)
+    // the salted small side carries every salt value for the hot key: the
+    // hot key's rows really can land on `salts` distinct reducers
+    val saltSpread = small.withColumn("__salt",
+        explode(sequence(lit(0), lit(3))))
+      .filter(col("k") === 0).select("__salt").distinct().count()
+    assert(saltSpread === 4)
+  }
 }

@@ -210,4 +210,28 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.collect { case (_, 2L, r) => r }.toSeq == Seq(1, 2))
     } finally q.stop()
   }
+
+  test("streaming running totals accumulate per key across batches") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    // batch 1 arrives out of order within the batch: fold must be (ts, id)
+    ms.addData(
+      StreamOps.Evt(2, ts(5), 1, "click", 2.0),
+      StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(1), 2, "view", 10.0))
+    val q = StreamOps.runningTotals(spark, ms.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(StreamOps.Evt(4, ts(6), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_out")
+        .select("event_id", "user_id", "seq", "running_value")
+        .as[(Long, Long, Int, Double)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, 1L, 1, 1.0), (2L, 1L, 2, 3.0), (3L, 2L, 1, 10.0),
+        (4L, 1L, 3, 7.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
