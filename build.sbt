@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: Bench runs 117 queries in one JVM at local[32]; at 8g the
+  // late-alphabet queries showed multi-second GC-pause outliers (t10 1.4s →
+  // 10s on one run) that were pure heap pressure, not plan cost
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

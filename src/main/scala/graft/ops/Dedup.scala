@@ -187,6 +187,61 @@ object Dedup {
     summed.select(col(id), fp.as("simhash"))
   }
 
+  /** Hamming-LSH near-dup pairs over simhash fingerprints: band the
+    * `bits`-wide fingerprint into `bands` equal slices and self-join on
+    * (band index, slice value) — two docs are candidates iff they share at
+    * least one identical slice — then verify candidates exactly with the
+    * hamming distance (bit_count of xor), keeping pairs ≤ `maxHamming`.
+    * The generate-then-verify shape of [[lshPairs]] applied to the simhash
+    * tier: candidate cost is bounded by per-slice bucket sizes, never
+    * |docs|²; the semantics (share-a-band AND hamming ≤ h) are exactly
+    * what the oracle reproduces, so the operator is hash-checkable.
+    */
+  def simhashBandPairs(df: DataFrame, id: String, text: Column, bits: Int,
+                       bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits=$bits must divide into bands=$bands equal slices")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    // per-row single-pass fingerprint (simhashCol ≡ the grouped simhash —
+    // DedupOpsSpec pins the equality): no token explode/groupBy/join-back
+    // before the pair join
+    val fps = parallelize(df.select(col(id), text.as("__txt")))
+      .select(col(id),
+        transform(split(col("__txt"), " "), t => StableHash.polyHash(t)).as("__th"))
+      .select(col(id), simhashCol(col("__th"), bits).as("simhash"))
+    val exploded = fps.select(col(id), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))
+              .as("slice"))): _*)).as("bs"))
+      .select(col(id), col("simhash"), col("bs.band").as("band"),
+        col("bs.slice").as("slice"))
+    val l = exploded.select(col("band"), col("slice"),
+      col(id).as("id1"), col("simhash").as("__f1"))
+    val r = exploded.select(col("band"), col("slice"),
+      col(id).as("id2"), col("simhash").as("__f2"))
+    l.join(r, Seq("band", "slice"))
+      .filter(col("id1") < col("id2"))
+      // verify BEFORE the distinct: the hamming test is a per-row bitop on
+      // columns already in hand, so failing candidates never ride the
+      // dedup shuffle (clustered corpora make hot slices quadratic in
+      // candidates but few survive a tight hamming bound)
+      .select(col("id1"), col("id2"),
+        bit_count(col("__f1").bitwiseXOR(col("__f2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB twin of the band-share condition: OR over equal slices. */
+  def simhashBandShareSql(aFp: String, bFp: String, bits: Int, bands: Int): String = {
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    (0 until bands).map(b =>
+      s"((($aFp >> ${b * w}) & $mask) = (($bFp >> ${b * w}) & $mask))")
+      .mkString(" OR ")
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle, via inverted-index
     * self-join: |A∩B| from the posting-list join, sizes from per-doc counts,
     * J = inter / (|A| + |B| − inter). Blocked on `blockCol` to bound

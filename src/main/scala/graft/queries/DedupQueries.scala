@@ -92,6 +92,18 @@ object DedupQueries extends QueryPack {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", col("text"), K,
         Some(col("source")))
         .orderBy("id1", "id2")),
+
+    // Hamming-LSH over simhash: band the 32-bit fingerprint into 4 byte
+    // slices, candidates share ≥1 slice, verify bit_count(xor) ≤ 1.
+    // Generate-then-verify applied to the simhash tier — the share-a-band
+    // condition is part of the operator's semantics, so the oracle
+    // reproduces it exactly (no recall gap to hide). maxHamming is tight
+    // because the synthetic corpus's 32-bit fingerprints are heavily
+    // clustered (1.4k pairs at h≤1; h≤8 would pass 105k).
+    "d10_simhash_band_pairs" -> ((s, d) =>
+      Dedup.simhashBandPairs(Tables.documents(s, d), "doc_id", col("text"),
+        BITS, bands = 4, maxHamming = 1)
+        .orderBy("id1", "id2")),
   )
 
   // ---- generated oracle SQL ---------------------------------------------
@@ -188,6 +200,15 @@ object DedupQueries extends QueryPack {
         ORDER BY doc_id"""
   }
 
+  private def simhashBandPairsSql: String =
+    s"""$simhashCte
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE (${Dedup.simhashBandShareSql("a.simhash", "b.simhash", BITS, 4)})
+          AND bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY id1, id2"""
+
   private def jaccardSql: String =
     s"""$hashCte,
         z AS (SELECT doc_id, source, len(hs) AS nsh, unnest(hs) AS shingle FROM h)
@@ -217,5 +238,6 @@ object DedupQueries extends QueryPack {
     "d5_simhash" -> simhashSql,
     "d9_fingerprint_dedup" -> fingerprintDedupSql,
     "d6_ngram_jaccard" -> jaccardSql,
+    "d10_simhash_band_pairs" -> simhashBandPairsSql,
   )
 }

@@ -115,6 +115,31 @@ class DedupOpsSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("simhash band pairs: brute-force parity on a small corpus") {
+    // docs 1/2 identical (hamming 0); 3 near-identical to them; 4 far away
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 zz"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val bits = 32; val bands = 4; val maxH = 4
+    val got = Dedup.simhashBandPairs(df, "doc_id", col("text"), bits, bands, maxH)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute-force reference: same fingerprints, all pairs, same predicate
+    val fps = Dedup.simhash(df, "doc_id", col("text"), bits)
+      .as[(Long, Long)].collect().toMap
+    val w = bits / bands
+    def share(a: Long, b: Long) = (0 until bands).exists(i =>
+      ((a >> (i * w)) & ((1L << w) - 1)) == ((b >> (i * w)) & ((1L << w) - 1)))
+    val want = (for {
+      i <- fps.keys; j <- fps.keys if i < j
+      h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      if h <= maxH && share(fps(i), fps(j))
+    } yield (i, j, h)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 0)), s"exact dups must collide: $got")
+  }
+
   test("d8 apply: one canonical survivor per d7 component, sizes partition the corpus") {
     val sf = "/root/testdata/sf0.001"
     val comps = graft.SparkEntry.queries("d7_dup_groups")(spark, sf)

@@ -70,6 +70,36 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Seq((1L, 10L)))
   }
 
+  test("property: both joins agree with the naive reference on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // values around bin boundaries on purpose: multiples of the 10.0 bin
+    // width, tiny offsets, negatives
+    val genV = Gen.chooseNum(-5, 8).flatMap(k =>
+      Gen.oneOf(k * 10.0, k * 10.0 + 0.001, k * 10.0 - 0.001, k * 10.0 + 5.0))
+    val genIv = for { a <- genV; b <- genV } yield (math.min(a, b), math.max(a, b))
+    val genCase = for {
+      ps <- Gen.listOfN(12, genV)
+      ivs <- Gen.listOfN(8, genIv)
+    } yield (ps, ivs)
+    val prop = Prop.forAll(genCase) { case (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val gotP = RangeJoin.pointInInterval(
+          points.toDF("pid", "v"), col("v"),
+          intervals.toDF("iid", "lo", "hi"), col("lo"), col("hi"), 10.0)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      val gotO = RangeJoin.intervalOverlap(
+          intervals.toDF("lid", "llo", "lhi"), col("llo"), col("lhi"),
+          intervals.toDF("rid", "rlo", "rhi"), col("rlo"), col("rhi"), 10.0)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      gotP.toSet == naivePoint(points, intervals) &&
+        gotP.length == gotP.toSet.size &&
+        gotO.toSet == naiveOverlap(intervals, intervals) &&
+        gotO.length == gotO.toSet.size
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop).passed)
+  }
+
   test("binned plan is an equi-join — no nested-loop/cartesian fallback") {
     val p = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "v")
     val iv = (1 to 50).map(i => (i.toLong, i * 2.0, i * 2.0 + 5.0))
