@@ -31,5 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_seq_dot"),
       info("graft_seq_dot", "graft_seq_dot(a, b) - sequential-fold dot product of float arrays in double"),
       (children: Seq[Expression]) => SeqDotExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, n) - all n minhash signatures in one pass (n: int literal)"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: n must be an INT literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash: n must be a foldable INT literal")
+        }
+        require(n > 0 && n <= 1024, s"graft_minhash: n=$n outside (0, 1024]")
+        val ps = StableHash.affineParams(n)
+        MinHashExpr(children.head, ps.map(_._1).toArray, ps.map(_._2).toArray)
+      }))
   }
 }

@@ -69,6 +69,14 @@ class BucketingSpec extends SparkTestBase {
           "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
         .collect()(0).getDouble(0)
       assert(d == 1.5 * 2.0 + 2.0 * 0.5)
+      // fused minhash: same values as the array_min reference family
+      val mh = s2.sql(
+        "SELECT graft_minhash(array(CAST(5 AS BIGINT), CAST(42 AS BIGINT)), 4) AS m")
+        .collect()(0).getSeq[Long](0)
+      val ps = graft.functions.StableHash.affineParams(4)
+      val want = ps.map { case (a, b) =>
+        Seq(5L, 42L).map(h => (h * a + b) % graft.functions.StableHash.P).min }
+      assert(mh == want)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
