@@ -16,6 +16,11 @@ run / fork := true
 // break the parse (BENCH_r01/r02 "parsed": null).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// BENCH_r03 still had "parsed": null: sbt's default LoggedOutput relabels the
+// forked JVM's stdout as "[info] {...}", which the driver's JSON parse
+// rejects. StdoutOutput passes the child's stdout through verbatim (and its
+// stderr to stderr), so the bench line reaches the driver unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,7 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: d7's localCheckpoint unpersist emits hundreds of
+    // benign lineage-truncation WARNs that drown the one-line JSON output
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup absorbs JVM/codegen JIT so the first measured query
     // isn't charged for it
     try SparkEntry.queries("q1_agg")(spark, sfDir)

@@ -211,20 +211,27 @@ case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
   protected override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    if (n == 0) return null
+    // array_min parity: null slots are skipped, and an array with no
+    // non-null element (empty or all-null) minhashes to NULL — reading a
+    // null slot as getLong=0 would silently fold a spurious b%P term in
     val mins = Array.fill(as.length)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < as.length) {
-        val v = (h * as(j) + bs(j)) % StableHash.P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!hs.isNullAt(i)) {
+        any = true
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < as.length) {
+          val v = (h * as(j) + bs(j)) % StableHash.P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -234,20 +241,23 @@ case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
       val m = as.length
       s"""
       int ${ev.value}_n = $c.numElements();
-      if (${ev.value}_n == 0) {
+      long[] ${ev.value}_m = new long[$m];
+      java.util.Arrays.fill(${ev.value}_m, Long.MAX_VALUE);
+      boolean ${ev.value}_any = false;
+      for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        if ($c.isNullAt(${ev.value}_i)) continue;
+        ${ev.value}_any = true;
+        long ${ev.value}_h = $c.getLong(${ev.value}_i);
+        for (int ${ev.value}_j = 0; ${ev.value}_j < $m; ${ev.value}_j++) {
+          long ${ev.value}_v = (${ev.value}_h * $aRef[${ev.value}_j]
+            + $bRef[${ev.value}_j]) % ${StableHash.P}L;
+          if (${ev.value}_v < ${ev.value}_m[${ev.value}_j])
+            ${ev.value}_m[${ev.value}_j] = ${ev.value}_v;
+        }
+      }
+      if (!${ev.value}_any) {
         ${ev.isNull} = true;
       } else {
-        long[] ${ev.value}_m = new long[$m];
-        java.util.Arrays.fill(${ev.value}_m, Long.MAX_VALUE);
-        for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-          long ${ev.value}_h = $c.getLong(${ev.value}_i);
-          for (int ${ev.value}_j = 0; ${ev.value}_j < $m; ${ev.value}_j++) {
-            long ${ev.value}_v = (${ev.value}_h * $aRef[${ev.value}_j]
-              + $bRef[${ev.value}_j]) % ${StableHash.P}L;
-            if (${ev.value}_v < ${ev.value}_m[${ev.value}_j])
-              ${ev.value}_m[${ev.value}_j] = ${ev.value}_v;
-          }
-        }
         ${ev.value} =
           new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_m);
       }

@@ -25,12 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Hive-style partitioned parquet write. `parts` bounds the files per
-    * partition value (small dims → 1).
+  /** `parts` = files per partition VALUE, not total output partitions:
+    * the old `repartition(parts, col)` with the parts=1 default hashed
+    * every row of every value into ONE task — the whole dataset written
+    * serially. One hash partition per value keeps writes parallel across
+    * values (each value still yields exactly `parts` files); parts>1 adds
+    * a row-hash salt to split a hot value across tasks.
     */
+  private def clustered(df: DataFrame, partCol: String, parts: Int): DataFrame =
+    if (parts <= 1) df.repartition(col(partCol))
+    else df.repartition(col(partCol),
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(parts)))
+
+  /** Hive-style partitioned parquet write. */
   def writePartitioned(df: DataFrame, path: String, partCol: String,
                        parts: Int = 1): Unit =
-    df.repartition(parts, col(partCol))
+    clustered(df, partCol, parts)
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** Partitioned write with a within-file sort on `sortCol` for row-group
@@ -38,7 +48,7 @@ object Layout {
     */
   def writeSortedWithin(df: DataFrame, path: String, partCol: String,
                         sortCol: String, parts: Int = 1): Unit =
-    df.repartition(parts, col(partCol))
+    clustered(df, partCol, parts)
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 

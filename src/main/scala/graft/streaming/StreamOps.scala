@@ -169,7 +169,11 @@ object StreamOps {
 
   case class RunningOut(user_id: Long, event_id: Long, seq: Int,
                         running_value: Double)
-  case class RunningState(n: Int, total: Double, lastTsMs: Long)
+  // total is held in scaled longs (cents): the batch twin w1_running_sum
+  // folds in DECIMAL(18,2) for an order-stable exact sum, and cross-batch
+  // arrival order differs from event-time order — a Double accumulator
+  // would drift from the twin by FP rounding that depends on batch cuts
+  case class RunningState(n: Int, totalCents: Long, lastTsMs: Long)
 
   /** Per-key running totals — the streaming twin of `w1_running_sum`'s
     * cumulative-ledger window. State per key is one (count, total,
@@ -192,12 +196,13 @@ object StreamOps {
         (user: Long, rows: Iterator[Evt], state: GroupState[RunningState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(RunningState(0, 0.0, Long.MinValue))
+            var st = state.getOption.getOrElse(RunningState(0, 0L, Long.MinValue))
             val out = Seq.newBuilder[RunningOut]
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              st = RunningState(st.n + 1, st.total + e.value,
+              st = RunningState(st.n + 1,
+                st.totalCents + math.round(e.value * 100),
                 math.max(st.lastTsMs, e.ts.getTime))
-              out += RunningOut(user, e.event_id, st.n, st.total)
+              out += RunningOut(user, e.event_id, st.n, st.totalCents / 100.0)
             }
             state.update(st)
             if (st.lastTsMs != Long.MinValue)

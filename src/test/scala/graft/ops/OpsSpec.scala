@@ -226,6 +226,19 @@ class CustomExprSpec extends SparkTestBase {
     assert(fused.exceptAll(ref).count() == 0 && ref.exceptAll(fused).count() == 0)
   }
 
+  test("MinHashExpr skips null slots and yields NULL for all-null arrays") {
+    val df = Seq(
+      Seq[java.lang.Long](5L, null, 123456789L), // null slot must not fold b%P in
+      Seq[java.lang.Long](null),                 // all-null → NULL, like array_min
+      Seq[java.lang.Long](null, null, 42L))
+      .toDF("hs")
+    val n = 8
+    val fused = Dedup.withMinhashSigs(df, col("hs"), n).drop("hs")
+    val refCols = Dedup.minhashSigs(col("hs"), n)
+    val ref = df.select(refCols.map { case (nm, c) => c.as(nm) }: _*)
+    assert(fused.exceptAll(ref).count() == 0 && ref.exceptAll(fused).count() == 0)
+  }
+
   test("SeqDotExpr equals the interpreted zip_with fold") {
     val df = Seq(
       (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.75f, -1.5f)),
