@@ -265,6 +265,23 @@ object Similarity {
       .filter(col("cos") > threshold)
   }
 
+  /** Semantic dedup APPLY (the SemDeDup shape: arXiv:2303.09540 —
+    * cluster embeddings, drop all-but-one of each within-cluster near-dup
+    * set): a vector is dropped iff some SMALLER-id vector in its LSH
+    * bucket is within cosine > `threshold` (greedy keep-lowest-id, the
+    * deterministic stand-in for keep-one-per-duplicate-set; the bucket is
+    * the cluster stand-in — swap in kmeans assignment cids at scale).
+    * Candidates come from [[nearDupPairs]] (bucket-blocked, never
+    * all-pairs); the drop set is applied with one anti-join on the id —
+    * corpus-sized shuffle on a unique key, no skew.
+    */
+  def semDedup(emb: DataFrame, id: String, vec: String,
+               dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    val drops = nearDupPairs(emb, id, vec, dim, nPlanes, threshold)
+      .select(col("id2").as(id)).distinct()
+    emb.join(drops, Seq(id), "left_anti")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane h, dim i):
     * hash → uniform in [−0.5, 0.5). Portable (StableHash) so the oracle can
     * reproduce the planes.

@@ -50,6 +50,17 @@ object CubeQueries extends QueryPack {
           expr("percentile(l_quantity, 0.9)").as("p90"),
           Num.davg(col("l_quantity")).as("mean_qty"))
         .orderBy("l_returnflag")),
+
+    // Fixed-width histogram: one narrow bucket expression + one groupBy on
+    // a 20-value key — the distribution-profiling scan that at 100 TB is a
+    // single map-side-combined aggregation (20 groups survive the shuffle).
+    "c5_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(least(greatest(floor(col("value") / 25.0), lit(0L)), lit(19L))
+          .cast("int").as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_v"))
+        .orderBy("bucket")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,5 +90,9 @@ object CubeQueries extends QueryPack {
                  quantile_cont(l_quantity, 0.9) AS p90,
                  ${Num.sqlAvg("l_quantity")} AS mean_qty
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "c5_histogram" ->
+      s"""SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bucket,
+                 count(*) AS n, ${Num.sqlSum("value")} AS sum_v
+          FROM events GROUP BY 1 ORDER BY bucket""",
   )
 }

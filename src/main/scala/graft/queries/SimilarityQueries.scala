@@ -54,6 +54,16 @@ object SimilarityQueries extends QueryPack {
         DIM, PLANES, NEARDUP_T)
         .orderBy("id1", "id2")),
 
+    // Semantic dedup APPLY (SemDeDup shape): drop every vector with a
+    // smaller-id cosine-near-dup in its LSH bucket, keep the rest of the
+    // corpus. Candidates bucket-blocked (sim2b's plan), apply is one
+    // anti-join on the unique id.
+    "d11_semdedup_apply" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        DIM, PLANES, NEARDUP_T)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
     "sim3_hyperplane_buckets" -> ((s, d) =>
       graft.ops.Dedup.parallelize(
           Tables.embeddings(s, d).select("vec_id", "embedding"))
@@ -154,6 +164,18 @@ object SimilarityQueries extends QueryPack {
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
           WHERE ${Similarity.cosineSql("a.embedding", "c.embedding", DIM)} > $NEARDUP_T
           ORDER BY id1, id2""",
+    "d11_semdedup_apply" ->
+      s"""WITH b AS (SELECT vec_id,
+                 ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket,
+                 embedding
+               FROM embeddings),
+          drops AS (
+            SELECT DISTINCT c.vec_id
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE ${Similarity.cosineSql("a.embedding", "c.embedding", DIM)} > $NEARDUP_T)
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+          ORDER BY e.vec_id""",
     "sim3_hyperplane_buckets" ->
       s"""SELECT vec_id,
                  ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket

@@ -174,6 +174,21 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Mixture weighting / epoch upsampling: the "repeat high-quality
+    // sources N×" op every training-data mix needs. Per-source integer
+    // weight (derived deterministically from the source id so it scales
+    // with any corpus), each doc replicated weight times with an epoch
+    // index — explode(sequence(...)) is a NARROW fan-out fused into the
+    // scan; no shuffle, output size = Σ weights, known up front.
+    "t14_source_mixture" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+            .as("weight"))
+        .withColumn("epoch", explode(sequence(lit(0), col("weight") - 1)))
+        .select("doc_id", "source", "weight", "epoch")
+        .orderBy("doc_id", "epoch")),
+
     // The composed pipeline (TextPipeline.compile): rules → fingerprint
     // dedup → per-source quota → shuffle-shard in one plan. Stage counts
     // ride observe() (TextPipelineSpec); the gate checks the final corpus.
@@ -391,6 +406,13 @@ object TextQueries extends QueryPack {
                  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
                       AS INT) AS pos
           FROM h ORDER BY doc_id""",
+    "t14_source_mixture" ->
+      s"""WITH w AS (SELECT doc_id, source,
+                 1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS weight
+               FROM documents)
+          SELECT doc_id, source, weight,
+                 CAST(unnest(range(weight)) AS INT) AS epoch
+          FROM w ORDER BY doc_id, epoch""",
     "t12_term_df_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
                       FROM documents),
