@@ -14,8 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql("SELECT graft_polyhash(text) FROM docs")
   * }}}
   *
-  * Both functions plan as the codegen'd expressions from [[Exprs]], so SQL
-  * users get the same whole-stage-codegen kernels as the Scala API.
+  * The functions plan as the codegen'd expressions from [[Exprs]], so SQL
+  * users get the same whole-stage-codegen kernels as the Scala API; the
+  * optimizer rule [[graft.plans.RangeJoinBinningRule]] gives declarative
+  * range joins the binned equi-join plan (opt-in via
+  * `spark.graft.rangeJoin.binWidth`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -49,5 +52,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ps = StableHash.affineParams(n)
         MinHashExpr(children.head, ps.map(_._1).toArray, ps.map(_._2).toArray)
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
   }
 }

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Catalyst rewrite: point-in-interval joins become binned EQUI-joins.
+  *
+  * A join whose only predicate is `p >= lo AND p < hi` has no equi keys,
+  * so Spark plans BroadcastNestedLoopJoin (small side) or a cartesian
+  * product — quadratic work, unusable at 100 TB unless one side is tiny.
+  * [[graft.ops.RangeJoin.pointInInterval]] is the explicit-API fix; this
+  * rule applies the SAME rewrite transparently to any declarative join —
+  * `points.join(ivs, p >= lo && p < hi)` or the spark.sql equivalent —
+  * so SQL users get the scale plan without knowing the trick:
+  *
+  *   Join(P, I, p>=lo && p<hi)
+  *   ⇒ Project(orig output,
+  *       Filter(p>=lo && p<hi,                        // exact predicate
+  *         Join(Project(P, bin=floor(p/w)),           // point: ONE bin
+  *              Generate(explode(sequence(floor(lo/w), floor(hi/w))),
+  *                       Filter(lo<=hi, I)),          // interval: touched bins
+  *              Inner, pbin = ibin)))                  // ordinary equi-join
+  *
+  * Exactly-once without distinct: a point lives in exactly one bin. The
+  * reversed-interval pre-filter mirrors RangeJoin (`sequence(start>stop)`
+  * DESCENDS — a malformed row would replicate into bins it doesn't touch;
+  * such rows match no point under the exact predicate either, so dropping
+  * them is semantics-preserving). Null handling is unchanged: a null p /
+  * lo / hi fails the original comparison, and here fails the equi-join
+  * (null bin key) or the pre-filter.
+  *
+  * Opt-in via `spark.graft.rangeJoin.binWidth` (unset/≤0 ⇒ rule inert);
+  * fires only on Inner joins whose condition is EXACTLY the two double
+  * comparisons (any extra conjunct — e.g. an equi key Spark can already
+  * use — leaves the plan alone). The rewritten join's condition is a pure
+  * equality, so the rule cannot re-fire on its own output (the optimizer
+  * runs this batch to fixpoint). Registered by
+  * [[graft.functions.GraftExtensions]] via `injectOptimizerRule`.
+  */
+object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ConfKey = "spark.graft.rangeJoin.binWidth"
+
+  private def binWidth: Option[Double] =
+    try Option(SQLConf.get.getConfString(ConfKey, "")).filter(_.nonEmpty)
+      .map(_.toDouble).filter(_ > 0)
+    catch { case _: NumberFormatException => None }
+
+  /** Canonicalize to (a, b) meaning a >= b / a < b regardless of spelling. */
+  private def asGe(e: Expression): Option[(Expression, Expression)] = e match {
+    case GreaterThanOrEqual(a, b) => Some((a, b))
+    case LessThanOrEqual(b, a)    => Some((a, b))
+    case _                        => None
+  }
+  private def asLt(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThan(a, b)    => Some((a, b))
+    case GreaterThan(b, a) => Some((a, b))
+    case _                 => None
+  }
+
+  private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+      e.deterministic && e.dataType == DoubleType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
+    case None => plan
+    case Some(w) => plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint) =>
+        val rewritten = splitConjunctivePredicates(cond) match {
+          case preds @ Seq(_, _) =>
+            (preds.flatMap(asGe), preds.flatMap(asLt)) match {
+              case (Seq((p1, lo)), Seq((p2, hi))) if p1.semanticEquals(p2) =>
+                if (refsOnly(p1, l) && refsOnly(lo, r) && refsOnly(hi, r))
+                  Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = true))
+                else if (refsOnly(p1, r) && refsOnly(lo, l) && refsOnly(hi, l))
+                  Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = false))
+                else None
+              case _ => None
+            }
+          case _ => None
+        }
+        rewritten.getOrElse(j)
+    }
+  }
+
+  private def rewrite(j: Join, w: Double, p: Expression,
+                      lo: Expression, hi: Expression,
+                      pointsOnLeft: Boolean): LogicalPlan = {
+    val (points, intervals) = if (pointsOnLeft) (j.left, j.right) else (j.right, j.left)
+    val wLit = Literal(w, DoubleType)
+    def bin(e: Expression) = Floor(Divide(e, wLit))
+
+    val pBin = Alias(bin(p), "__graft_pbin")()
+    val pSide = Project(points.output :+ pBin, points)
+
+    val tz = Some(SQLConf.get.sessionLocalTimeZone) // TimeZoneAware resolution
+    val iBin = AttributeReference("__graft_ibin", LongType, nullable = false)()
+    val iSide = Generate(
+      Explode(new Sequence(bin(lo), bin(hi), None, tz)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iBin),
+      child = Filter(LessThanOrEqual(lo, hi), intervals))
+
+    val (nl, nr) = if (pointsOnLeft) (pSide, iSide) else (iSide, pSide)
+    val equi = Join(nl, nr, Inner,
+      Some(EqualTo(pBin.toAttribute, iBin)), j.hint)
+    Project(j.output, Filter(j.condition.get, equi))
+  }
+}

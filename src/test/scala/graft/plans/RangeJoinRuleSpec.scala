@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins RangeJoinBinningRule: a declarative range join under the rule
+  * yields exactly the naive join's rows while planning as an equi-join
+  * (no nested-loop / cartesian), in both point-side orientations; unset
+  * conf leaves the naive plan untouched.
+  */
+class RangeJoinRuleSpec extends SparkTestBase {
+
+  private def withRuleSession[A](f: SparkSession => A): A = {
+    val _ = spark // force shared-session init so we reuse its SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      f(s2)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  private def points(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // includes values below/above every interval and on bin boundaries
+    (0 until 200).map(i => (i.toLong, i * 0.7 - 10.0)).toDF("pid", "p")
+  }
+  private def intervals(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, 0.0, 10.0), (2L, 9.9, 12.4), (3L, 50.0, 51.0),
+      (4L, -5.0, -5.0),            // empty half-open interval
+      (5L, 30.0, 20.0),            // reversed: must match nothing
+      (6L, 119.0, 140.0))          // extends past all points
+      .toDF("iid", "lo", "hi")
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, Long)] =
+    df.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("binned rewrite: same rows as naive, equi-join plan, both orientations") {
+    withRuleSession { s =>
+      val p = points(s); val iv = intervals(s)
+      val cond = col("p") >= col("lo") && col("p") < col("hi")
+
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+      val naive = canon(p.join(iv, cond))
+      assert(naive.nonEmpty && !naive.exists(_._2 == 5L))
+
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      for (joined <- Seq(p.join(iv, cond), iv.join(p, cond))) {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"range join not rewritten:\n$plan")
+        assert(canon(joined) == naive)
+      }
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+
+  test("rule leaves joins with equi keys or extra predicates alone") {
+    withRuleSession { s =>
+      import s.implicits._
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      try {
+        val a = Seq((1L, 2.0), (2L, 7.0)).toDF("k", "v")
+        val b = Seq((1L, 0.0, 5.0), (2L, 5.0, 10.0)).toDF("k2", "lo", "hi")
+        // equi key present: Spark's own equi-join machinery must keep it
+        val mixed = a.join(b, col("k") === col("k2") &&
+          col("v") >= col("lo") && col("v") < col("hi"))
+        assert(mixed.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+        val plan = mixed.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__graft_pbin"), s"should not rewrite:\n$plan")
+      } finally s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+}
