@@ -368,18 +368,19 @@ object Dedup {
         // Every label is itself a node id whose own label is connected to it,
         // so the composed label stays within the component; reach r+1 (hook)
         // composed with reach r (labels) ≈ doubles per round → O(log d).
-        // the convergence check rides the checkpoint materialization as an
-        // observed metric — no separate job per round
-        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
         val next = hooked.join(
             labels.select(col("id").as("component"), col("component").as("__jump")),
             Seq("component"), "left")
           .select(col("id"), col("__old"),
             coalesce(col("__jump"), col("component")).as("component"))
-          .observe(obs, sum(when(col("component") < col("__old"), 1L)
-            .otherwise(0L)).as("changed"))
           .localCheckpoint()
-        done = Option(obs.get("changed")).collect { case l: Long => l }.getOrElse(0L) == 0L
+        // convergence check as a direct scan of the just-materialized
+        // checkpoint blocks — a milliseconds job. The previous form rode
+        // the materialization as an observe() metric, but Observation.get
+        // waits on the listener BUS, and in a long session (Bench: 100+
+        // queries of task events) bus backlog turned that wait into
+        // multi-second stalls (measured: d8 5.5s → 20.6s outliers)
+        done = next.filter(col("component") < col("__old")).isEmpty
         Blocks.unpersist(labels) // superseded by `next`
         labels = next.drop("__old")
         iter += 1
