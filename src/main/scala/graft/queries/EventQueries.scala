@@ -66,6 +66,26 @@ object EventQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
+    // errors with no click in [ets - lag, ets] still emit with a null
+    // click — same binnable-range plan as e6, plus the null row per
+    // unmatched error the outer semantics add.
+    "e8_interval_join_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          expr("ts DIV 1000").as("ets_us"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          expr("ts DIV 1000").as("cts_us"))
+      err.join(clk, col("user_id") === col("c_user") &&
+          col("cts_us") >= col("ets_us") - lit(LAG_US) &&
+          col("cts_us") <= col("ets_us"), "left_outer")
+        .select(col("error_id"), col("click_id"),
+          (col("ets_us") - col("cts_us")).as("lag_us"))
+        .orderBy("error_id", "click_id")
+    }),
+
     "e6_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val err = ev.filter(col("event_type") === "error")
@@ -138,6 +158,16 @@ object EventQueries extends QueryPack {
           SELECT error_id, click_id, ets_us - cts_us AS lag_us
           FROM err JOIN clk USING (user_id)
           WHERE cts_us BETWEEN ets_us - $LAG_US AND ets_us
+          ORDER BY error_id, click_id""",
+    "e8_interval_join_outer" ->
+      s"""WITH err AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS ets_us
+                       FROM events WHERE event_type = 'error'),
+              clk AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts_us
+                      FROM events WHERE event_type = 'click')
+          SELECT err.error_id, clk.click_id, err.ets_us - clk.cts_us AS lag_us
+          FROM err LEFT JOIN clk
+            ON err.user_id = clk.user_id
+           AND clk.cts_us BETWEEN err.ets_us - $LAG_US AND err.ets_us
           ORDER BY error_id, click_id""",
     "e1_tumbling_hourly" ->
       s"""SELECT (epoch_us(ts) // ${HOUR_NS / 1000}) AS hour_bucket, event_type,

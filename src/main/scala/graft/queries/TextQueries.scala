@@ -189,6 +189,38 @@ object TextQueries extends QueryPack {
         .select("doc_id", "source", "weight", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Curriculum ordering: each source's docs split into 4 quality phases
+    // (train easy→hard). ntile over a PARTITIONED window — per-source, so
+    // no single-task global sort; quality reuses t2's exact expression
+    // tree (hash-matched cross-engine, so the order — and thus the tile
+    // boundaries — is deterministic, with doc_id as the tie-break).
+    "t15_curriculum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("phase", ntile(4).over(w))
+        .select("doc_id", "source", "phase")
+        .orderBy("doc_id")
+    }),
+
+    // Per-source percentile outlier filter: drop docs outside their
+    // source's [p5, p95] length band — the distribution-aware quality
+    // gate (a global band misfires when sources have different length
+    // regimes). Stats side is |sources| rows → broadcast; corpus side
+    // stays unshuffled.
+    "t16_outlier_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+          expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.join(broadcast(stats), Seq("source"))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // The composed pipeline (TextPipeline.compile): rules → fingerprint
     // dedup → per-source quota → shuffle-shard in one plan. Stage counts
     // ride observe() (TextPipelineSpec); the gate checks the final corpus.
@@ -413,6 +445,33 @@ object TextQueries extends QueryPack {
           SELECT doc_id, source, weight,
                  CAST(unnest(range(weight)) AS INT) AS epoch
           FROM w ORDER BY doc_id, epoch""",
+    "t15_curriculum" ->
+      """WITH x AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                    FROM documents),
+         c AS (SELECT doc_id, source,
+                 CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+                   AS diversity,
+                 CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of'], t)))
+                      AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
+                 CAST(len(ts) AS INT) AS n_tokens
+               FROM x),
+         q AS (SELECT doc_id, source,
+                 diversity * 0.6 + (1.0 - stopword_ratio) * 0.3
+                   + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.1 AS quality
+               FROM c)
+         SELECT doc_id, source,
+                CAST(ntile(4) OVER (PARTITION BY source
+                       ORDER BY quality, doc_id) AS INT) AS phase
+         FROM q ORDER BY doc_id""",
+    "t16_outlier_filter" ->
+      """WITH st AS (SELECT source,
+                quantile_cont(n_chars, 0.05) AS lo,
+                quantile_cont(n_chars, 0.95) AS hi
+              FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN st USING (source)
+         WHERE d.n_chars >= st.lo AND d.n_chars <= st.hi
+         ORDER BY d.doc_id""",
     "t12_term_df_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
                       FROM documents),

@@ -64,6 +64,27 @@ object StreamOps {
         col("ets"), col("cts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but an
+    * error with NO click in its window still emits (null click) — the
+    * "errors without a preceding interaction" feed. Outer stream-stream
+    * joins REQUIRE both the watermarks and the time-range condition: the
+    * null side of an unmatched row is only decidable once the watermark
+    * passes the row's match window, so unmatched results trail the event
+    * by the watermark delay (they flush on a later batch), while state
+    * stays bounded by the same window-pruning as the inner form.
+    */
+  def intervalJoinOuter(errors: DataFrame, clicks: DataFrame,
+                        lag: String = "10 minutes",
+                        watermark: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ets", watermark)
+    val c = clicks.withWatermark("cts", watermark)
+    e.join(c, col("e_user") === col("c_user") &&
+      col("cts") >= col("ets") - expr(s"interval $lag") &&
+      col("cts") <= col("ets"), "left_outer")
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        col("ets"), col("cts"))
+  }
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
                  event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)

@@ -27,6 +27,50 @@ class LayoutSpec extends SparkTestBase {
     assert(files == 1, s"expected exactly 1 file read, got $files")
   }
 
+  test("z-value interleaves bits like the scalar reference") {
+    def zRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 1L), (170L, 85L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      Layout.zValue(col("x"), col("y"), 8).as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1), 8),
+        s"z(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z-ordered layout skips row groups on a 2-D box query") {
+    val zPath = tmpDir(); val basePath = tmpDir()
+    // 200x200 grid, one row per cell
+    val df = (0 until 40000).map { i =>
+      (i.toLong, (i % 200).toDouble, (i / 200).toDouble)
+    }.toDF("id", "x", "y")
+    Layout.writeZOrdered(df, zPath, "x", "y", (0.0, 200.0), (0.0, 200.0),
+      bits = 8, parts = 16)
+    // control: same rows, same file count, NO locality (hash clustering) —
+    // every row group's x/y min/max spans the whole domain
+    df.repartition(16, xxhash64(col("id")))
+      .write.mode("overwrite").parquet(basePath)
+
+    def boxScan(path: String): (Long, Long) = {
+      val q = Layout.read(spark, path).filter(
+        col("x") >= 50.0 && col("x") < 60.0 &&
+          col("y") >= 50.0 && col("y") < 60.0)
+      val n = q.collect().length.toLong
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      (n, scanned)
+    }
+    val (nZ, scannedZ) = boxScan(zPath)
+    val (nB, scannedB) = boxScan(basePath)
+    assert(nZ == 100 && nB == 100) // correctness on both layouts
+    // the z layout must read a small fraction of what the control reads
+    assert(scannedZ * 2 < scannedB,
+      s"z-order skipped nothing: z=$scannedZ control=$scannedB")
+  }
+
   test("within-partition sort yields row-group min/max skipping stats") {
     val path = tmpDir()
     // two row groups per file (small block size forced via many rows)

@@ -161,6 +161,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer interval join emits unmatched errors with null click after watermark") {
+    implicit val sql = spark.sqlContext
+    val errs = MemoryStream[StreamOps.Evt]
+    val clks = MemoryStream[StreamOps.Evt]
+    val eDf = errs.toDF().select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("ets"))
+    val cDf = clks.toDF().select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("cts"))
+    val q = StreamOps.intervalJoinOuter(eDf, cDf,
+        lag = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("ojoin")
+      .outputMode("append").start()
+    try {
+      // user 1: matched error; user 2: error with no click in its window
+      clks.addData(StreamOps.Evt(101, ts(12), 1, "click", 1.0))
+      errs.addData(StreamOps.Evt(201, ts(15), 1, "error", 1.0),
+        StreamOps.Evt(202, ts(15), 2, "error", 1.0))
+      q.processAllAvailable()
+      // matched row is out immediately; the unmatched one must NOT be
+      // (its window could still fill until the watermark passes it)
+      def rows() = spark.table("ojoin")
+        .select("error_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows() == Set((201L, 101L)), s"got ${rows()}")
+      // advance the watermark far past error 202's window on both streams
+      clks.addData(StreamOps.Evt(102, ts(300), 3, "click", 1.0))
+      errs.addData(StreamOps.Evt(203, ts(300), 3, "error", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((202L, -1L)),
+        s"unmatched error not flushed as null row: ${rows()}")
+    } finally q.stop()
+  }
+
   test("final session flushes via event-time timeout when the watermark passes") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
