@@ -61,6 +61,34 @@ object CubeQueries extends QueryPack {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_v"))
         .orderBy("bucket")),
+
+    // Set operations (SQL-surface completeness): INTERSECT/EXCEPT plan as
+    // distinct + semi/anti join — keyed shuffles, never nested loops.
+    "c6_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // customers with no completed ('F') order — EXCEPT as distinct + anti
+    // join. (Plain customers-minus-all-orderers is empty in this corpus —
+    // a 0-row ∩ 0-row hash match proves nothing, so the filtered form.)
+    "c7_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")),
+
+    // listagg/string_agg: made order-independent (and thus cross-engine
+    // exact) by sorting the distinct set BEFORE joining — a raw string_agg
+    // over an unordered group is nondeterministic on any parallel engine.
+    "c8_string_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,5 +122,21 @@ object CubeQueries extends QueryPack {
       s"""SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bucket,
                  count(*) AS n, ${Num.sqlSum("value")} AS sum_v
           FROM events GROUP BY 1 ORDER BY bucket""",
+    "c6_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "c7_except" ->
+      """SELECT c_custkey AS o_custkey FROM customer
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "c8_string_agg" ->
+      """SELECT o_orderpriority,
+                array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                  AS statuses,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }
