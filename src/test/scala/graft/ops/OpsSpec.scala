@@ -177,6 +177,32 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(trained(4L)(1) > trained(4L).head)
   }
 
+  test("semDedup keeps exactly the vectors with no smaller-id bucket near-dup") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8; val n = 60; val planes = 3; val t = 0.5
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // scalar mirrors of hyperplaneBucket (bit h = 1 iff v·plane_h > 0) and
+    // the sequential-fold cosine — same index order, so bit-identical
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def bucket(v: Array[Float]): Long =
+      (0 until planes).foldLeft(0L) { (acc, h) =>
+        val d = v.indices.foldLeft(0.0)((s, i) =>
+          s + v(i).toDouble * Similarity.planeComponent(h, i))
+        if (d > 0) acc | (1L << h) else acc
+      }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val keepRef = vecs.collect { case (id, v) if !vecs.exists { case (id2, v2) =>
+      id2 < id && bucket(v2) == bucket(v) && cos(v2, v) > t
+    } => id }.toSet
+    val got = Similarity.semDedup(df, "vec_id", "embedding", dim, planes, t)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == keepRef && got.size < n, s"got ${got.size} of $n")
+  }
+
   test("cosine: identity 1, orthogonal 0") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
