@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Catalyst rewrite: point-in-interval joins become binned EQUI-joins.
   *
-  * A join whose only predicate is `p >= lo AND p < hi` has no equi keys,
-  * so Spark plans BroadcastNestedLoopJoin (small side) or a cartesian
-  * product — quadratic work, unusable at 100 TB unless one side is tiny.
+  * A join whose only predicate is `p >= lo AND p < hi` (any strictness
+  * spelling, including BETWEEN's pair of inclusive bounds) has no equi
+  * keys, so Spark plans BroadcastNestedLoopJoin (small side) or a
+  * cartesian product — quadratic work, unusable at 100 TB unless one side
+  * is tiny.
   * [[graft.ops.RangeJoin.pointInInterval]] is the explicit-API fix; this
   * rule applies the SAME rewrite transparently to any declarative join —
   * `points.join(ivs, p >= lo && p < hi)` or the spark.sql equivalent —
@@ -50,16 +52,26 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
       .map(_.toDouble).filter(_ > 0)
     catch { case _: NumberFormatException => None }
 
-  /** Canonicalize to (a, b) meaning a >= b / a < b regardless of spelling. */
-  private def asGe(e: Expression): Option[(Expression, Expression)] = e match {
+  /** Canonicalize a comparison to "(bounded, bound)". Any inequality is a
+    * lower bound read one way and an upper bound read the other; the
+    * caller's `semanticEquals` + per-side reference checks pick the one
+    * consistent reading (or none). Strictness doesn't matter for BINNING —
+    * bins are coarse and the exact predicate is re-applied as the residual
+    * — so >=, >, <=, < (and thus BETWEEN) all qualify.
+    */
+  private def asLower(e: Expression): Option[(Expression, Expression)] = e match {
+    case GreaterThan(a, b)        => Some((a, b))
     case GreaterThanOrEqual(a, b) => Some((a, b))
+    case LessThan(b, a)           => Some((a, b))
     case LessThanOrEqual(b, a)    => Some((a, b))
     case _                        => None
   }
-  private def asLt(e: Expression): Option[(Expression, Expression)] = e match {
-    case LessThan(a, b)    => Some((a, b))
-    case GreaterThan(b, a) => Some((a, b))
-    case _                 => None
+  private def asUpper(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThan(a, b)           => Some((a, b))
+    case LessThanOrEqual(a, b)    => Some((a, b))
+    case GreaterThan(b, a)        => Some((a, b))
+    case GreaterThanOrEqual(b, a) => Some((a, b))
+    case _                        => None
   }
 
   private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
@@ -72,15 +84,22 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
         val rewritten = splitConjunctivePredicates(cond) match {
           case preds @ Seq(_, _) =>
-            (preds.flatMap(asGe), preds.flatMap(asLt)) match {
-              case (Seq((p1, lo)), Seq((p2, hi))) if p1.semanticEquals(p2) =>
-                if (refsOnly(p1, l) && refsOnly(lo, r) && refsOnly(hi, r))
-                  Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = true))
-                else if (refsOnly(p1, r) && refsOnly(lo, l) && refsOnly(hi, l))
-                  Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = false))
-                else None
-              case _ => None
-            }
+            // try both (lower-pred, upper-pred) assignments; a candidate is
+            // valid only when both comparisons bound the SAME expression
+            // and the point/bound sides are consistent
+            preds.permutations.flatMap { case Seq(lp, up) =>
+              for {
+                (p1, lo) <- asLower(lp)
+                (p2, hi) <- asUpper(up)
+                if p1.semanticEquals(p2)
+                out <-
+                  if (refsOnly(p1, l) && refsOnly(lo, r) && refsOnly(hi, r))
+                    Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = true))
+                  else if (refsOnly(p1, r) && refsOnly(lo, l) && refsOnly(hi, l))
+                    Some(rewrite(j, w, p1, lo, hi, pointsOnLeft = false))
+                  else None
+              } yield out
+            }.nextOption()
           case _ => None
         }
         rewritten.getOrElse(j)

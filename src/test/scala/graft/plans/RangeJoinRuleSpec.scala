@@ -66,6 +66,41 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("BETWEEN spelling (two inclusive bounds, via spark.sql) also rewrites") {
+    withRuleSession { s =>
+      val p = points(s); val iv = intervals(s)
+      val cond = col("p") >= col("lo") && col("p") <= col("hi")
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+      val naive = canon(p.join(iv, cond))
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      try {
+        p.createOrReplaceTempView("pts"); iv.createOrReplaceTempView("ivs")
+        val sqlJoined = s.sql(
+          "SELECT pid, iid FROM pts JOIN ivs ON p BETWEEN lo AND hi")
+        val plan = sqlJoined.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"BETWEEN join not rewritten:\n$plan")
+        assert(canon(sqlJoined) == naive)
+      } finally s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+
+  test("non-double bound columns do not fire the rule") {
+    withRuleSession { s =>
+      import s.implicits._
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      try {
+        val a = Seq((1L, 2L), (2L, 7L)).toDF("k", "v") // LONG, not DOUBLE
+        val b = Seq((10L, 0L, 5L), (20L, 5L, 10L)).toDF("iid", "lo", "hi")
+        val joined = a.join(b, col("v") >= col("lo") && col("v") < col("hi"))
+        assert(joined.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+          == Seq((1L, 10L), (2L, 20L)))
+        val plan = joined.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__graft_pbin"), s"should not rewrite:\n$plan")
+      } finally s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+
   test("rule leaves joins with equi keys or extra predicates alone") {
     withRuleSession { s =>
       import s.implicits._
