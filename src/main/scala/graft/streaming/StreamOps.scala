@@ -42,6 +42,38 @@ object StreamOps {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Exactly-once-BY-KEY streaming ingest into a parquet table, with an
+    * UNBOUNDED dedup horizon: [[dedup]]'s dropDuplicates state is bounded
+    * by the watermark (a key recurring a week later lands twice), this
+    * foreachBatch sink instead anti-joins each batch against the keys
+    * already ON DISK — the [[graft.domain.MemoCache]] discipline applied
+    * to a stream. Within a batch, keep-first is deterministic by
+    * (orderCol, key). Batch replays after a crash are idempotent for any
+    * COMMITTED prior write (already-present keys filter out); the same
+    * single-writer assumption as MemoCache applies. At scale the
+    * anti-join probe is one keyed shuffle of the (small) batch against
+    * the table's key column — column-pruned to the key, never the
+    * payload.
+    */
+  def startDedupIngest(src: DataFrame, key: String, orderCol: String,
+                       path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(orderCol), col(key))
+        val fresh = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val existing =
+          try Some(batch.sparkSession.read.parquet(path).select(col(key)))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        existing.fold(fresh)(e => fresh.join(e, Seq(key), "left_anti"))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Stream–stream interval join (the canonical attribution join: each
     * error matched to same-user clicks within the preceding `lag`). BOTH
     * sides carry a watermark and the join has a two-sided time-range

@@ -161,6 +161,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedup ingest sink lands each key once across batches, keep-first") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val q = StreamOps.startDedupIngest(ms.toDF(), "event_id", "ts",
+      s"$dir/table", s"$dir/ckpt")
+    try {
+      // batch 1: key 1 twice (keep the earlier ts), key 2 once
+      ms.addData(StreamOps.Evt(1, ts(5), 10, "a", 1.0),
+        StreamOps.Evt(1, ts(1), 11, "b", 1.0),
+        StreamOps.Evt(2, ts(2), 12, "c", 1.0))
+      q.processAllAvailable()
+      // batch 2: key 1 AGAIN (must not land — on-disk horizon), key 3 new
+      ms.addData(StreamOps.Evt(1, ts(9), 13, "d", 1.0),
+        StreamOps.Evt(3, ts(3), 14, "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/table")
+        .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 11L), (2L, 12L), (3L, 14L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("outer interval join emits unmatched errors with null click after watermark") {
     implicit val sql = spark.sqlContext
     val errs = MemoryStream[StreamOps.Evt]
