@@ -27,6 +27,11 @@ object Bench {
     // noop sink: forces FULL materialization of every output column —
     // count() would let Catalyst prune the projections being measured.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed GC between queries (JMH discipline): without it, one
+      // query's garbage (checkpoint blocks, shuffle buffers) surfaces as
+      // GC pauses inside a LATER query's timed window — measured as d7
+      // 2.9 s standalone vs 5-12 s in-bench
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
