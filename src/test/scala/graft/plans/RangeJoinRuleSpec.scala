@@ -101,6 +101,29 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("two large sides: rewritten join shuffles on the bin key (no broadcast)") {
+    withRuleSession { s =>
+      val p = points(s); val iv = intervals(s)
+      val cond = col("p") >= col("lo") && col("p") < col("hi")
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+      val naive = canon(p.join(iv, cond))
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = p.join(iv, cond)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"not rewritten:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"expected a shuffled equi-join on the bin key:\n$plan")
+        assert(canon(joined) == naive)
+      } finally {
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.unset(RangeJoinBinningRule.ConfKey)
+      }
+    }
+  }
+
   test("rule leaves joins with equi keys or extra predicates alone") {
     withRuleSession { s =>
       import s.implicits._
