@@ -221,6 +221,30 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Heavy hitters WITHOUT a full-domain shuffle: Misra–Gries partial
+    // summaries (bounded 256-entry state through map-side combine, so the
+    // exchange carries O(partitions·capacity) rows however large the
+    // vocabulary) → candidate set → exact re-verify of candidates only
+    // (broadcast semi-join + count) → threshold. Deterministic because MG
+    // guarantees every item above N/(capacity+1) survives any merge order
+    // and the reported set is re-counted exactly.
+    "hh1_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val mg = new graft.functions.MisraGries.Summary(256).toColumn
+      val cand = docs.select(split(col("text"), " ").as("tokens"))
+        .as[Seq[String]].select(mg).toDF("mg")
+        .select(explode(map_keys(col("mg"))).as("token"))
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val counts = toks.join(broadcast(cand), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 32 >= col("total"))
+        .select(col("token"), col("cnt"))
+        .orderBy("token")
+    }),
+
     // The composed pipeline (TextPipeline.compile): rules → fingerprint
     // dedup → per-source quota → shuffle-shard in one plan. Stage counts
     // ride observe() (TextPipelineSpec); the gate checks the final corpus.
@@ -445,6 +469,12 @@ object TextQueries extends QueryPack {
           SELECT doc_id, source, weight,
                  CAST(unnest(range(weight)) AS INT) AS epoch
           FROM w ORDER BY doc_id, epoch""",
+    "hh1_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         n AS (SELECT count(*) AS total FROM tok)
+         SELECT token, cnt FROM c, n WHERE cnt * 32 >= total ORDER BY token""",
     "t15_curriculum" ->
       """WITH x AS (SELECT doc_id, source, string_split(text, ' ') AS ts
                     FROM documents),
