@@ -221,6 +221,17 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Data-quality audit (Deequ shape): four declarative constraints
+    // compiled into ONE aggregate scan — two hold (0 violations proves
+    // the constraint), two fire (real counts prove the counting).
+    "dq1_audit" -> ((s, d) => {
+      import graft.ops.DataQuality._
+      audit(Tables.documents(s, d), Seq(
+        NotNull("text"), Unique("doc_id"),
+        InRange("n_chars", 1, 400), Matches("lang", "en|de|fr")))
+        .orderBy("check")
+    }),
+
     // Heavy hitters WITHOUT a full-domain shuffle: Misra–Gries partial
     // summaries (bounded 256-entry state through map-side combine, so the
     // exchange carries O(partitions·capacity) rows however large the
@@ -469,6 +480,19 @@ object TextQueries extends QueryPack {
           SELECT doc_id, source, weight,
                  CAST(unnest(range(weight)) AS INT) AS epoch
           FROM w ORDER BY doc_id, epoch""",
+    "dq1_audit" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+                CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS v_notnull,
+                CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS v_unique,
+                CAST(count(CASE WHEN n_chars < 1 OR n_chars > 400 THEN 1 END) AS BIGINT) AS v_range,
+                CAST(count(CASE WHEN lang IS NOT NULL
+                       AND NOT regexp_full_match(lang, '(?:en|de|fr)') THEN 1 END) AS BIGINT) AS v_lang
+              FROM documents)
+         SELECT 'not_null_text' AS "check", v_notnull AS violations, n_rows FROM s
+         UNION ALL SELECT 'unique_doc_id', v_unique, n_rows FROM s
+         UNION ALL SELECT 'range_n_chars', v_range, n_rows FROM s
+         UNION ALL SELECT 'matches_lang', v_lang, n_rows FROM s
+         ORDER BY "check"""",
     "hh1_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                       FROM documents),
