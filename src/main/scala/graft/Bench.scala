@@ -50,8 +50,12 @@ object Bench {
     // mass-failure run: cap the failures listed there (full list → file)
     def failArr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // n_queries rides the line because the stdout "queries" dict is only
+    // the headline subset: without the count, a total that grew because
+    // the REGISTRY grew (74 → 128 queries across rounds) reads as a
+    // regression in round-over-round comparison
     def line(qs: String, fs: Seq[String]) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failures":${failed.size},"queries":$qs,"failures":${failArr(fs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failed.size},"queries":$qs,"failures":${failArr(fs)},"sf":"$sfDir"}"""
     // full per-query map → file; the driver reads a 2000-char stdout TAIL
     // (BENCH_r01/r02 "tail"), so the stdout line must stay well under that —
     // it carries the total plus a fixed headline subset for regression
