@@ -186,6 +186,88 @@ case class SeqL2Expr(left: Expression, right: Expression, off: Int, n: Int)
     copy(left = l, right = r)
 }
 
+/** Fused cosine similarity: dot, ‖a‖², ‖b‖² accumulated in ONE traversal,
+  * result = dot / (√‖a‖²·√‖b‖²). Bit-identical to the composed
+  * `seqDot(a,b) / (sqrt(seqDot(a,a)) * sqrt(seqDot(b,b)))` — each
+  * accumulator adds in index order exactly as its standalone loop would
+  * (dot over min(|a|,|b|), norms over their full arrays via tail loops) —
+  * but the arrays are read once instead of three times (plus once more
+  * each for the norms' duplicated children). The sim-family's scan
+  * compute sits on this kernel.
+  */
+case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
+    def gx(i: Int) = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+    def gy(i: Int) = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+    val (nx, ny) = (x.numElements(), y.numElements())
+    val n = math.min(nx, ny)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = gx(i); val yv = gy(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    while (i < nx) { val xv = gx(i); na += xv * xv; i += 1 }
+    i = n
+    while (i < ny) { val yv = gy(i); nb += yv * yv; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(v: String, dbl: Boolean, i: String) =
+        if (dbl) s"$v.getDouble($i)" else s"((double) $v.getFloat($i))"
+      val v = ev.value
+      s"""
+      int ${v}_nx = $a.numElements();
+      int ${v}_ny = $b.numElements();
+      int ${v}_n = java.lang.Math.min(${v}_nx, ${v}_ny);
+      double ${v}_dot = 0.0; double ${v}_na = 0.0; double ${v}_nb = 0.0;
+      int ${v}_i = 0;
+      for (; ${v}_i < ${v}_n; ${v}_i++) {
+        double ${v}_x = ${get(a, isDouble(left), s"${v}_i")};
+        double ${v}_y = ${get(b, isDouble(right), s"${v}_i")};
+        ${v}_dot += ${v}_x * ${v}_y; ${v}_na += ${v}_x * ${v}_x;
+        ${v}_nb += ${v}_y * ${v}_y;
+      }
+      for (; ${v}_i < ${v}_nx; ${v}_i++) {
+        double ${v}_x = ${get(a, isDouble(left), s"${v}_i")};
+        ${v}_na += ${v}_x * ${v}_x;
+      }
+      for (${v}_i = ${v}_n; ${v}_i < ${v}_ny; ${v}_i++) {
+        double ${v}_y = ${get(b, isDouble(right), s"${v}_i")};
+        ${v}_nb += ${v}_y * ${v}_y;
+      }
+      $v = ${v}_dot / (java.lang.Math.sqrt(${v}_na) * java.lang.Math.sqrt(${v}_nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+    copy(left = l, right = r)
+}
+
 /** All n minhash signatures in ONE pass over the shingle-hash array.
   *
   * Semantically identical to n separate
@@ -277,6 +359,8 @@ object Exprs {
   }
   def seqDot(a: Column, b: Column): Column =
     column(SeqDotExpr(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    column(CosineExpr(expression(a), expression(b)))
   def seqL2(a: Column, b: Column, off: Int, n: Int): Column =
     column(SeqL2Expr(expression(a), expression(b), off, n))
 }

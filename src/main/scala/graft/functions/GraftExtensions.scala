@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_seq_dot", "graft_seq_dot(a, b) - sequential-fold dot product of float arrays in double"),
       (children: Seq[Expression]) => SeqDotExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - fused single-traversal cosine similarity of float arrays"),
+      (children: Seq[Expression]) => CosineExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hashes, n) - all n minhash signatures in one pass (n: int literal)"),

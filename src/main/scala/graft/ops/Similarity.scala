@@ -31,7 +31,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-traversal kernel ([[graft.functions.CosineExpr]]):
+    * bit-identical to `dot(a,b) / (norm(a) * norm(b))` — same index-order
+    * accumulation per term — but reads each array once instead of the
+    * composed form's three traversals (five with the norms' duplicated
+    * children), so every candidate-verify join in the sim family does a
+    * third of the memory work.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.Exprs.cosine(a, b)
 
   /** DuckDB twins — same fold order, same expression tree. */
   def dotSql(a: String, b: String, dim: Int): String =

@@ -265,6 +265,25 @@ class CustomExprSpec extends SparkTestBase {
     assert(fused.exceptAll(ref).count() == 0 && ref.exceptAll(fused).count() == 0)
   }
 
+  test("CosineExpr is bit-identical to the composed dot/norm form") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      // include a length mismatch: tail-loop norms must match the
+      // composed form's full-array norms exactly
+      val la = 16; val lb = if (i % 7 == 0) 12 else 16
+      (Array.fill(la)(rnd.nextFloat() * 4 - 2), Array.fill(lb)(rnd.nextFloat() * 4 - 2))
+    }
+    val df = rows.toDF("a", "b")
+    val composed = graft.functions.Exprs.seqDot(col("a"), col("b")) /
+      (sqrt(graft.functions.Exprs.seqDot(col("a"), col("a"))) *
+        sqrt(graft.functions.Exprs.seqDot(col("b"), col("b"))))
+    val diff = df.select(
+        graft.functions.Exprs.cosine(col("a"), col("b")).as("fused"),
+        composed.as("ref"))
+      .filter(col("fused") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("SeqDotExpr equals the interpreted zip_with fold") {
     val df = Seq(
       (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.75f, -1.5f)),
