@@ -31,4 +31,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("t16 outlier filter: per-source stats broadcast, corpus unshuffled") {
+    val p = plan("t16_outlier_filter")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d11 semantic dedup: bucket-blocked candidates, anti-join apply, no nested loop") {
+    val p = plan("d11_semdedup_apply")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t14 mixture: a narrow Generate, no exchange before the output sort") {
+    val p = plan("t14_source_mixture")
+    assert(p.contains("Generate explode"), p.linesIterator.take(8).mkString("\n"))
+    // the ONLY exchange is the deterministic output sort's range partitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("hh1 heavy hitters: candidates broadcast for the exact re-verify") {
+    val p = plan("hh1_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
