@@ -117,6 +117,45 @@ object StreamOps {
         col("ets"), col("cts"))
   }
 
+  /** Streaming materialized view: the update-mode twin of
+    * [[tumblingCounts]] merged into a parquet SERVING table keyed by
+    * (win_start, event_type) — the "stream keeps a dashboard table
+    * current" shape. Each micro-batch emits only the (window, type) rows
+    * whose counts changed; the sink upserts them: anti-join the current
+    * table on the key (drop superseded rows), union the fresh ones,
+    * rewrite. The merged frame is eagerly checkpointed BEFORE the
+    * overwrite — the plan reads the same path it is about to replace, and
+    * parquet reads are lazy. Rewrite-the-table is exact for a
+    * dashboard-sized view; at lake scale the same merge targets only
+    * touched partitions (partitionBy(win_start) + dynamic partition
+    * overwrite) or a MERGE-capable table format.
+    */
+  def startCountsMatView(events: DataFrame, path: String, checkpoint: String,
+                         window_ : String = "1 hour",
+                         watermark: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    counts.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keys = Seq("win_start", "event_type")
+        val existing =
+          try Some(spark.read.parquet(path))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val merged = existing
+          .fold(batch)(e => e.join(batch, keys, "left_anti").unionByName(batch))
+          .localCheckpoint(true) // sever from the path we overwrite next
+        merged.write.mode("overwrite").parquet(path)
+      }
+      .start()
+  }
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
                  event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)

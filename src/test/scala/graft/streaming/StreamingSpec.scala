@@ -161,6 +161,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("counts mat-view converges to the batch aggregate across updates") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val dir = java.nio.file.Files.createTempDirectory("graft-matview").toString
+    val q = StreamOps.startCountsMatView(ms.toDF(), s"$dir/view", s"$dir/ckpt")
+    try {
+      val all = Seq(
+        StreamOps.Evt(1, ts(5), 1, "click", 1.0),
+        StreamOps.Evt(2, ts(10), 2, "click", 1.0),
+        StreamOps.Evt(3, ts(15), 1, "view", 1.0),
+        // second batch UPDATES hour 0's click count and adds a later hour
+        StreamOps.Evt(4, ts(20), 3, "click", 1.0),
+        StreamOps.Evt(5, ts(90), 1, "click", 1.0))
+      ms.addData(all.take(3): _*); q.processAllAvailable()
+      ms.addData(all.drop(3): _*); q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/view")
+        .select("win_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val want = all.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"got $got\nwant $want")
+    } finally q.stop()
+  }
+
   test("dedup ingest sink lands each key once across batches, keep-first") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
