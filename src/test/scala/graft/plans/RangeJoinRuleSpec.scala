@@ -101,6 +101,27 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("filter-above-cross-join spelling (FROM a, b WHERE ...) also rewrites") {
+    withRuleSession { s =>
+      val p = points(s); val iv = intervals(s)
+      val cond = col("p") >= col("lo") && col("p") < col("hi")
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+      val naive = canon(p.join(iv, cond))
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      try {
+        // PushPredicateThroughJoin (same fixpoint batch) folds the WHERE
+        // into the join condition; the rule must fire on that later pass
+        p.createOrReplaceTempView("pts2"); iv.createOrReplaceTempView("ivs2")
+        val implicitJoin = s.sql(
+          "SELECT pid, iid FROM pts2, ivs2 WHERE p >= lo AND p < hi")
+        val plan = implicitJoin.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"WHERE-form range join not rewritten:\n$plan")
+        assert(canon(implicitJoin) == naive)
+      } finally s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+
   test("two large sides: rewritten join shuffles on the bin key (no broadcast)") {
     withRuleSession { s =>
       val p = points(s); val iv = intervals(s)
