@@ -87,7 +87,7 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
             // try both (lower-pred, upper-pred) assignments; a candidate is
             // valid only when both comparisons bound the SAME expression
             // and the point/bound sides are consistent
-            preds.permutations.flatMap { case Seq(lp, up) =>
+            val point = preds.permutations.flatMap { case Seq(lp, up) =>
               for {
                 (p1, lo) <- asLower(lp)
                 (p2, hi) <- asUpper(up)
@@ -100,10 +100,54 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] with PredicateHelper {
                   else None
               } yield out
             }.nextOption()
+            point.orElse {
+              // interval OVERLAP: two "≤"-type comparisons CROSSING sides
+              // (lLo ≤ rHi AND rLo ≤ lHi) — each side is an interval
+              preds.permutations.flatMap { case Seq(c1, c2) =>
+                for {
+                  (a, b) <- asUpper(c1) // a ≤ b
+                  (c, d) <- asUpper(c2) // c ≤ d
+                  if refsOnly(a, l) && refsOnly(b, r) &&
+                    refsOnly(c, r) && refsOnly(d, l)
+                } yield rewriteOverlap(j, w, lLo = a, lHi = d, rLo = c, rHi = b)
+              }.nextOption()
+            }
           case _ => None
         }
         rewritten.getOrElse(j)
     }
+  }
+
+  /** Overlap rewrite: both sides replicate into every bin their
+    * [min(lo,hi), max(lo,hi)] span touches (min/max, NOT a proper-interval
+    * filter: the raw predicate `lLo ≤ rHi AND rLo ≤ lHi` can match pairs
+    * whose L or R interval is REVERSED, and a transparent rewrite must
+    * preserve those rows exactly — unlike graft.ops.RangeJoin's explicit
+    * API, which defines them away). Exactly-once without distinct: the
+    * pair is emitted only in the bin owning max(lLo, rLo) — when the
+    * predicate holds, that value provably lies inside BOTH sides' min/max
+    * spans, so its bin is in both replication ranges. Reversed intervals
+    * with huge spans replicate proportionally — the explicit API is the
+    * right tool when inputs aren't sanitized.
+    */
+  private def rewriteOverlap(j: Join, w: Double,
+                             lLo: Expression, lHi: Expression,
+                             rLo: Expression, rHi: Expression): LogicalPlan = {
+    val wLit = Literal(w, DoubleType)
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    def bin(e: Expression) = Floor(Divide(e, wLit))
+    def gen(child: LogicalPlan, lo: Expression, hi: Expression, name: String) = {
+      val attr = AttributeReference(name, LongType, nullable = false)()
+      (attr, Generate(
+        Explode(new Sequence(bin(Least(Seq(lo, hi))), bin(Greatest(Seq(lo, hi))), None, tz)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(attr), child = child))
+    }
+    val (lBin, lGen) = gen(j.left, lLo, lHi, "__graft_lbin")
+    val (rBin, rGen) = gen(j.right, rLo, rHi, "__graft_rbin")
+    val owner = EqualTo(lBin, bin(Greatest(Seq(lLo, rLo))))
+    val equi = Join(lGen, rGen, Inner, Some(EqualTo(lBin, rBin)), j.hint)
+    Project(j.output, Filter(And(j.condition.get, owner), equi))
   }
 
   private def rewrite(j: Join, w: Double, p: Expression,

@@ -145,6 +145,34 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("interval-overlap joins rewrite, preserving reversed-interval matches") {
+    withRuleSession { s =>
+      import s.implicits._
+      // includes a REVERSED left interval [10, 2]: the raw predicate
+      // lLo <= rHi AND rLo <= lHi still matches it against [1, 20] —
+      // the transparent rewrite must keep that row (the explicit
+      // RangeJoin API filters reversed intervals; a rule may not)
+      val a = Seq((1L, 0.0, 3.0), (2L, 2.5, 7.0), (3L, 10.0, 2.0),
+        (4L, 40.0, 45.0)).toDF("aid", "alo", "ahi")
+      val b = Seq((10L, 1.0, 20.0), (20L, 2.9, 3.1), (30L, 44.0, 44.5),
+        (40L, 100.0, 90.0)).toDF("bid", "blo", "bhi")
+      val cond = col("alo") <= col("bhi") && col("blo") <= col("ahi")
+      def canon2(df: org.apache.spark.sql.DataFrame) =
+        df.select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+      s.conf.unset(RangeJoinBinningRule.ConfKey)
+      val naive = canon2(a.join(b, cond))
+      assert(naive.contains((3L, 10L)), s"premise: reversed matches, got $naive")
+      s.conf.set(RangeJoinBinningRule.ConfKey, "5.0")
+      try {
+        val joined = a.join(b, cond)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"overlap join not rewritten:\n$plan")
+        assert(canon2(joined) == naive, s"got ${canon2(joined)}\nwant $naive")
+      } finally s.conf.unset(RangeJoinBinningRule.ConfKey)
+    }
+  }
+
   test("rule leaves joins with equi keys or extra predicates alone") {
     withRuleSession { s =>
       import s.implicits._
