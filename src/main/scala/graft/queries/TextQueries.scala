@@ -263,6 +263,13 @@ object TextQueries extends QueryPack {
       graft.ops.TextPipeline.compile(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // The same compiled pipeline with the t14 mixture stage between quota
+    // and shard — filter → dedup → quota → upsample → shuffle in one plan,
+    // shard keyed by (doc_id, epoch) so a doc's epochs spread.
+    "tp2_mixture_pipeline" -> ((s, d) =>
+      graft.ops.TextPipeline.compileWithMixture(Tables.documents(s, d))
+        .orderBy("doc_id", "epoch")),
+
     // Corpus-statistics scoring (the CCNet-perplexity SHAPE, integer-exact:
     // no log/float model): pass 1 aggregates global per-token document
     // frequency; pass 2 joins the stats back and scores each doc by the
@@ -464,6 +471,42 @@ object TextQueries extends QueryPack {
                  CAST(row_number() OVER (PARTITION BY h % ${cfg.nShards}
                                          ORDER BY h, doc_id) AS INT) AS pos
           FROM hs ORDER BY doc_id"""
+    },
+    "tp2_mixture_pipeline" -> {
+      val stops = TextOps.gopherStopwords.map(x => s"'$x'").mkString("[", ", ", "]")
+      val cfg = graft.ops.TextPipeline.Config()
+      val bits = cfg.bits
+      s"""WITH x AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
+                     FROM documents),
+          c AS (SELECT doc_id, source, text FROM x
+                WHERE len(ts) BETWEEN 30 AND 90
+                  AND (CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum')
+                            AS DOUBLE) / CAST(len(ts) AS DOUBLE)) BETWEEN 4.0 AND 5.0
+                  AND len(list_filter(ts, w -> list_contains($stops, w))) >= 2),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM c),
+          th AS (SELECT doc_id, ${StableHash.polyHashSql("tk")} AS th FROM tok),
+          sh AS (SELECT doc_id, ${graft.ops.Dedup.simhashBitSumsSql(bits)}
+                 FROM th GROUP BY doc_id),
+          f AS (SELECT doc_id, ${graft.ops.Dedup.simhashFpSql(bits)} AS simhash FROM sh),
+          dd AS (SELECT c.doc_id, c.source, f.simhash FROM c JOIN f USING (doc_id)
+                 QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1),
+          q AS (SELECT doc_id, source, simhash FROM dd
+                QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                        <= ${cfg.capPerSource}),
+          mx AS (SELECT doc_id, source,
+                   1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS weight
+                 FROM q),
+          e AS (SELECT doc_id, source,
+                  CAST(unnest(range(weight)) AS INT) AS epoch FROM mx),
+          hs AS (SELECT doc_id, source, epoch,
+                   ${StableHash.polyHashSql(
+        "concat('shuffle|', CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR))")} AS h
+                 FROM e)
+          SELECT doc_id, source, epoch,
+                 CAST(h % ${cfg.nShards} AS INT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % ${cfg.nShards}
+                                         ORDER BY h, doc_id, epoch) AS INT) AS pos
+          FROM hs ORDER BY doc_id, epoch"""
     },
     "t13_shuffle_shard" ->
       s"""WITH h AS (SELECT doc_id,
