@@ -66,6 +66,32 @@ object EventQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Funnel / ordered-sequence matching: per user, the earliest
+    // view → (later) click → (later) purchase chain, plus the funnel
+    // depth reached. Three unbounded-frame window mins over ONE user_id
+    // shuffle (no orderBy in the frame ⇒ no sort), each step's predicate
+    // anchored on the previous step's timestamp — the sequential
+    // dependency that makes funnels awkward in plain aggregation.
+    "fa1_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "view", col("t"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("t") > col("t1"), col("t"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("t") > col("t2"), col("t"))).over(w))
+      staged.groupBy("user_id")
+        .agg(min("t1").as("t_view"), min("t2").as("t_click"),
+          min("t3").as("t_purchase"))
+        .withColumn("depth",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0))
+        .orderBy("user_id")
+    }),
+
     // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
     // errors with no click in [ets - lag, ets] still emit with a null
     // click — same binnable-range plan as e6, plus the null row per
@@ -159,6 +185,26 @@ object EventQueries extends QueryPack {
           FROM err JOIN clk USING (user_id)
           WHERE cts_us BETWEEN ets_us - $LAG_US AND ets_us
           ORDER BY error_id, click_id""",
+    "fa1_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         v AS (SELECT user_id,
+                 min(t) FILTER (WHERE event_type = 'view') AS t_view
+               FROM e GROUP BY user_id),
+         c AS (SELECT e.user_id,
+                 min(e.t) FILTER (WHERE e.event_type = 'click'
+                                    AND e.t > v.t_view) AS t_click
+               FROM e JOIN v USING (user_id) GROUP BY e.user_id),
+         p AS (SELECT e.user_id,
+                 min(e.t) FILTER (WHERE e.event_type = 'purchase'
+                                    AND e.t > c.t_click) AS t_purchase
+               FROM e JOIN c USING (user_id) GROUP BY e.user_id)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                          WHEN c.t_click IS NOT NULL THEN 2
+                          WHEN v.t_view IS NOT NULL THEN 1
+                          ELSE 0 END AS INT) AS depth
+         FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+         ORDER BY user_id""",
     "e8_interval_join_outer" ->
       s"""WITH err AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS ets_us
                        FROM events WHERE event_type = 'error'),
