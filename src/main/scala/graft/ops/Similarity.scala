@@ -187,6 +187,96 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the two-level production ANN (FAISS IVFPQ shape) — coarse
+    * IVF lists bound the candidate set, and within a list distances are
+    * approximated against PQ-encoded RESIDUALS (vector − its list
+    * centroid), which is what makes PQ codes tight enough to rank with:
+    * residuals are small and centered, raw vectors are not.
+    *
+    * Plan shape: one broadcast centroid scoring pass + window argmin
+    * (assignment AND probe lists from the same ranked frame), residuals
+    * as a narrow zip_with projection, corpus encoding against a broadcast
+    * residual codebook (argmin per subspace), and the query-side ADC
+    * table built PER PROBED LIST (the query's residual differs per list —
+    * the defining IVF-PQ subtlety). Approximate distance = fixed-order
+    * sum of nSub table lookups, so the double addition order is literal
+    * and the oracle can mirror it exactly. At 100 TB the corpus carries
+    * (cid + nSub small ints) per vector; raw floats never rejoin after
+    * encoding. Codebook here = residuals of a deterministic subset
+    * (untrained), like [[pqTopK]]; per-subspace k-means training is the
+    * orthogonal quality lever.
+    */
+  def ivfPqTopK(emb: DataFrame, id: String, vec: String,
+                centroidPred: Column, codebookPred: Column, queryPred: Column,
+                dim: Int, nSub: Int, nprobe: Int, k: Int): DataFrame =
+    ivfPqTopKFrom(emb, id, vec,
+      emb.filter(centroidPred).select(col(id).as("cid"), col(vec).as("cv")),
+      codebookPred, queryPred, dim, nSub, nprobe, k)
+
+  /** [[ivfPqTopK]] against an EXPLICIT coarse-centroid table `(cid, cv)` —
+    * the trained entry point ([[kmeansTrain]] feeds this). Corpus-honest
+    * caveat (AnnRecallSpec pins the numbers): on the synthetic embeddings
+    * — isotropic within-cluster noise — residual coding does NOT beat
+    * raw-point PQ even with a trained coarse quantizer, because residuals
+    * carry no structure an untrained sub-codebook can exploit; on real
+    * corpora residual coding plus trained sub-codebooks is the production
+    * win (the sim8 trained-codebook test shows that lever in isolation).
+    */
+  def ivfPqTopKFrom(emb: DataFrame, id: String, vec: String, cent: DataFrame,
+                    codebookPred: Column, queryPred: Column,
+                    dim: Int, nSub: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % nSub == 0,
+      s"ivfPqTopKFrom: nSub=$nSub must divide dim=$dim")
+    val sub = dim / nSub
+    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"), col("cv"),
+        cosine(col(vec), col("cv")).as("ccos"))
+    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    val ranked = scored.withColumn("crn", row_number().over(byVec))
+    val res = zip_with(col(vec), col("cv"),
+      (a, b) => a.cast("double") - b.cast("double"))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col(id), col("cid"), res.as("res"))
+    // untrained residual codebook: FULL residuals of a deterministic
+    // subset, one row per subspace; codewords are compared as in-place
+    // slices so the SQL twin can index full lists at the same offsets
+    val cbRows = assign.filter(codebookPred)
+      .select(col(id).as("ccid"), col("res").as("cbres"))
+    val cb = (0 until nSub).map(mm =>
+      cbRows.select(lit(mm).as("m"), col("ccid"), col("cbres")))
+      .reduce(_ unionByName _)
+    def dSub(a: Column) = l2Sub(
+      slice(a, col("m") * sub + 1, lit(sub)),
+      slice(col("cbres"), col("m") * sub + 1, lit(sub)), 0, sub)
+    val codes = assign.crossJoin(broadcast(cb))
+      .select(col(id).as("neighbor_id"), col("cid"), col("m"), col("ccid"),
+        dSub(col("res")).as("d"))
+      .groupBy(col("neighbor_id"), col("cid"), col("m"))
+      .agg(min(struct(col("d"), col("ccid"))).getField("ccid").as("code"))
+    // probes carry a residual PER probed list (crn <= nprobe rows each)
+    val probes = ranked.filter(queryPred && col("crn") <= nprobe)
+      .select(col(id).as("query_id"), col("cid"), res.as("res"))
+    val qd = probes.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("cid").as("qlist"), col("m").as("qm"),
+        col("ccid").as("qccid"), dSub(col("res")).as("qd"))
+    val qdSlots = (0 until nSub).map(mm =>
+      sum(when(col("qm") === mm, col("qd"))).as(s"qd$mm"))
+    val parts = codes.join(broadcast(qd),
+        col("cid") === col("qlist") && col("m") === col("qm") &&
+          col("code") === col("qccid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(qdSlots.head, qdSlots.tail: _*)
+    val adist = (0 until nSub).map(mm => col(s"qd$mm")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    parts.filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** One Lloyd iteration for IVF training (the k-means step behind
     * [[ivfTopK]]'s centroid set): assign every vector to its nearest
     * centroid — broadcast centroids, narrow scored projection, window

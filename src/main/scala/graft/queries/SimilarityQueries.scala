@@ -121,6 +121,17 @@ object SimilarityQueries extends QueryPack {
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
 
+    // IVF-PQ: coarse lists bound candidates, PQ codes over RESIDUALS
+    // (vector − list centroid) approximate in-list distances, the query's
+    // ADC table is built per probed list — the two-level billion-vector
+    // production ANN composing sim5's and sim8's machinery.
+    "sim9_ivfpq_ann_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 100 === 7, col("vec_id") % CMOD === 7,
+        col("vec_id") % QMOD === 0, DIM, nSub = NSUB, nprobe = 2, k = TOPK)
+        .select("query_id", "neighbor_id", "rank", "adist")
+        .orderBy("query_id", "rank")),
+
     // Product-quantization ANN: corpus compressed to nSub codeword ids,
     // queries scored ADC-style against a broadcast distance table — the
     // memory-compression ANN the brute/LSH/IVF variants don't cover.
@@ -263,6 +274,62 @@ object SimilarityQueries extends QueryPack {
                      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
                  FROM s)
           SELECT query_id, neighbor_id, rank, cos FROM rr
+          WHERE rank <= $TOPK ORDER BY query_id, rank"""
+    },
+    "sim9_ivfpq_ann_topk" -> {
+      val nSub = NSUB
+      val sub = DIM / nSub
+      val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      def resid(v: String, cv: String) =
+        s"list_transform(generate_series(1, $DIM), " +
+          s"i -> CAST($v[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE))"
+      def dCols(a: String, b: String) = (0 until nSub).map(mm =>
+        s"${Similarity.l2SubSql(a, b, mm * sub, sub)} AS d$mm")
+        .mkString(",\n                   ")
+      val codeArms = (0 until nSub).map { mm =>
+        s"""SELECT vec_id, cid, $mm AS m, ccid AS code FROM (
+              SELECT vec_id, cid, ccid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d$mm, ccid) AS rn FROM sc) WHERE rn = 1"""
+      }.mkString("\nUNION ALL\n")
+      val qdArms = (0 until nSub).map(mm =>
+        s"SELECT query_id, cid, $mm AS m, ccid, d$mm AS qd FROM qsc")
+        .mkString("\nUNION ALL\n")
+      val slots = (0 until nSub).map(mm =>
+        s"sum(CASE WHEN qd.m = $mm THEN qd.qd END) AS qd$mm")
+        .mkString(",\n                   ")
+      val adist = (0 until nSub).map(mm => s"qd$mm").mkString(" + ")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                        WHERE vec_id % 100 = 7),
+          ranked AS (SELECT e.vec_id, e.embedding, c.cid, c.cv,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY $ccos DESC, c.cid) AS crn
+                     FROM embeddings e CROSS JOIN cent c),
+          assign AS (SELECT vec_id, cid, ${resid("embedding", "cv")} AS res
+                     FROM ranked WHERE crn = 1),
+          cb AS (SELECT vec_id AS ccid, res AS cbres FROM assign
+                 WHERE vec_id % $CMOD = 7),
+          sc AS (SELECT a.vec_id, a.cid, cb.ccid,
+                   ${dCols("a.res", "cb.cbres")}
+                 FROM assign a CROSS JOIN cb),
+          codes AS ($codeArms),
+          probes AS (SELECT vec_id AS query_id, cid,
+                       ${resid("embedding", "cv")} AS res
+                     FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+          qsc AS (SELECT p.query_id, p.cid, cb.ccid,
+                    ${dCols("p.res", "cb.cbres")}
+                  FROM probes p CROSS JOIN cb),
+          qdu AS ($qdArms),
+          pp AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   $slots
+                 FROM codes JOIN qdu qd
+                   ON codes.cid = qd.cid AND codes.m = qd.m
+                  AND codes.code = qd.ccid
+                 GROUP BY 1, 2),
+          aa AS (SELECT query_id, neighbor_id, $adist AS adist FROM pp
+                 WHERE query_id <> neighbor_id),
+          rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS INT) AS rank FROM aa)
+          SELECT query_id, neighbor_id, rank, adist FROM rr
           WHERE rank <= $TOPK ORDER BY query_id, rank"""
     },
     "sim8_pq_ann_topk" -> {

