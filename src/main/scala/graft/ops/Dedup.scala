@@ -402,4 +402,61 @@ object Dedup {
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Sub-document (chunk/paragraph) exact dedup with document reassembly —
+    * the CCNet/Dolma "line-level dedup" shape: a boilerplate passage shared
+    * by thousands of docs is removed from every doc but its first, and each
+    * doc is rebuilt from its surviving chunks in original order.
+    *
+    * The corpus here has no newline structure, so a "paragraph" is a run of
+    * `chunkTokens` whitespace tokens (fixed-width chunking — what you fall
+    * back to when the text has no natural paragraph marks). Plan shape, and
+    * why it survives 100 TB: chunking is a narrow fan-out in the scan
+    * projection; keep-first is ONE shuffle keyed by the chunk text (dup
+    * chunks co-locate; key cardinality ≈ corpus size, no hot key because
+    * the window per chunk value holds only its duplicates); reassembly is
+    * ONE shuffle back on the doc id with collect_list + array_sort — never
+    * a global sort, never a driver loop. Output per input doc:
+    * (id, n_chunks, n_kept, kept_text) — kept_text = "" when every chunk of
+    * a doc appeared earlier elsewhere.
+    */
+  def chunkDedup(df: DataFrame, text: Column, idCol: String,
+                 chunkTokens: Int): DataFrame = {
+    // chunking stays in the scan projection (narrow): token array →
+    // n_chunks → per-chunk (idx, text) via ONE posexplode — n_chunks rides
+    // each chunk row so reassembly needs no second join against the input
+    val exploded = df
+      .select(col(idCol), split(text, " ").as("__ts"))
+      .select(col(idCol), col("__ts"),
+        ceil(size(col("__ts")) / lit(chunkTokens.toDouble)).cast("int")
+          .as("n_chunks"))
+      .select(col(idCol), col("n_chunks"),
+        posexplode(transform(sequence(lit(1), col("n_chunks")),
+          i => array_join(slice(col("__ts"),
+            (i - 1) * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .withColumnRenamed("pos", "__p")
+      .select(col(idCol), col("n_chunks"),
+        (col("__p") + 1).cast("int").as("chunk_idx"), col("col").as("chunk"))
+    // keep-first occurrence by global (id, chunk_idx) order — one shuffle
+    // on the chunk value
+    val w = Window.partitionBy(col("chunk")).orderBy(col(idCol), col("chunk_idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    // reassemble: one shuffle back on the doc id; order restored by
+    // array_sort over (chunk_idx, chunk) structs (chunk_idx unique per doc)
+    val rebuilt = kept
+      .groupBy(col(idCol), col("n_chunks"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x("chunk")), " ").as("kept_text"))
+    df.select(col(idCol),
+        ceil(size(split(text, " ")) / lit(chunkTokens.toDouble)).cast("int")
+          .as("n_chunks"))
+      .join(rebuilt.drop("n_chunks"), Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

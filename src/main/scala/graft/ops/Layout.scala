@@ -102,4 +102,37 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the table-maintenance op every streaming or
+    * incremental sink eventually needs (each micro-batch/task writes a
+    * file; a year of 1-minute batches is half a million files, and at
+    * 100 TB the driver-side listing + per-file open cost dominates scans
+    * long before data volume does).
+    *
+    * Sizing is measured, not guessed: target file count = ceil(actual
+    * on-disk bytes / targetBytes), from the filesystem listing of the
+    * source dir. The rewrite is a plain scan → repartition(n) → write
+    * (one wide exchange, no sort — compaction must not pay a layout cost
+    * it wasn't asked for; compose with [[writeSortedWithin]]/
+    * [[writeZOrdered]] when clustering is wanted). Writes to a fresh dir
+    * then swaps nothing: the SAFE discipline on object stores is
+    * write-new + repoint readers, never in-place overwrite of a dir being
+    * read — in-place overwrite of `src` is possible only via an
+    * intermediate materialization and is deliberately not offered here.
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetBytes: Long): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = parquetBytes(new java.io.File(src))
+    val files = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+    spark.read.parquet(src)
+      .repartition(files.toInt)
+      .write.mode("overwrite").parquet(dest)
+    files
+  }
+
+  private def parquetBytes(f: java.io.File): Long =
+    if (f.isDirectory) f.listFiles.map(parquetBytes).sum
+    else if (f.getName.endsWith(".parquet")) f.length
+    else 0L
 }

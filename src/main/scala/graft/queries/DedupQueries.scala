@@ -19,6 +19,7 @@ object DedupQueries extends QueryPack {
   private val BANDS = 2      // LSH bands (rows = 1: collide on any shared
   private val ROWS = 1       //   minhash — sized for the synthetic corpus)
   private val BITS = 32      // simhash width
+  private val CHUNK = 16     // chunk-dedup paragraph width (tokens)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) =>
@@ -104,6 +105,15 @@ object DedupQueries extends QueryPack {
       Dedup.simhashBandPairs(Tables.documents(s, d), "doc_id", col("text"),
         BITS, bands = 4, maxHamming = 1)
         .orderBy("id1", "id2")),
+
+    // Sub-document dedup with reassembly (CCNet/Dolma line-dedup shape):
+    // 16-token chunks, first occurrence wins corpus-wide, docs rebuilt
+    // from surviving chunks in original order. Two keyed shuffles total
+    // (chunk value, then doc id) — see Dedup.chunkDedup for the 100 TB
+    // argument.
+    "pd1_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), col("text"), "doc_id", CHUNK)
+        .orderBy("doc_id")),
   )
 
   // ---- generated oracle SQL ---------------------------------------------
@@ -239,5 +249,27 @@ object DedupQueries extends QueryPack {
     "d9_fingerprint_dedup" -> fingerprintDedupSql,
     "d6_ngram_jaccard" -> jaccardSql,
     "d10_simhash_band_pairs" -> simhashBandPairsSql,
+    "pd1_chunk_dedup" -> chunkDedupSql,
   )
+
+  private def chunkDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        n AS (SELECT doc_id, ts,
+                     unnest(generate_series(1, CAST(ceil(len(ts) / $CHUNK.0) AS BIGINT))) AS i
+              FROM t),
+        ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                      array_to_string(list_slice(ts, (i - 1) * $CHUNK + 1, i * $CHUNK), ' ') AS chunk
+               FROM n),
+        k AS (SELECT doc_id, chunk_idx, chunk
+              FROM ch
+              QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1),
+        r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+              FROM k GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(ceil(len(string_split(d.text, ' ')) / $CHUNK.0) AS INT) AS n_chunks,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(r.kept_text, '') AS kept_text
+        FROM documents d LEFT JOIN r USING (doc_id)
+        ORDER BY d.doc_id"""
 }

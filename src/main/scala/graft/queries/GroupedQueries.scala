@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Grouped, Num}
@@ -177,6 +178,30 @@ object GroupedQueries extends QueryPack {
         .limit(10)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")),
+
+    // §2.6 global RANKING without a global sort: row_number() over a
+    // global order is a single-task window (the classic scale trap). The
+    // distributed form is two-phase: (1) histogram over deterministic
+    // value bins — a tiny aggregate, |bins| rows; (2) running-sum the bin
+    // counts into per-bin rank offsets (single-partition window over the
+    // HISTOGRAM, metadata-sized, not the data); (3) broadcast the offsets
+    // back and rank within each bin — one keyed shuffle on the bin. Rank
+    // = offset + within-bin row_number, bit-equal to the global window.
+    "s2_global_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val binned = docs.withColumn("__bin", expr("n_chars DIV 16"))
+      val offsets = binned.groupBy("__bin").count()
+        .withColumn("__offset",
+          sum(col("count")).over(Window.orderBy(col("__bin")))
+            - col("count"))
+        .select("__bin", "__offset")
+      val w = Window.partitionBy(col("__bin"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      binned.join(broadcast(offsets), Seq("__bin"))
+        .withColumn("rnk", col("__offset") + row_number().over(w))
+        .select("doc_id", "n_chars", "rnk")
+        .orderBy("rnk")
+    }),
   )
 
   private def regSql: String = {
@@ -296,5 +321,10 @@ object GroupedQueries extends QueryPack {
            SELECT o_orderkey, o_totalprice FROM orders
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
          ORDER BY o_orderkey""",
+    // the oracle IS the single-window global rank the Spark plan avoids
+    "s2_global_rank" ->
+      """SELECT doc_id, n_chars,
+                CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+         FROM documents ORDER BY rnk""",
   )
 }

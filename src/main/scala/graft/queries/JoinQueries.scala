@@ -105,6 +105,37 @@ object JoinQueries extends QueryPack {
           Num.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+
+    // SCD2 dimension merge (the lakehouse MERGE/upsert shape): an incoming
+    // update snapshot closes the current version of each changed key and
+    // opens version 2; unchanged keys pass through. Updates are derived
+    // deterministically from the dim itself (custkey % 7 = 0 gets +100
+    // acctbal) so the oracle can reproduce them. Plan: the update set is
+    // small relative to the dim → BROADCAST semi/anti joins, the 100 TB dim
+    // never shuffles; three branches (closed, unchanged, new) union
+    // narrowly. A real MERGE INTO in Delta/Iceberg compiles to exactly
+    // this join+union — here it is the explicit declarative form.
+    "cdc1_scd2_merge" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val upd = dim.filter(col("c_custkey") % 7 === 0)
+        // c_acctbal is DOUBLE; +100.0 is one IEEE add, bit-identical in
+        // DuckDB — no decimal detour needed for exactness here
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      val updKeys = upd.select("c_custkey")
+      val closed = dim.join(broadcast(updKeys), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(1).as("version"), lit(false).as("is_current"))
+      val unchanged = dim.join(broadcast(updKeys), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(1).as("version"), lit(true).as("is_current"))
+      val opened = upd
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(2).as("version"), lit(true).as("is_current"))
+      closed.unionByName(unchanged).unionByName(opened)
+        .orderBy("c_custkey", "version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +144,14 @@ object JoinQueries extends QueryPack {
                  ${Num.sqlSum("l_extendedprice")} AS sum_price
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "cdc1_scd2_merge" ->
+      """SELECT c_custkey, c_acctbal, CAST(1 AS INT) AS version,
+                (c_custkey % 7 <> 0) AS is_current
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 100.0, CAST(2 AS INT), true
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY c_custkey, version""",
     "j1_cross_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name
          FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
-import graft.ops.TextOps
+import graft.ops.{Bloom, Dedup, TextOps}
 
 /** Text-analysis pack (builder-prompt extension): language ID, quality
   * scoring, token counting, document fingerprinting — each a narrow,
@@ -218,6 +218,36 @@ object TextQueries extends QueryPack {
       docs.join(broadcast(stats), Seq("source"))
         .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
         .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination at the 100 TB tier: t8's semantics (8-gram overlap
+    // with the benchmark set) as an APPLY (clean corpus out), with a Bloom
+    // sketch pruning the corpus-side grams BEFORE the exact-verify join —
+    // the shuffle carries only bloom-positive grams (true hits + fpp·N)
+    // instead of every n-gram of the corpus. Exact regardless of sketch
+    // sizing: false positives are re-checked by the join, false negatives
+    // don't exist. Oracle = the exact semantics with no bloom at all —
+    // passing proves the prefilter changed the plan, not the answer.
+    "t17_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesFromTokens(col("__ts"), 8)).as("g"))
+        .filter(col("g").isNotNull)
+      val benchGrams = grams.filter(col("doc_id") % 10 === 0)
+        .select("g").distinct()
+      // sized for the benchmark side (50k docs × ~200 grams at sf0.1 ≪ 1M);
+      // at real scale: |benchmark n-grams| estimate, ~1.2 MB per 1M @ 1%
+      val probe = Bloom.mightContain(benchGrams, "g", 1000000L, 0.01)
+      val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
+        .filter(probe(col("g")))
+        .join(benchGrams, Seq("g"))
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
         .orderBy("doc_id")
     }),
 
@@ -578,5 +608,22 @@ object TextQueries extends QueryPack {
                  CAST(sum(df) AS BIGINT) AS df_sum,
                  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
           FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // exact semantics, no bloom: the sketch is a plan optimization, and
+    // hash-matching this proves exactly that
+    "t17_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          i AS (SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM t),
+          n AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                FROM i),
+          b AS (SELECT DISTINCT g FROM n WHERE doc_id % 10 = 0),
+          c AS (SELECT DISTINCT n.doc_id FROM n JOIN b USING (g)
+                WHERE n.doc_id % 10 <> 0)
+          SELECT d.doc_id, d.source FROM documents d
+          WHERE d.doc_id % 10 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM c)
+          ORDER BY d.doc_id""",
   )
 }

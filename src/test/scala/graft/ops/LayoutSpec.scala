@@ -89,4 +89,23 @@ class LayoutSpec extends SparkTestBase {
       scan.contains("GreaterThanOrEqual(k,100)"),
       s"expected pushed range filters in:\n$scan")
   }
+
+  test("compact: many small files → measured target count, data intact") {
+    val src = tmpDir(); val dest = tmpDir() + "/compacted"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    df.repartition(40).write.mode("overwrite").parquet(src) // 40 small files
+    def parquetFiles(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 40)
+    val totalBytes = new java.io.File(src).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target ≈ a quarter of the data per file → expect ~4 output files
+    val n = Layout.compact(spark, src, dest, targetBytes = totalBytes / 4)
+    assert(parquetFiles(dest) == n && n >= 2 && n <= 8,
+      s"expected ~4 compacted files, planned $n, wrote ${parquetFiles(dest)}")
+    // content unchanged (same rows, nothing lost or duplicated)
+    val before = df.orderBy("id").collect().toSeq
+    val after = Layout.read(spark, dest).orderBy("id").collect().toSeq
+    assert(after == before)
+  }
 }

@@ -150,6 +150,39 @@ class DedupOpsSpec extends SparkTestBase {
     val nDocs = graft.Tables.documents(spark, sf).count()
     assert(d8.agg(sum("group_size")).as[Long].head() == nDocs) // no doc lost or double-counted
   }
+
+  test("chunkDedup: shared chunk kept only in the first doc, order preserved") {
+    // doc 1: chunks [a b] [c d]; doc 2: chunks [c d] [e f] (chunk width 2).
+    // "c d" is first seen in doc 1 at idx 2 → doc 2 keeps only "e f".
+    val df = Seq((1L, "a b c d"), (2L, "c d e f"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, col("text"), "doc_id", 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_chunks"),
+      r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toSeq == Seq(
+      (1L, 2, 2L, "a b c d"),
+      (2L, 2, 1L, "e f"),
+      (3L, 1, 0L, ""))) // every chunk of doc 3 seen earlier → empty doc out
+  }
+
+  test("chunkDedup: ragged tail chunk is its own unit") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text") // [a b] + [c]
+    val r = Dedup.chunkDedup(df, col("text"), "doc_id", 2).collect()(0)
+    assert(r.getAs[Int]("n_chunks") == 2 && r.getAs[String]("kept_text") == "a b c")
+  }
+
+  test("bloom prefilter: no false negatives; exact verify removes false positives") {
+    val build = (1 to 200).map(i => s"key$i").toDF("g")
+    val probe = Bloom.mightContain(build, "g", expectedItems = 200, fpp = 0.01)
+    val hits = (150 to 400).map(i => s"key$i").toDF("g")
+      .filter(probe(col("g"))).as[String].collect().toSet
+    // every true member passes (bloom guarantee)…
+    assert((150 to 200).forall(i => hits.contains(s"key$i")))
+    // …and after the exact join, ONLY true members remain regardless of fpp
+    val exact = (150 to 400).map(i => s"key$i").toDF("g")
+      .filter(probe(col("g"))).join(build, Seq("g")).as[String].collect().toSet
+    assert(exact == (150 to 200).map(i => s"key$i").toSet)
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {

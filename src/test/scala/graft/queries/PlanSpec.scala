@@ -57,4 +57,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("s2 global rank: offsets broadcast; the data-side window is BIN-partitioned") {
+    val p = plan("s2_global_rank")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    // the corpus-side row_number window must carry the bin partition key —
+    // an empty partition spec there would be the single-task global sort
+    // this query exists to avoid
+    assert(p.contains("windowspecdefinition(__bin"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
+
+  test("cdc1 scd2 merge: update keys broadcast into semi/anti, dim never shuffled") {
+    val p = plan("cdc1_scd2_merge")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pd1 chunk dedup: keep-first shuffles on the CHUNK value, no nested loop") {
+    val p = plan("pd1_chunk_dedup")
+    assert(p.contains("hashpartitioning(chunk"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t17 bloom decontaminate: exact verify then anti-join, no nested loop") {
+    val p = plan("t17_bloom_decontaminate")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
