@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashExpr(children.head, ps.map(_._1).toArray, ps.map(_._2).toArray)
       }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
+    // tier (c): plans AsOfJoinNode into the native AsOfJoinExec sort-merge
+    // operator (NativeAsOf.asofJoin also self-registers on plain sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -41,6 +41,25 @@ object AsOfQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // ao1's semantics through the NATIVE physical operator (custom
+    // LogicalPlan + Strategy + AsOfJoinExec): each side shuffles once at
+    // its own width, one forward merge pass per partition — no union
+    // widening, no WindowExec buffering, no post-filter. Hash-matching
+    // ao1's oracle proves the custom SparkPlan bit-reproduces both the
+    // composed form and DuckDB's dedicated primitive.
+    "ao4_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.NativeAsOf.asofJoin(errors, clicks, Seq("user_id"),
+          "ets", "cts", Seq("click_id" -> "click_id"))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -53,6 +72,17 @@ object AsOfQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "ao1_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM err e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ets >= c.cts
+         ORDER BY e.event_id""",
+    "ao4_asof_native" ->
       """WITH clicks AS (
            SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
