@@ -102,10 +102,11 @@ case class AsOfJoinExec(
       // exactly "this right row is usable now or already stale"
       val lKT = UnsafeProjection.create(leftKeys :+ leftTime, left.output)
       val rKT = UnsafeProjection.create(rightKeys :+ rightTime, right.output)
-      val lKey = UnsafeProjection.create(leftKeys, left.output)
-      val rKey = UnsafeProjection.create(rightKeys, right.output)
       val carryProj = UnsafeProjection.create(carry, right.output)
       val ktOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ timeType)
+      // keyOrd compares only positions 0..nKeys-1, so it doubles as the
+      // key-prefix comparator over the SAME (keys, time) rows — no
+      // separate key projections or copies per row
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val nullCarry = new GenericInternalRow(carry.size)
       val outProj = UnsafeProjection.create(output, left.output ++ carryOut)
@@ -126,21 +127,22 @@ case class AsOfJoinExec(
       }
       advanceRight()
 
-      // held = the latest right row consumed so far (carry payload + key,
-      // both copied out of the reused buffers); valid for a left row only
-      // if the keys still match
+      // held = the latest right row consumed so far: its carry payload
+      // (copied out of the reused projection buffer) plus its (keys, time)
+      // row — the cursor's own copy, whose key PREFIX is compared against
+      // the left (keys, time) row to decide match validity
       var heldCarry: InternalRow = null
-      var heldKey: InternalRow = null
+      var heldKT: InternalRow = null
 
       lIter.map { l =>
         val lkt = lKT(l)
         while (rkt != null && ktOrd.compare(rkt, lkt) <= 0) {
           heldCarry = carryProj(rRow).copy()
-          heldKey = rKey(rRow).copy()
+          heldKT = rkt
           advanceRight()
         }
-        val matched = !lkt.isNullAt(nKeys) && heldKey != null &&
-          keyOrd.compare(heldKey, lKey(l)) == 0
+        val matched = !lkt.isNullAt(nKeys) && heldKT != null &&
+          keyOrd.compare(heldKT, lkt) == 0
         outProj(joined(l, if (matched) heldCarry else nullCarry))
       }
     }
@@ -188,5 +190,22 @@ object NativeAsOf {
       key.map(attr(lp, _)), key.map(attr(rp, _)),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol),
       carryIn, carryOut, lp, rp))
+  }
+
+  /** Forward variant (earliest right with rightTime >= leftTime): the
+    * backward exec on negated times — max(−t_r) under −t_r ≤ −t_l ⇔
+    * min(t_r) under t_r ≥ t_l. Numeric time columns only, same as the
+    * composed [[graft.ops.AsOfJoin.asofJoinForward]].
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                      leftTimeCol: String, rightTimeCol: String,
+                      carry: Seq[(String, String)]): DataFrame = {
+    require(!left.columns.contains("__negt") && !right.columns.contains("__negt"),
+      "asofJoinForward: '__negt' is reserved")
+    import org.apache.spark.sql.functions.col
+    asofJoin(
+      left.withColumn("__negt", -col(leftTimeCol)),
+      right.withColumn("__negt", -col(rightTimeCol)),
+      key, "__negt", "__negt", carry).drop("__negt")
   }
 }

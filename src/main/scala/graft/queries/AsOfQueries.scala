@@ -60,6 +60,20 @@ object AsOfQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Forward variant through the native exec (negated-time reduction).
+    "ao5_asof_forward_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.NativeAsOf.asofJoinForward(errors, clicks, Seq("user_id"),
+          "ets", "cts", Seq("click_id" -> "click_id"))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -92,6 +106,17 @@ object AsOfQueries extends QueryPack {
          SELECT e.event_id, e.user_id, c.click_id
          FROM err e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ets >= c.cts
+         ORDER BY e.event_id""",
+    "ao5_asof_forward_native" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM err e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ets <= c.cts
          ORDER BY e.event_id""",
     "ao3_asof_forward" ->
       """WITH clicks AS (

@@ -122,6 +122,22 @@ class NativeAsOfSpec extends SparkTestBase {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("forward native == forward composed (earliest right >= left time)") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 5L, 50.0))
+      .toDF("k", "qt", "price")
+    val trades = Seq((1L, 15L, "a"), (1L, 25L, "b"), (1L, 5L, "c"), (2L, 5L, "d"))
+      .toDF("k", "tt", "trade")
+    val native = NativeAsOf.asofJoinForward(trades, quotes, Seq("k"), "tt", "qt",
+        Seq("price" -> "price"))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    val composed = AsOfJoin.asofJoinForward(trades, quotes, Seq("k"),
+        col("tt"), col("qt"), Seq("price" -> col("price")))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(native == composed)
+    assert(native("a").contains(110.0) && native("b").isEmpty &&
+      native("c").contains(100.0) && native("d").contains(50.0))
+  }
+
   test("missing column and carry-name collision fail loudly") {
     val l = Seq((1L, 1L, "a")).toDF("k", "lt", "trade")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "rt", "price")
