@@ -304,4 +304,94 @@ object StreamOps {
           }
       }
   }
+
+  case class AsOfOut(event_id: Long, user_id: Long, match_id: Option[Long])
+  // pending = left rows awaiting finality; rights = right rows above the
+  // watermark; anchor = the single latest right at-or-below the watermark
+  // (all older rights collapse into it — the state bound)
+  case class AsOfState(pending: List[(Long, Long)], rights: List[(Long, Long)],
+                       anchor: Option[(Long, Long)], lastTsMs: Long)
+
+  /** Stream–stream AS-OF enrichment — the streaming twin of
+    * `ao1`/`ao4_asof_native` (Flink's event-time temporal join): each
+    * `leftType` event is matched with the key's latest `rightType` event
+    * at-or-before it.
+    *
+    * Correctness under cross-batch disorder is the crux: an out-of-order
+    * right row arriving in a LATER batch could be the true match for an
+    * already-seen left row, so a left row is emitted only once the
+    * event-time watermark passes its timestamp — for watermark-valid
+    * input the match is then FINAL. Exactly-once per left row, in
+    * watermark order. (flatMapGroupsWithState does not auto-drop
+    * beyond-watermark rows; they are handled best-effort: a late right
+    * folds into the anchor for FUTURE lefts, a late left emits
+    * immediately with current knowledge — the same horizon contract as
+    * every watermarked op here.)
+    *
+    * State per key is bounded: pending lefts live only until the
+    * watermark passes them; buffered rights at-or-below the watermark
+    * collapse into ONE anchor row (the as-of carry for every future
+    * left); equal-time rights merge by max id (ao1's dedup
+    * precondition). Idle keys expire after `ttlMs` — an expired key
+    * loses its anchor, the same horizon trade every watermarked state op
+    * makes. At scale this is one shuffle on the key, state-store
+    * resident, like any flatMapGroupsWithState op.
+    */
+  def asofEnrich(spark: SparkSession, events: Dataset[Evt],
+                 leftType: String = "error", rightType: String = "click",
+                 watermarkDelay: String = "1 minute",
+                 ttlMs: Long = 2L * 3600 * 1000): Dataset[AsOfOut] = {
+    import spark.implicits._
+    def flush(st: AsOfState, wmMs: Long, uid: Long): (AsOfState, Seq[AsOfOut]) = {
+      // rights at-or-below the watermark are final candidates; MATCH done
+      // lefts against them first (filtered to rt <= lt — folding into the
+      // anchor before matching would let a ripe right AFTER a done left
+      // masquerade as its match), then collapse them into the new anchor
+      val (ripe, rest) = st.rights.partition(_._1 <= wmMs)
+      val candidates = (st.anchor.toList ++ ripe).sortBy(r => (r._1, r._2))
+      val (done, pend) = st.pending.partition(_._1 <= wmMs)
+      val outs = done.sorted.map { case (lt, lid) =>
+        // latest eligible right; equal times resolve to max id (ao1's
+        // right-side dedup precondition)
+        AsOfOut(lid, uid, candidates.filter(_._1 <= lt).lastOption.map(_._2))
+      }
+      (AsOfState(pend, rest, candidates.lastOption, st.lastTsMs), outs)
+    }
+    events.withWatermark("ts", watermarkDelay)
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[AsOfState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(
+            AsOfState(Nil, Nil, None, Long.MinValue))
+          val rs = rows.toSeq
+          val st1 =
+            if (rs.isEmpty) st0
+            else AsOfState(
+              st0.pending ++ rs.filter(_.event_type == leftType)
+                .map(e => (e.ts.getTime, e.event_id)),
+              st0.rights ++ rs.filter(_.event_type == rightType)
+                .map(e => (e.ts.getTime, e.event_id)),
+              st0.anchor,
+              math.max(st0.lastTsMs, rs.map(_.ts.getTime).max))
+          val (st2, outs) = flush(st1, wmMs, user)
+          // remove only at GENUINE idle-TTL: a timeout armed as an
+          // emission wake (oldest pending left) must not discard the
+          // anchor/rights the key's future lefts depend on
+          if (state.hasTimedOut && st2.pending.isEmpty && st2.rights.isEmpty &&
+              wmMs >= st1.lastTsMs + ttlMs) {
+            state.remove()
+          } else {
+            state.update(st2)
+            // wake when the watermark passes the oldest pending left (its
+            // emission moment), else at idle-TTL for state cleanup
+            val wake = st2.pending.map(_._1).minOption
+              .getOrElse(math.max(st2.lastTsMs, wmMs) + ttlMs)
+            state.setTimeoutTimestamp(math.max(wake, wmMs + 1))
+          }
+          outs.iterator
+      }
+  }
 }

@@ -316,4 +316,95 @@ class StreamingSpec extends SparkTestBase {
         (4L, 1L, 3, 7.0)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("as-of enrich: left matched with latest right at-or-before it") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.asofEnrich(spark, ms.toDS())
+      .writeStream.format("memory").queryName("asof1")
+      .outputMode("append").start()
+    try {
+      // clicks at 10, 20; errors at 15 (-> click@10), 25 (-> click@20),
+      // 5 (-> none); equal-time click matches (>= semantics)
+      ms.addData(
+        StreamOps.Evt(101, ts(10), 1, "click", 1.0),
+        StreamOps.Evt(102, ts(20), 1, "click", 1.0),
+        StreamOps.Evt(201, ts(15), 1, "error", 1.0),
+        StreamOps.Evt(202, ts(25), 1, "error", 1.0),
+        StreamOps.Evt(203, ts(5), 1, "error", 1.0),
+        StreamOps.Evt(301, ts(30), 2, "click", 1.0),
+        StreamOps.Evt(302, ts(30), 2, "error", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past every left so all emissions flush
+      ms.addData(StreamOps.Evt(9, ts(600), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof1")
+        .select("event_id", "match_id").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(rows == Map(201L -> Some(101L), 202L -> Some(102L),
+        203L -> None, 302L -> Some(301L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("as-of enrich: out-of-order right in a LATER batch still matches") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.asofEnrich(spark, ms.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("asof2")
+      .outputMode("append").start()
+    try {
+      // batch 1: the left arrives FIRST
+      ms.addData(StreamOps.Evt(201, ts(15), 1, "error", 1.0))
+      q.processAllAvailable()
+      // batch 2: its true match arrives later, out of order but
+      // watermark-valid (2h delay) - the left must NOT have been emitted
+      // unmatched in between
+      ms.addData(StreamOps.Evt(101, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("asof2").isEmpty) // still pending: wm < ts(15)
+      // batch 3: advance the watermark past the left -> final emission
+      ms.addData(StreamOps.Evt(9, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof2")
+        .select("event_id", "match_id").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(rows == Map(201L -> Some(101L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("as-of enrich: anchor carries across batches; agrees with batch twin") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.asofEnrich(spark, ms.toDS(), watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("asof3")
+      .outputMode("append").start()
+    val evts = Seq(
+      StreamOps.Evt(101, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(201, ts(2), 1, "error", 1.0),
+      StreamOps.Evt(102, ts(4), 1, "click", 1.0),
+      StreamOps.Evt(202, ts(6), 1, "error", 1.0),
+      StreamOps.Evt(203, ts(8), 1, "error", 1.0),
+      StreamOps.Evt(103, ts(8), 1, "click", 1.0), // equal-time -> matches 203
+      StreamOps.Evt(204, ts(100), 2, "error", 1.0)) // keyed apart, no match
+    try {
+      // feed one event per micro-batch: the anchor (latest ripe right)
+      // must survive arbitrarily many batch boundaries
+      evts.foreach { e => ms.addData(e); q.processAllAvailable() }
+      ms.addData(StreamOps.Evt(9, ts(600), 3, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("asof3")
+        .select("event_id", "match_id").as[(Long, Option[Long])]
+        .collect().toMap
+      // batch twin on the same rows (composed form = the ao1 gate shape)
+      import org.apache.spark.sql.functions.col
+      val errors = evts.filter(_.event_type == "error")
+        .map(e => (e.user_id, e.event_id, e.ts.getTime)).toDF("k", "lid", "lt")
+      val clicks = evts.filter(_.event_type == "click")
+        .map(e => (e.user_id, e.event_id, e.ts.getTime)).toDF("k", "rid", "rt")
+      val batch = graft.ops.AsOfJoin.asofJoin(errors, clicks, Seq("k"),
+          col("lt"), col("rt"), Seq("match_id" -> col("rid")))
+        .select("lid", "match_id").as[(Long, Option[Long])].collect().toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
