@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
-import graft.ops.{Bloom, Dedup, TextOps}
+import graft.ops.{Bloom, Dedup, Num, TextOps}
 
 /** Text-analysis pack (builder-prompt extension): language ID, quality
   * scoring, token counting, document fingerprinting — each a narrow,
@@ -319,7 +319,48 @@ object TextQueries extends QueryPack {
             .as("mean_df"))
         .orderBy("doc_id")
     }),
+
+    // Full-text relevance: BM25 (k1=1.2, b=0.75) of a fixed query-term set
+    // over the corpus. Exactness discipline (Num): tf/df/dl/N stay
+    // integer-exact; the per-row score is ONE fixed double expression tree
+    // (identical IEEE evaluation in both engines, log included — its
+    // inputs are |Q| distinct rationals); the per-doc accumulation is the
+    // decimal-exact dsum. Scale shape: corpus tokens are filtered to the
+    // query terms BEFORE any shuffle (the tf aggregate carries only
+    // matching tokens), df (|Q| rows) and the 1-row corpus stats are
+    // broadcast — the corpus itself shuffles once, keyed by (doc, term),
+    // already reduced by map-side combine.
+    "t18_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), col("__ts"),
+          size(col("__ts")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("ts_",
+          log(((col("n_docs").cast("double") - col("df").cast("double")
+              + lit(0.5)) / (col("df").cast("double") + lit(0.5))) + lit(1.0))
+            * ((col("tf").cast("double") * lit(2.2))
+              / (col("tf").cast("double") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          Num.dsum(col("ts_")).as("bm25"))
+        .orderBy("doc_id")
+    }),
   )
+
+  // BM25 query-term set: mixed document frequencies exercise the IDF slope
+  private val Bm25Terms = Seq("join", "vector", "scan", "filter")
 
   private def langidSql: String = {
     val scores = TextOps.langProfiles.map { case (l, p) =>
@@ -608,6 +649,7 @@ object TextQueries extends QueryPack {
                  CAST(sum(df) AS BIGINT) AS df_sum,
                  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
           FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "t18_bm25" -> bm25Sql,
     // exact semantics, no bloom: the sketch is a plan optimization, and
     // hash-matching this proves exactly that
     "t17_bloom_decontaminate" ->
@@ -626,4 +668,27 @@ object TextQueries extends QueryPack {
             AND d.doc_id NOT IN (SELECT doc_id FROM c)
           ORDER BY d.doc_id""",
   )
+
+  private def bm25Sql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM t),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        e AS (SELECT doc_id, dl, unnest(ts) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+               FROM e WHERE term IN ($inList) GROUP BY doc_id, dl, term),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        x AS (SELECT tf.doc_id,
+                     ln(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                         / (CAST(df.df AS DOUBLE) + 0.5)) + 1.0)
+                     * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                          + 0.75 * (CAST(tf.dl AS DOUBLE)
+                            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS ts_
+              FROM tf JOIN df USING (term) CROSS JOIN s)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+               ${Num.sqlSum("ts_")} AS bm25
+        FROM x GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -138,6 +138,20 @@ class NativeAsOfSpec extends SparkTestBase {
       native("c").contains(100.0) && native("d").contains(50.0))
   }
 
+  test("composite key: prefix comparator covers all key positions") {
+    val quotes = Seq(("a", 1L, 10L, 100.0), ("a", 2L, 10L, 200.0),
+        ("b", 1L, 10L, 300.0))
+      .toDF("k1", "k2", "qt", "price")
+    val trades = Seq(("a", 1L, 15L, "x"), ("a", 2L, 15L, "y"),
+        ("b", 1L, 5L, "z"), ("b", 2L, 15L, "w"))
+      .toDF("k1", "k2", "tt", "trade")
+    val native = NativeAsOf.asofJoin(trades, quotes, Seq("k1", "k2"),
+        "tt", "qt", Seq("price" -> "price"))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(native == Map("x" -> Some(100.0), "y" -> Some(200.0),
+      "z" -> None, "w" -> None))
+  }
+
   test("missing column and carry-name collision fail loudly") {
     val l = Seq((1L, 1L, "a")).toDF("k", "lt", "trade")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "rt", "price")

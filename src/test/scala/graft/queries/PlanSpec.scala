@@ -83,6 +83,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("t18 bm25: df and corpus stats broadcast; term filter before the shuffle") {
+    val p = plan("t18_bm25")
+    // df (|Q| rows) broadcasts; the 1-row stats frame rides a broadcast
+    // nested loop (a 1-row cross join is the cheap side of that plan)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    // the query-term IN-filter must prune corpus tokens BEFORE any exchange
+    // (plan text is top-down: upstream-of-shuffle = below the Exchange line)
+    val lines = p.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    assert(firstExchange >= 0 &&
+      lines.drop(firstExchange).exists(l =>
+        l.contains("Filter") && l.contains(" IN (")),
+      s"term IN-filter should sit below the first exchange:\n$p")
+  }
+
   test("t17 bloom decontaminate: exact verify then anti-join, no nested loop") {
     val p = plan("t17_bloom_decontaminate")
     assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
