@@ -420,6 +420,38 @@ object Dedup {
     * (id, n_chunks, n_kept, kept_text) — kept_text = "" when every chunk of
     * a doc appeared earlier elsewhere.
     */
+  /** Edit-distance near-dup pairs — the OCR-noise / typo-variant dedup
+    * family (minhash/simhash see token sets; single-character corruptions
+    * need a character-level metric). Generate-then-verify with the block
+    * condition part of the OPERATOR semantics (like d10's bands, so an
+    * oracle reproduces it exactly): candidates share their first two
+    * tokens, are length-compatible within `tau` on the compared prefix,
+    * and are verified by exact `levenshtein(prefix, prefix) <= tau`.
+    *
+    * Scale shape: ONE shuffle on the block key; pair generation is
+    * quadratic only within a block (two-token keys ≈ vocab² blocks, so
+    * blocks stay tiny — same bounded-posting-list argument as d6); the
+    * O(prefix²) DP runs per surviving candidate, never per corpus pair.
+    * Comparing a bounded prefix (not the full document) is what caps the
+    * per-pair cost — document-length near-dups belong to minhash (d3/d4);
+    * this tier catches near-identical SHORT fields and corrupted copies.
+    */
+  def editDistancePairs(df: DataFrame, id: String, text: Column,
+                        prefixChars: Int, tau: Int): DataFrame = {
+    val base = df.select(col(id).as("__eid"),
+      substring(text, 1, prefixChars).as("__p"),
+      array_join(slice(split(text, " "), 1, 2), " ").as("__blk"))
+    val a = base.select(col("__blk"), col("__eid").as("id1"), col("__p").as("p1"))
+    val b = base.select(col("__blk"), col("__eid").as("id2"), col("__p").as("p2"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id1") < col("id2"))
+      // levenshtein(a, b) >= |len(a) - len(b)|: free pre-prune before the DP
+      .filter(abs(length(col("p1")) - length(col("p2"))) <= tau)
+      .withColumn("dist", levenshtein(col("p1"), col("p2")))
+      .filter(col("dist") <= tau)
+      .select("id1", "id2", "dist")
+  }
+
   def chunkDedup(df: DataFrame, text: Column, idCol: String,
                  chunkTokens: Int): DataFrame = {
     // chunking stays in the scan projection (narrow): token array →

@@ -106,6 +106,23 @@ object DedupQueries extends QueryPack {
         BITS, bands = 4, maxHamming = 1)
         .orderBy("id1", "id2")),
 
+    // Edit-distance near-dup pairs (character-level dedup tier): docs with
+    // doc_id % 7 == 0 get a deterministic corrupted twin (one character
+    // substituted at position 31 — past the two-token block key, inside
+    // the compared prefix), so the positive path provably fires; unrelated
+    // docs sharing a block are exercised and rejected by the verify. Block
+    // join on the first two tokens, exact levenshtein <= tau.
+    "d12_editdist_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 30), lit("z"),
+            substring(col("text"), 32, 1000000)).as("text"))
+      Dedup.editDistancePairs(docs.unionByName(variants), "doc_id",
+        col("text"), prefixChars = 48, tau = 4)
+        .orderBy("id1", "id2")
+    }),
+
     // Sub-document dedup with reassembly (CCNet/Dolma line-dedup shape):
     // 16-token chunks, first occurrence wins corpus-wide, docs rebuilt
     // from surviving chunks in original order. Two keyed shuffles total
@@ -250,7 +267,25 @@ object DedupQueries extends QueryPack {
     "d6_ngram_jaccard" -> jaccardSql,
     "d10_simhash_band_pairs" -> simhashBandPairsSql,
     "pd1_chunk_dedup" -> chunkDedupSql,
+    "d12_editdist_pairs" -> editDistPairsSql,
   )
+
+  private def editDistPairsSql: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000000, substr(text, 1, 30) || 'z' || substr(text, 32)
+         FROM documents WHERE doc_id % 7 = 0),
+       b AS (SELECT doc_id,
+                    substr(text, 1, 48) AS p,
+                    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS blk
+             FROM corpus)
+       SELECT a.doc_id AS id1, c.doc_id AS id2,
+              CAST(levenshtein(a.p, c.p) AS INT) AS dist
+       FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       WHERE abs(len(a.p) - len(c.p)) <= 4
+         AND levenshtein(a.p, c.p) <= 4
+       ORDER BY id1, id2"""
 
   private def chunkDedupSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

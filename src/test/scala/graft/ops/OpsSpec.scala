@@ -171,6 +171,23 @@ class DedupOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_chunks") == 2 && r.getAs[String]("kept_text") == "a b c")
   }
 
+  test("editDistancePairs: blocked candidates, exact verify, bounded prefix") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilXn"),  // dist 1 from doc 1
+      (3L, "alpha beta completely different tail here"), // same block, far
+      (4L, "other block gamma delta epsilon")) // different block
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(df, "doc_id", col("text"), 48, 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1)))
+    // widening tau past the true distance (24) admits the same-block far
+    // pairs too — the verify is the only thing excluding them above
+    val wide = Dedup.editDistancePairs(df, "doc_id", col("text"), 48, 30)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("bloom prefilter: no false negatives; exact verify removes false positives") {
     val build = (1 to 200).map(i => s"key$i").toDF("g")
     val probe = Bloom.mightContain(build, "g", expectedItems = 200, fpp = 0.01)
