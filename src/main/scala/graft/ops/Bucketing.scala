@@ -27,6 +27,18 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucketed write with a secondary in-bucket sort order — the layout an
+    * operator with a compound ordering requirement (as-of join: sorted by
+    * (key, time)) reads back exchange-free AND sort-free.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, key: String,
+                          sortCols: Seq[String], buckets: Int): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key — shuffle-free when both
     * were written with the same bucket count.
     */

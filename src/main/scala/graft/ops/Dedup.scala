@@ -447,8 +447,11 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       // levenshtein(a, b) >= |len(a) - len(b)|: free pre-prune before the DP
       .filter(abs(length(col("p1")) - length(col("p2"))) <= tau)
-      .withColumn("dist", levenshtein(col("p1"), col("p2")))
-      .filter(col("dist") <= tau)
+      // thresholded form: the DP early-exits (returns -1) once the running
+      // minimum exceeds tau — banded O(prefix·tau) instead of O(prefix²)
+      // per candidate, exact distance for every pair that survives
+      .withColumn("dist", levenshtein(col("p1"), col("p2"), tau))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
       .select("id1", "id2", "dist")
   }
 

@@ -152,6 +152,50 @@ class NativeAsOfSpec extends SparkTestBase {
       "z" -> None, "w" -> None))
   }
 
+  test("bucketed inputs: native as-of plans exchange-free (and sort-free)") {
+    // THE capability the union+window form cannot express: AsOfJoinExec
+    // declares its distribution/ordering as REQUIREMENTS, so inputs
+    // bucketed by the key and in-bucket sorted by (key, time) satisfy them
+    // straight off the scan — zero exchanges, zero sorts
+    Seq("asof_bl", "asof_br").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val left = (1 to 1000).map(i => (i % 13L, i.toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 1000).map(i => (i % 13L, i * 2L, i * 10L))
+      .toDF("k", "rt", "rv")
+    graft.ops.Bucketing.writeBucketedSorted(left, "asof_bl", "k", Seq("k", "lt"), 4)
+    graft.ops.Bucketing.writeBucketedSorted(right, "asof_br", "k", Seq("k", "rt"), 4)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = NativeAsOf.asofJoin(spark.table("asof_bl"),
+        spark.table("asof_br"), Seq("k"), "lt", "rt", Seq("rv" -> "rv"))
+      val rows = joined.select("lid", "rv").as[(Long, Option[Long])]
+        .collect().toMap
+      val expected = AsOfJoin.asofJoin(left, right, Seq("k"),
+          col("lt"), col("rt"), Seq("rv" -> col("rv")))
+        .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+      assert(rows == expected)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = plan.split("\n").count(l =>
+        l.contains("Exchange") && !l.contains("Reused"))
+      assert(exchanges == 0, s"bucketed as-of must not shuffle:\n$plan")
+      assert(!plan.linesIterator.exists(_.trim.matches("[:+]- Sort \\[.*")),
+        s"sorted single-file buckets must not re-sort:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.sql("DROP TABLE IF EXISTS asof_bl")
+      spark.sql("DROP TABLE IF EXISTS asof_br")
+    }
+  }
+
   test("missing column and carry-name collision fail loudly") {
     val l = Seq((1L, 1L, "a")).toDF("k", "lt", "trade")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "rt", "price")
