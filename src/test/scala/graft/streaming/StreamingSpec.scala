@@ -407,4 +407,54 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("as-of enrich property: random disorder + batch splits == batch twin") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2) {
+      // bounded disorder (jitter 2 min) well inside the 10-min watermark
+      // delay, so every event is watermark-valid and the streaming result
+      // must agree with the batch as-of EXACTLY
+      var t = 0L
+      val evts = (1 to 40).map { i =>
+        t += rnd.nextInt(5) * 60000L
+        val jitter = rnd.nextInt(3) * 60000L
+        StreamOps.Evt(i.toLong,
+          new Timestamp(1704067200000L + 3600000L + t - jitter),
+          rnd.nextInt(3).toLong,
+          if (rnd.nextBoolean()) "error" else "click", 1.0)
+      }
+      val ms = MemoryStream[StreamOps.Evt]
+      val name = s"asof_prop_$trial"
+      val q = StreamOps.asofEnrich(spark, ms.toDS(),
+          watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        var rest = evts
+        while (rest.nonEmpty) {
+          val k = 1 + rnd.nextInt(7)
+          ms.addData(rest.take(k): _*)
+          q.processAllAvailable()
+          rest = rest.drop(k)
+        }
+        ms.addData(StreamOps.Evt(999, ts(100000), 99, "view", 1.0)) // flush
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+          .select("event_id", "match_id").as[(Long, Option[Long])]
+          .collect().toMap
+        val errors = evts.filter(_.event_type == "error")
+          .map(e => (e.user_id, e.event_id, e.ts.getTime)).toDF("k", "lid", "lt")
+        val clicks = evts.filter(_.event_type == "click")
+          .map(e => (e.user_id, e.event_id, e.ts.getTime)).toDF("k", "rid", "rt")
+          .groupBy("k", "rt").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+        val batch = graft.ops.AsOfJoin.asofJoin(errors, clicks, Seq("k"),
+            org.apache.spark.sql.functions.col("lt"),
+            org.apache.spark.sql.functions.col("rt"),
+            Seq("match_id" -> org.apache.spark.sql.functions.col("rid")))
+          .select("lid", "match_id").as[(Long, Option[Long])].collect().toMap
+        assert(streamed == batch, s"trial $trial: $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
 }
