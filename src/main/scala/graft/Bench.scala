@@ -65,6 +65,7 @@ object Bench {
       (line(dict(results), failed) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = Set(
+      "ao4_asof_native", "t18_bm25",
       "q1_agg", "m5_pipeline_screen", "screen_e2e_fixture",
       "d4_lsh_candidate_pairs", "d6_ngram_jaccard", "d7_dup_groups",
       "sim1_bruteforce_topk", "sim2b_neardup_bucketed", "sim5_ivf_ann_topk",
