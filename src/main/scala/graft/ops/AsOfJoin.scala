@@ -82,6 +82,27 @@ object AsOfJoin {
                       leftTime: Column, rightTime: Column,
                       carry: Seq[(String, Column)]): DataFrame =
     asofJoin(left, right, key, negate(leftTime), negate(rightTime), carry)
+
+  /** Bounded-staleness as-of join: like [[asofJoin]], but a match older
+    * than `tolerance` time units (leftTime − rightTime > tolerance) yields
+    * NULL carries — pandas `merge_asof(tolerance=...)` semantics. Composes
+    * on the unbounded operator with zero extra shuffles: the latest right
+    * row ≤ leftTime is the ONLY candidate (any in-window right row would
+    * be at least as recent), so carrying the matched right time and
+    * null-ing stale matches in a post-projection is exact.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: Seq[String],
+                        leftTime: Column, rightTime: Column, tolerance: Column,
+                        carry: Seq[(String, Column)]): DataFrame = {
+    require(!carry.map(_._1).contains("__rt"), "asofJoinTolerance: '__rt' is reserved")
+    val out = asofJoin(left, right, key, leftTime, rightTime,
+      carry :+ ("__rt" -> rightTime))
+    carry.foldLeft(out) { case (df, (n, _)) =>
+      // unmatched rows have NULL __rt → the predicate is NULL → `when`
+      // yields NULL, same as the unbounded form
+      df.withColumn(n, when(leftTime - col("__rt") <= tolerance, col(n)))
+    }.drop("__rt")
+  }
 }
 
 /** Skew-aware aggregation (SURVEY §7.4 #5: post-fan-out hot keys).

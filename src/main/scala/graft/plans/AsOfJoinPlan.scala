@@ -208,4 +208,24 @@ object NativeAsOf {
       right.withColumn("__negt", -col(rightTimeCol)),
       key, "__negt", "__negt", carry).drop("__negt")
   }
+
+  /** Bounded-staleness variant through the native exec: matches older than
+    * `tolerance` (leftTime − rightTime > tolerance) yield NULL carries —
+    * pandas `merge_asof(tolerance=...)` semantics. Pure post-projection on
+    * [[asofJoin]] (the latest match is the only in-window candidate), so
+    * the merge pass, exchange placement, and outputPartitioning contract
+    * are unchanged.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: Seq[String],
+                        leftTimeCol: String, rightTimeCol: String,
+                        tolerance: org.apache.spark.sql.Column,
+                        carry: Seq[(String, String)]): DataFrame = {
+    require(!carry.map(_._1).contains("__rt"), "asofJoinTolerance: '__rt' is reserved")
+    import org.apache.spark.sql.functions.{col, when}
+    val out = asofJoin(left, right, key, leftTimeCol, rightTimeCol,
+      carry :+ ("__rt" -> rightTimeCol))
+    carry.foldLeft(out) { case (df, (n, _)) =>
+      df.withColumn(n, when(col(leftTimeCol) - col("__rt") <= tolerance, col(n)))
+    }.drop("__rt")
+  }
 }

@@ -11,6 +11,12 @@ import graft.ops.{AsOfJoin, SaltedAgg}
   */
 object AsOfQueries extends QueryPack {
 
+  // ao6 staleness bound: 36 h in µs — the corpus's error→click gap has
+  // median ≈34 h at sf0.01, so the bound nulls roughly half the matches
+  // (980 in-window / 929 nulled-stale / 105 never-matched): both CASE
+  // branches of the oracle fire on a large slice, nothing is vacuous
+  private val TOL_US = 36L * 3600 * 1000 * 1000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each 'error' event: the user's most recent 'click' at or before
     // it (µs time, right side deduped per (user, t) by max id).
@@ -74,6 +80,24 @@ object AsOfQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Bounded-staleness as-of through the native exec: a click more than
+    // TOL_US µs before the error yields NULL (pandas merge_asof
+    // `tolerance` semantics). Post-projection on the unbounded native
+    // operator — the latest match is the only in-window candidate — so
+    // the plan (one exchange per side, one merge pass) is unchanged.
+    "ao6_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.NativeAsOf.asofJoinTolerance(errors, clicks, Seq("user_id"),
+          "ets", "cts", lit(TOL_US), Seq("click_id" -> "click_id"))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -104,6 +128,18 @@ object AsOfQueries extends QueryPack {
            SELECT event_id, user_id, epoch_us(ts) AS ets
            FROM events WHERE event_type = 'error')
          SELECT e.event_id, e.user_id, c.click_id
+         FROM err e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ets >= c.cts
+         ORDER BY e.event_id""",
+    "ao6_asof_tolerance" ->
+      s"""WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id,
+                CASE WHEN e.ets - c.cts <= ${TOL_US} THEN c.click_id END AS click_id
          FROM err e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ets >= c.cts
          ORDER BY e.event_id""",

@@ -154,6 +154,28 @@ object EventQueries extends QueryPack {
           expr("ts DIV 1000").as("first_ts_us"))
         .orderBy("user_id", "event_type")),
 
+    // Gaps-and-islands DETAIL: e2 counts sessions per user; this emits one
+    // row per session (island) with its boundaries — the classic
+    // lag→mark→cumulative-sum→group chain. One exchange on user_id feeds
+    // both windows; the island aggregate re-keys on (user_id, session_no),
+    // but partial aggregation collapses that second exchange to |islands|
+    // rows, so at 100 TB the cost is the same single wide shuffle as e2.
+    "e9_session_islands" -> ((s, d) => {
+      val tsUs = expr("ts DIV 1000")
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(tsUs - lag(tsUs, 1).over(byUser) > GAP_NS / 1000, 1)
+            .when(lag(tsUs, 1).over(byUser).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_no", sum(col("new_sess")).over(cum).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(min(tsUs).as("start_us"), max(tsUs).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // Late-data accounting: per type, events arriving out of order w.r.t.
     // the running max timestamp (what a watermark would drop/admit).
     "e4_out_of_order_frac" -> ((s, d) => {
@@ -229,6 +251,21 @@ object EventQueries extends QueryPack {
                  ${Num.sqlSum("value")} AS sum_value
           FROM x GROUP BY slide_idx, event_type
           ORDER BY slide_idx, event_type""",
+    "e9_session_islands" ->
+      s"""WITH x AS (
+            SELECT user_id, ts, event_id, epoch_us(ts) AS ets,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GAP_NS / 1000} THEN 1
+                        WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          y AS (
+            SELECT user_id, ets,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM x)
+          SELECT user_id, session_no, min(ets) AS start_us, max(ets) AS end_us,
+                 count(*) AS n_events
+          FROM y GROUP BY 1, 2 ORDER BY user_id, session_no""",
     "e2_sessionize" ->
       s"""WITH x AS (
             SELECT user_id,

@@ -138,6 +138,27 @@ class NativeAsOfSpec extends SparkTestBase {
       native("c").contains(100.0) && native("d").contains(50.0))
   }
 
+  test("tolerance: stale matches null out; native == composed") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 40L, 110.0), (2L, 5L, 50.0))
+      .toDF("k", "qt", "price")
+    val trades = Seq((1L, 15L, "near"), (1L, 39L, "stale"), (1L, 45L, "refresh"),
+        (2L, 4L, "none"))
+      .toDF("k", "tt", "trade")
+    // tol = 10: trade@15 matches quote@10 (gap 5); trade@39's latest quote
+    // is @10 (gap 29 > 10 → NULL — a younger in-window quote cannot exist,
+    // the nulled match was the latest); trade@45 matches quote@40 (gap 5);
+    // k=2 trade@4 has no prior quote at all → NULL either way
+    val native = NativeAsOf.asofJoinTolerance(trades, quotes, Seq("k"),
+        "tt", "qt", lit(10L), Seq("price" -> "price"))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    val composed = AsOfJoin.asofJoinTolerance(trades, quotes, Seq("k"),
+        col("tt"), col("qt"), lit(10L), Seq("price" -> col("price")))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(native == composed)
+    assert(native == Map("near" -> Some(100.0), "stale" -> None,
+      "refresh" -> Some(110.0), "none" -> None))
+  }
+
   test("composite key: prefix comparator covers all key positions") {
     val quotes = Seq(("a", 1L, 10L, 100.0), ("a", 2L, 10L, 200.0),
         ("b", 1L, 10L, 300.0))
