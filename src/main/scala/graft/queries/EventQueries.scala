@@ -156,10 +156,12 @@ object EventQueries extends QueryPack {
 
     // Gaps-and-islands DETAIL: e2 counts sessions per user; this emits one
     // row per session (island) with its boundaries — the classic
-    // lag→mark→cumulative-sum→group chain. One exchange on user_id feeds
-    // both windows; the island aggregate re-keys on (user_id, session_no),
-    // but partial aggregation collapses that second exchange to |islands|
-    // rows, so at 100 TB the cost is the same single wide shuffle as e2.
+    // lag→mark→cumulative-sum→group chain. ONE exchange on user_id total:
+    // both windows share it, and the island aggregate's grouping keys
+    // (user_id, session_no) are a superset of the partitioning key, so
+    // Catalyst plans partial+final HashAggregate with NO re-exchange
+    // (PLANS.md) — at 100 TB the cost is the same single wide shuffle
+    // as e2.
     "e9_session_islands" -> ((s, d) => {
       val tsUs = expr("ts DIV 1000")
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
