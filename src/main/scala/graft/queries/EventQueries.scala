@@ -178,6 +178,24 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "session_no")
     }),
 
+    // e9's islands through Spark's BUILT-IN session_window (the batch form
+    // of the streaming session operator): same single user_id exchange, the
+    // session merge runs inside SessionWindow/ObjectHashAggregate instead
+    // of a window chain. Boundary semantics differ from e9 at EXACT gap:
+    // session_window windows are half-open [t, t+gap), so a delta of
+    // exactly the gap starts a NEW session (e9's `>` keeps it) — the
+    // oracle encodes `>=` to pin the built-in's semantics honestly, and
+    // end_us = last event + gap per the window definition.
+    "e10_session_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ets_ts", timestamp_micros(expr("ts DIV 1000")))
+      ev.groupBy(col("user_id"), session_window(col("ets_ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Late-data accounting: per type, events arriving out of order w.r.t.
     // the running max timestamp (what a watermark would drop/admit).
     "e4_out_of_order_frac" -> ((s, d) => {
@@ -253,6 +271,21 @@ object EventQueries extends QueryPack {
                  ${Num.sqlSum("value")} AS sum_value
           FROM x GROUP BY slide_idx, event_type
           ORDER BY slide_idx, event_type""",
+    "e10_session_window" ->
+      s"""WITH x AS (
+            SELECT user_id, ts, event_id, epoch_us(ts) AS ets,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${GAP_NS / 1000} THEN 1
+                        WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          y AS (
+            SELECT user_id, ets,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM x)
+          SELECT user_id, min(ets) AS start_us,
+                 max(ets) + ${GAP_NS / 1000} AS end_us, count(*) AS n_events
+          FROM y GROUP BY user_id, session_no ORDER BY user_id, start_us""",
     "e9_session_islands" ->
       s"""WITH x AS (
             SELECT user_id, ts, event_id, epoch_us(ts) AS ets,
