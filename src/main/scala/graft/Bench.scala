@@ -16,11 +16,14 @@ object Bench {
     // untimed warmup absorbs JVM/codegen JIT so the measured loop reflects
     // steady-state execution, not first-compile: one representative per
     // heavy kernel family (decimal agg, rollup, window, minhash chain,
-    // top-k aggregator). Measured: cold-vs-warm was 8.7s vs 1.2s on
-    // c1_rollup, 6.2s vs 0.8s on a8_topk_agg — first-compile noise that
+    // top-k aggregator, iterative CC loop, PQ/ADC kernels). Measured:
+    // cold-vs-warm was 8.7s vs 1.2s on c1_rollup, 6.2s vs 0.8s on
+    // a8_topk_agg, 12.9s vs 3.5s on d8_dedup_apply (whose CC family
+    // d7 warms), 4.6s vs 2.9s on sim9 — first-compile noise that
     // swamped real plan-cost signal in the per-query history.
     for (wq <- Seq("q1_agg", "c1_rollup", "w2_lag_delta",
-        "d3_minhash_signatures", "a8_topk_agg"))
+        "d3_minhash_signatures", "a8_topk_agg",
+        "d7_dup_groups", "sim9_ivfpq_ann_topk"))
       try SparkEntry.queries(wq)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }

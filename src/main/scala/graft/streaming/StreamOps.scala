@@ -213,6 +213,25 @@ object StreamOps {
       }
   }
 
+  /** e10's BUILT-IN `session_window` under readStream — literally the same
+    * aggregation as the batch gate query, which is the entire point of
+    * using the built-in operator: one code path for both modes. Append
+    * mode + watermark: a session row is emitted once (final) when the
+    * watermark passes its end. Output matches e10's shape — end_us = last
+    * event + gap, half-open boundary (a delta of exactly the gap starts a
+    * new session). Use [[sessionize]] when emission must also fire on the
+    * in-stream gap-crossing event (custom state), this when the built-in
+    * watermark-final contract suffices.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

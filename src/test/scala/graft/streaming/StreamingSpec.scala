@@ -110,6 +110,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("built-in session_window emits watermark-final sessions (e10 twin)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionWindows(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("swin")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 50 min
+      // later (second session); user 2 far in the future advances the
+      // watermark past both so they emit as FINAL rows
+      ms.addData(
+        StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+        StreamOps.Evt(2, ts(10), 1, "click", 1.0),
+        StreamOps.Evt(3, ts(60), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(StreamOps.Evt(4, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L).sortBy(_._2)
+      val base = 1704067200000000L // ts(0) in µs
+      val gapUs = 30L * 60 * 1000 * 1000
+      assert(rows.toSeq == Seq(
+        (1L, base, base + 10L * 60 * 1000 * 1000 + gapUs, 2L),
+        (1L, base + 60L * 60 * 1000 * 1000,
+          base + 60L * 60 * 1000 * 1000 + gapUs, 1L)),
+        s"got ${rows.toSeq}")
+      // same rows as the batch form of the identical aggregation
+      val batch = StreamOps.sessionWindows(
+        Seq(
+          StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+          StreamOps.Evt(2, ts(10), 1, "click", 1.0),
+          StreamOps.Evt(3, ts(60), 1, "click", 1.0)).toDS().toDF())
+        .filter(col("user_id") === 1)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(batch.toSeq == rows.toSeq)
+    } finally q.stop()
+  }
+
   test("late in-window event never regresses lastTs (no negative durations)") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
