@@ -80,6 +80,41 @@ object CubeQueries extends QueryPack {
           .select(col("o_custkey")))
         .orderBy("o_custkey")),
 
+    // GROUPING SETS — the general form c1/c2 specialize: an explicit,
+    // non-hierarchical set list (here: both dims, each alone, grand
+    // total). Spark's DataFrame API exposes only rollup/cube, so this
+    // goes through the SQL surface; the plan is the same single Expand +
+    // one aggregate exchange as c1/c2 (each input row replicated once per
+    // set, partial agg before the shuffle). The aggregate SQL text is
+    // Num.sqlSum verbatim on BOTH engines — one string, two engines,
+    // decimal-exact either way.
+    "c9_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gsv")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+               ${Num.sqlSum("l_quantity")} AS sum_qty, count(*) AS n,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+           FROM lineitem_gsv
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_returnflag), (l_linestatus), ())
+           ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                    l_linestatus NULLS FIRST""")
+    }),
+
+    // EXCEPT ALL — multiset difference (c7 is the distinct form): each
+    // row's multiplicity survives subtraction. Plans as one keyed shuffle
+    // with a per-key count diff (no distinct collapse); the output groups
+    // by key so surviving multiplicities are visible to the oracle.
+    "c10_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(col("l_suppkey").as("k"))
+        .exceptAll(li.filter(col("l_returnflag") === "R")
+          .select(col("l_suppkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
     // listagg/string_agg: made order-independent (and thus cross-engine
     // exact) by sorting the distinct set BEFORE joining — a raw string_agg
     // over an unordered group is nondeterministic on any parallel engine.
@@ -132,6 +167,22 @@ object CubeQueries extends QueryPack {
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_custkey""",
+    "c9_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${Num.sqlSum("l_quantity")} AS sum_qty, count(*) AS n,
+                 CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                 CAST(GROUPING(l_linestatus) AS INT) AS g_status
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), (l_linestatus), ())
+          ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                   l_linestatus NULLS FIRST""",
+    "c10_except_all" ->
+      """WITH x AS (
+           SELECT l_suppkey AS k FROM lineitem
+           EXCEPT ALL
+           SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+         SELECT k, count(*) AS n FROM x GROUP BY k ORDER BY k""",
     "c8_string_agg" ->
       """SELECT o_orderpriority,
                 array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')

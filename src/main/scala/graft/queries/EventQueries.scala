@@ -196,6 +196,22 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "start_us")
     }),
 
+    // Regular-grid resample + forward fill (pandas resample().ffill(),
+    // time_bucket_gapfill): hourly slots per user across the corpus's
+    // 30-day span, each carrying the user's latest event value at or
+    // before the slot. Grid = narrow sequence-explode off a |users|-row
+    // bounds aggregate; fill = the as-of operator — total cost is ONE
+    // keyed shuffle regardless of grid density ([[graft.ops.Resample]]).
+    "e11_resample_ffill" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("ets"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      graft.ops.Resample.gridFfill(pts, Seq("user_id"), "ets",
+          HOUR_NS / 1000, Seq("value_ffill" -> col("v")))
+        .select(col("user_id"), col("t_grid"), col("value_ffill"))
+        .orderBy("user_id", "t_grid")
+    }),
+
     // Late-data accounting: per type, events arriving out of order w.r.t.
     // the running max timestamp (what a watermark would drop/admit).
     "e4_out_of_order_frac" -> ((s, d) => {
@@ -271,6 +287,21 @@ object EventQueries extends QueryPack {
                  ${Num.sqlSum("value")} AS sum_value
           FROM x GROUP BY slide_idx, event_type
           ORDER BY slide_idx, event_type""",
+    "e11_resample_ffill" ->
+      s"""WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS ets, max_by(value, event_id) AS v
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT user_id, min(ets) AS tmin, max(ets) AS tmax
+                FROM pts GROUP BY 1),
+          g AS (SELECT user_id,
+                       unnest(generate_series(tmin // ${HOUR_NS / 1000},
+                                              tmax // ${HOUR_NS / 1000}))
+                         * ${HOUR_NS / 1000} AS t_grid
+                FROM b)
+          SELECT g.user_id, g.t_grid, p.v AS value_ffill
+          FROM g ASOF LEFT JOIN pts p
+            ON g.user_id = p.user_id AND g.t_grid >= p.ets
+          ORDER BY g.user_id, g.t_grid""",
     "e10_session_window" ->
       s"""WITH x AS (
             SELECT user_id, ts, event_id, epoch_us(ts) AS ets,

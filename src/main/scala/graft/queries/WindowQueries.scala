@@ -50,6 +50,27 @@ object WindowQueries extends QueryPack {
         .filter(col("rnk") <= 3)
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
+    // The remaining rank-family and value-window functions in one slice:
+    // percent_rank / cume_dist (exact rationals — integer ratios divide
+    // identically under IEEE in any engine, given the UNIQUE ordering
+    // key), plus first/nth/last over the FULL partition frame (explicit
+    // rows-between: the default running frame would make nth/last
+    // order-dependent prefixes). Same one-shuffle shape as w1–w3.
+    "w4_window_stats" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("l_quantity")).over(wf).as("fv"),
+          nth_value(col("l_quantity"), 100).over(wf).as("nv"),
+          last(col("l_quantity")).over(wf).as("lv"))
+        .filter(col("rn") <= 15)
+        .orderBy("l_returnflag", "rn")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +99,22 @@ object WindowQueries extends QueryPack {
            FROM orders)
          WHERE rnk <= 3
          ORDER BY o_orderpriority, rnk, o_orderkey""",
+    "w4_window_stats" ->
+      """SELECT l_returnflag, l_quantity, rn, pr, cd, fv, nv, lv FROM (
+           SELECT l_returnflag, l_quantity,
+                  CAST(row_number() OVER w AS INT) AS rn,
+                  percent_rank() OVER w AS pr,
+                  cume_dist() OVER w AS cd,
+                  first_value(l_quantity) OVER wf AS fv,
+                  nth_value(l_quantity, 100) OVER wf AS nv,
+                  last_value(l_quantity) OVER wf AS lv
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY l_quantity, l_orderkey, l_linenumber),
+                  wf AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         WHERE rn <= 15
+         ORDER BY l_returnflag, rn""",
   )
 }
