@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Num}
+import graft.ops.{AsOfJoin, Dedup, Num}
 
 /** Streaming-shaped operators over `events`, in batch form (SURVEY §2.10:
   * the reference is pure batch, so streaming is our extension; the same
@@ -212,6 +212,34 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "t_grid")
     }),
 
+    // Linear interpolation at grid slots — the other half of resampling
+    // (e11 = ffill): backward as-of carries (t_prev, v_prev), forward
+    // as-of carries (t_next, v_next), and the interp is one fixed double
+    // expression tree — identical under IEEE in any engine, so it
+    // hash-matches DuckDB computing the same formula from its native
+    // ASOF joins. Semantics: a slot ON a point takes that value; a slot
+    // missing either neighbor (before a key's first point / after its
+    // last) is NULL; two as-of shuffles total, grid stays generated.
+    "e12_resample_interp" -> ((s, d) => {
+      val hourUs = HOUR_NS / 1000
+      val pts = Tables.events(s, d)
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("ets"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val back = graft.ops.Resample.gridFfill(pts, Seq("user_id"), "ets",
+        hourUs, Seq("v_prev" -> col("v"), "t_prev" -> col("ets")))
+      val both = AsOfJoin.asofJoinForward(back, pts, Seq("user_id"),
+        col("t_grid"), col("ets"),
+        Seq("v_next" -> col("v"), "t_next" -> col("ets")))
+      both.select(col("user_id"), col("t_grid"),
+          when(col("t_prev") === col("t_next"), col("v_prev"))
+            .when(col("t_prev").isNotNull && col("t_next").isNotNull,
+              col("v_prev") + (col("v_next") - col("v_prev")) *
+                ((col("t_grid") - col("t_prev")) /
+                 (col("t_next") - col("t_prev"))))
+            .as("value_interp"))
+        .orderBy("user_id", "t_grid")
+    }),
+
     // Late-data accounting: per type, events arriving out of order w.r.t.
     // the running max timestamp (what a watermark would drop/admit).
     "e4_out_of_order_frac" -> ((s, d) => {
@@ -287,6 +315,30 @@ object EventQueries extends QueryPack {
                  ${Num.sqlSum("value")} AS sum_value
           FROM x GROUP BY slide_idx, event_type
           ORDER BY slide_idx, event_type""",
+    "e12_resample_interp" ->
+      s"""WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS ets, max_by(value, event_id) AS v
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT user_id, min(ets) AS tmin, max(ets) AS tmax
+                FROM pts GROUP BY 1),
+          g AS (SELECT user_id,
+                       unnest(generate_series(tmin // ${HOUR_NS / 1000},
+                                              tmax // ${HOUR_NS / 1000}))
+                         * ${HOUR_NS / 1000} AS t_grid
+                FROM b),
+          bk AS (SELECT g.user_id, g.t_grid, p.v AS v_prev, p.ets AS t_prev
+                 FROM g ASOF LEFT JOIN pts p
+                   ON g.user_id = p.user_id AND g.t_grid >= p.ets),
+          fw AS (SELECT bk.*, p.v AS v_next, p.ets AS t_next
+                 FROM bk ASOF LEFT JOIN pts p
+                   ON bk.user_id = p.user_id AND bk.t_grid <= p.ets)
+          SELECT user_id, t_grid,
+                 CASE WHEN t_prev = t_next THEN v_prev
+                      WHEN t_prev IS NOT NULL AND t_next IS NOT NULL THEN
+                        v_prev + (v_next - v_prev) *
+                          ((t_grid - t_prev) / (t_next - t_prev))
+                 END AS value_interp
+          FROM fw ORDER BY user_id, t_grid""",
     "e11_resample_ffill" ->
       s"""WITH pts AS (
             SELECT user_id, epoch_us(ts) AS ets, max_by(value, event_id) AS v

@@ -71,6 +71,25 @@ object WindowQueries extends QueryPack {
         .filter(col("rn") <= 15)
         .orderBy("l_returnflag", "rn")
     }),
+    // Time-based rolling window (RANGE frame, not ROWS): per event, the
+    // decimal-exact sum and count of the user's events in the trailing
+    // hour — frame bounds follow the VALUE of the ordering column, so
+    // same-µs ties land in the same frame regardless of physical order
+    // (deterministic on any engine, no tie-break needed). Same single
+    // user_id shuffle as every w-query.
+    "w5_range_rolling" -> ((s, d) => {
+      val hourUs = 3600L * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy(col("ets"))
+        .rangeBetween(-hourUs, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"),
+          col("value"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("n_in_hour"))
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,5 +135,14 @@ object WindowQueries extends QueryPack {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
          WHERE rn <= 15
          ORDER BY l_returnflag, rn""",
+    "w5_range_rolling" ->
+      """SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  AS hour_sum,
+                count(*) OVER w AS n_in_hour
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS ets, value FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ets
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
   )
 }
