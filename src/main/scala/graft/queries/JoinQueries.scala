@@ -136,9 +136,87 @@ object JoinQueries extends QueryPack {
       closed.unionByName(unchanged).unionByName(opened)
         .orderBy("c_custkey", "version")
     }),
+
+    // TPC-H Q3 shape (shipping priority): the classic fact⋈fact⋈dim
+    // multi-join — lineitem⋈orders shuffles on the orderkey, the filtered
+    // customer dim broadcasts, and all three filters reach their scans
+    // (PushedFilters). Revenue = per-row double product (4 clean decimal
+    // digits — unambiguous) folded through the decimal discipline.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cut = lit("1998-03-15").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          // o_orderdate reads as TIMESTAMP_NTZ; cast for unix_micros —
+          // equal to DuckDB's epoch_us(naive ts) under the UTC session
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("odate_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): six tables, one shuffled
+    // fact⋈fact join (lineitem⋈orders), every dim chain broadcast —
+    // region→nation prunes suppliers, and the c_nationkey = s_nationkey
+    // "local" constraint rides the supplier join. The optimizer's join
+    // ordering + broadcast selection exercised end-to-end.
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val asia = Tables.nation(s, d).join(
+          broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+                 ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 epoch_us(o_orderdate) AS odate_us, o_orderpriority
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+            AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1998-03-15'
+            AND l_shipdate > TIMESTAMP '1998-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, odate_us, l_orderkey LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name,
+                 ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM customer, orders, lineitem, supplier, nation, region
+          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "j8_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
                  ${Num.sqlSum("l_extendedprice")} AS sum_price
