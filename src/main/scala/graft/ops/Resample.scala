@@ -38,6 +38,15 @@ object Resample {
         explode(sequence(expr(s"__tmin DIV $step"), expr(s"__tmax DIV $step")))
           .as("__slot"): _*)
       .select(key.map(col) :+ (col("__slot") * step).as("t_grid"): _*)
-    AsOfJoin.asofJoin(grid, points, key, col("t_grid"), col(timeCol), carry)
+    // the fill rides the NATIVE as-of exec (each side shuffles at its own
+    // width, one merge pass — no union widening of the generated grid);
+    // carry expressions are first materialized as named point columns
+    // since the physical operator projects by attribute
+    val named = carry.zipWithIndex.map { case ((n, c), i) => (n, s"__carry_$i", c) }
+    val pts = named.foldLeft(points) { case (df, (_, tmp, c)) =>
+      df.withColumn(tmp, c)
+    }
+    graft.plans.NativeAsOf.asofJoin(grid, pts, key, "t_grid", timeCol,
+      named.map { case (n, tmp, _) => n -> tmp })
   }
 }

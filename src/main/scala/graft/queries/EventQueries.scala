@@ -227,9 +227,9 @@ object EventQueries extends QueryPack {
         .agg(max_by(col("value"), col("event_id")).as("v"))
       val back = graft.ops.Resample.gridFfill(pts, Seq("user_id"), "ets",
         hourUs, Seq("v_prev" -> col("v"), "t_prev" -> col("ets")))
-      val both = AsOfJoin.asofJoinForward(back, pts, Seq("user_id"),
-        col("t_grid"), col("ets"),
-        Seq("v_next" -> col("v"), "t_next" -> col("ets")))
+      val both = graft.plans.NativeAsOf.asofJoinForward(back, pts,
+        Seq("user_id"), "t_grid", "ets",
+        Seq("v_next" -> "v", "t_next" -> "ets"))
       both.select(col("user_id"), col("t_grid"),
           when(col("t_prev") === col("t_next"), col("v_prev"))
             .when(col("t_prev").isNotNull && col("t_next").isNotNull,
