@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Dedup, Num}
+import graft.ops.{Dedup, Num}
 
 /** Streaming-shaped operators over `events`, in batch form (SURVEY §2.10:
   * the reference is pure batch, so streaming is our extension; the same
