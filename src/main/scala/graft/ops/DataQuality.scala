@@ -39,6 +39,31 @@ object DataQuality {
       count(when(expr(col).isNotNull && !expr(col).rlike(s"^(?:$re)$$"), 1))
   }
 
+  /** Row-level violation predicate for checks decidable per row (Unique
+    * is aggregate-scoped — route duplicates with keep-first dedup, not
+    * here). Null range inputs don't violate, matching `audit`'s counts.
+    */
+  def rowViolation(c: Check): Column = c match {
+    case NotNull(colName) => expr(colName).isNull
+    case InRange(colName, lo, hi) =>
+      coalesce(expr(colName) < lo || expr(colName) > hi, lit(false))
+    case Matches(colName, re) =>
+      expr(colName).isNotNull && !expr(colName).rlike(s"^(?:$re)$$")
+    case u: Unique => throw new IllegalArgumentException(
+      s"${u.name}: uniqueness is not row-decidable; use keep-first dedup")
+  }
+
+  /** The APPLY side of the audit (dead-letter routing): tag every row
+    * with the checks it fails — CSV in declaration order, '' = clean
+    * (concat_ws skips the null branches identically in Spark and ANSI
+    * SQL). One narrow projection, ZERO exchanges however many rules ride
+    * the scan; split downstream with `filter(failed_checks =!= "")` —
+    * the quarantine/dead-letter pattern every ingest pipeline needs.
+    */
+  def quarantineTag(df: DataFrame, checks: Seq[Check]): DataFrame =
+    df.withColumn("failed_checks", concat_ws(",",
+      checks.map(c => when(rowViolation(c), lit(c.name))): _*))
+
   /** One row per check: (check, violations, n_rows). Single scan, single
     * (1-row) aggregate; `stack` unpivots on the driver-free result.
     */

@@ -262,6 +262,20 @@ object TextQueries extends QueryPack {
         .orderBy("check")
     }),
 
+    // Quarantine routing — the APPLY side of dq1's audit: every row
+    // tagged with the row-decidable rules it fails (CSV, '' = clean) in
+    // ONE narrow zero-exchange projection; is_clean splits the corpus
+    // from its dead-letter stream. Same rules as dq1 minus Unique
+    // (aggregate-scoped → keep-first dedup is its apply form, d2/d9).
+    "dq2_quarantine" -> ((s, d) => {
+      import graft.ops.DataQuality._
+      quarantineTag(Tables.documents(s, d), Seq(
+        NotNull("text"), InRange("n_chars", 1, 400), Matches("lang", "en|de|fr")))
+        .select(col("doc_id"), col("failed_checks"),
+          (col("failed_checks") === "").as("is_clean"))
+        .orderBy("doc_id")
+    }),
+
     // Heavy hitters WITHOUT a full-domain shuffle: Misra–Gries partial
     // summaries (bounded 256-entry state through map-side combine, so the
     // exchange carries O(partitions·capacity) rows however large the
@@ -594,6 +608,21 @@ object TextQueries extends QueryPack {
           SELECT doc_id, source, weight,
                  CAST(unnest(range(weight)) AS INT) AS epoch
           FROM w ORDER BY doc_id, epoch""",
+    "dq2_quarantine" ->
+      """SELECT doc_id,
+                concat_ws(',',
+                  CASE WHEN text IS NULL THEN 'not_null_text' END,
+                  CASE WHEN n_chars < 1 OR n_chars > 400 THEN 'range_n_chars' END,
+                  CASE WHEN lang IS NOT NULL
+                         AND NOT regexp_full_match(lang, '(?:en|de|fr)')
+                       THEN 'matches_lang' END) AS failed_checks,
+                concat_ws(',',
+                  CASE WHEN text IS NULL THEN 'not_null_text' END,
+                  CASE WHEN n_chars < 1 OR n_chars > 400 THEN 'range_n_chars' END,
+                  CASE WHEN lang IS NOT NULL
+                         AND NOT regexp_full_match(lang, '(?:en|de|fr)')
+                       THEN 'matches_lang' END) = '' AS is_clean
+         FROM documents ORDER BY doc_id""",
     "dq1_audit" ->
       """WITH s AS (SELECT count(*) AS n_rows,
                 CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS v_notnull,
