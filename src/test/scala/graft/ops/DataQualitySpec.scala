@@ -27,4 +27,34 @@ class DataQualitySpec extends SparkTestBase {
       .select("n_rows").as[Long].collect()
     assert(nrows.toSeq == Seq(5L))
   }
+
+  test("quarantineTag routes rows with a per-rule CSV; agrees with audit") {
+    val df = Seq(
+      (1L, "ok text", "en", 100L),
+      (2L, null: String, "de", 200L),
+      (3L, "too long", "xx", 900L),     // two rules fire on one row
+      (4L, "fine", null: String, 50L))  // null lang/range: clean
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val checks = Seq(NotNull("text"),
+      InRange("n_chars", 1, 400), Matches("lang", "en|de|fr"))
+    val tags = quarantineTag(df, checks)
+      .select("doc_id", "failed_checks").as[(Long, String)].collect().toMap
+    assert(tags == Map(1L -> "", 2L -> "not_null_text",
+      3L -> "range_n_chars,matches_lang", 4L -> ""), s"got $tags")
+    // per-rule row totals equal the one-pass audit's counts
+    val fromTags = checks.map(c => c.name ->
+      quarantineTag(df, checks)
+        .filter(array_contains(split(col("failed_checks"), ","), c.name))
+        .count()).toMap
+    val fromAudit = audit(df, checks)
+      .select("check", "violations").as[(String, Long)].collect().toMap
+    assert(fromTags == fromAudit, s"$fromTags vs $fromAudit")
+  }
+
+  test("quarantineTag rejects aggregate-scoped Unique loudly") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      quarantineTag(df, Seq(Unique("doc_id")))
+    }
+  }
 }
