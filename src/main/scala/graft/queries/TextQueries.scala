@@ -371,7 +371,80 @@ object TextQueries extends QueryPack {
           Num.dsum(col("ts_")).as("bm25"))
         .orderBy("doc_id")
     }),
+
+    // Unigram-LM quality filter (the CCNet/perplexity-filter shape): the
+    // corpus's own unigram distribution scores every token as
+    // ln((cnt+1)/(T+V)) (add-one smoothing) and a doc's score is its mean
+    // token log-prob — boilerplate-ish docs of common tokens score high,
+    // out-of-distribution junk scores low. Exactness: counts stay integer,
+    // the per-token log-prob is ONE fixed double expression (inputs are
+    // exact rationals, ln is IEEE-identical cross-engine — t18 precedent),
+    // per-doc accumulation is the decimal-exact dsum. Scale shape: the
+    // vocab table is |V| rows → broadcast back onto the token stream; the
+    // corpus shuffles once for the vocab count (map-side combined) and
+    // once keyed by doc for the fold — no all-pairs, no driver state.
+    "t19_unigram_logprob" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val cnt = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+      val stats = cnt.agg(sum(col("cnt")).as("t_total"),
+        count(lit(1)).as("vocab"))
+      tok.join(broadcast(cnt), Seq("tk"))
+        .crossJoin(broadcast(stats))
+        .withColumn("lp",
+          log((col("cnt").cast("double") + lit(1.0)) /
+            (col("t_total").cast("double") + col("vocab").cast("double"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), Num.dsum(col("lp")).as("lp_sum"))
+        .withColumn("mean_lp", col("lp_sum") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): doc
+    // weight comes from its source tier (t14's mixture weights), the
+    // priority key is −ln(u)/w with u a deterministic per-doc uniform from
+    // the portable hash, and the k smallest keys win — inclusion odds are
+    // proportional to weight, yet the draw is reproducible and
+    // oracle-exact (t9's uniform quota is the w≡1 special case). Scale
+    // shape: the key is a narrow per-row projection; global k-smallest is
+    // orderBy+limit = TakeOrderedAndProject (per-partition top-k, one
+    // k-sized merge — no global sort); the rank window runs on k rows.
+    "t20_weighted_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("skey"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+            .cast("double").as("wt"),
+          // affine rehash: raw polyHash of "prefix|shortid" strings lands
+          // in a few narrow bands (the digit tail never wraps P), which
+          // would starve the uniform; one multiply by the Knuth constant
+          // mod P spreads the bands across the field (t9's quota ranks
+          // only need determinism, a weighted draw needs uniformity too)
+          ((StableHash.polyHash(concat_ws("",
+            lit("wsamp|"), col("doc_id").cast("string")))
+            * lit(wsA) + lit(wsB)) % lit(StableHash.P)).as("__h"))
+        .withColumn("skey",
+          (-log((col("__h").cast("double") + lit(1.0)) /
+            lit((StableHash.P + 1).toDouble)) / col("wt"))
+            // per-row double crossing engines raw: ln drifts a last ulp
+            // between libm builds, so the key is pinned to the Num
+            // 6-decimal regime (messy full-width input → unambiguous
+            // rounding) BEFORE it orders the draw
+            .cast("decimal(18,6)").cast("double"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(SampleK)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select("doc_id", "source", "wt", "skey", "rank")
+        .orderBy("doc_id")
+    }),
   )
+
+  // t20 draw size: well under the sf0.01 corpus (500 docs) so exclusion
+  // actually happens, big enough that every weight tier is represented
+  private val SampleK = 200
+  // t20 affine rehash params (shared with the oracle SQL below)
+  private val (wsA, wsB) = StableHash.affineParams(1).head
 
   // BM25 query-term set: mixed document frequencies exercise the IDF slope
   private val Bm25Terms = Seq("join", "vector", "scan", "filter")
@@ -411,6 +484,37 @@ object TextQueries extends QueryPack {
         FROM c ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "t19_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                       FROM documents),
+          c AS (SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk),
+          s AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
+                       CAST(count(*) AS BIGINT) AS vocab FROM c),
+          j AS (SELECT t.doc_id,
+                       ln((CAST(c.cnt AS DOUBLE) + 1.0) /
+                          (CAST(s.t_total AS DOUBLE) + CAST(s.vocab AS DOUBLE))) AS lp
+                FROM tok t JOIN c USING (tk) CROSS JOIN s)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 ${Num.sqlSum("lp")} AS lp_sum,
+                 ${Num.sqlSum("lp")} / CAST(count(*) AS DOUBLE) AS mean_lp
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "t20_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+                 CAST((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1
+                      AS DOUBLE) AS wt,
+                 (${StableHash.polyHashSql(
+        "concat('wsamp|', CAST(doc_id AS VARCHAR))")} * $wsA + $wsB)
+                   % ${StableHash.P} AS hh
+              FROM documents),
+          k AS (SELECT doc_id, source, wt,
+                       CAST(CAST(-ln((CAST(hh AS DOUBLE) + 1.0) /
+                                     CAST(${StableHash.P + 1} AS DOUBLE)) / wt
+                                 AS DECIMAL(18,6)) AS DOUBLE) AS skey
+                FROM h),
+          r AS (SELECT *, CAST(row_number() OVER (ORDER BY skey, doc_id) AS INT)
+                          AS rank FROM k)
+          SELECT doc_id, source, wt, skey, rank FROM r
+          WHERE rank <= $SampleK ORDER BY doc_id""",
     "t5_hash_split" ->
       s"""SELECT doc_id,
                  CASE WHEN ${StableHash.polyHashSql(
