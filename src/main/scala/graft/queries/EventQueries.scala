@@ -18,6 +18,7 @@ import graft.ops.{Dedup, Num}
 object EventQueries extends QueryPack {
 
   private val HOUR_NS = 3600L * 1000 * 1000 * 1000
+  private val DAY_NS = 24L * HOUR_NS // fa2 cohort bucket (the corpus spans days, not months)
   private val GAP_NS = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
   private val LAG_US = 10L * 60 * 1000 * 1000        // 10 min interval-join lag
 
@@ -90,6 +91,27 @@ object EventQueries extends QueryPack {
             .when(col("t_click").isNotNull, 2)
             .when(col("t_view").isNotNull, 1).otherwise(0))
         .orderBy("user_id")
+    }),
+
+    // Cohort retention (the classic product-analytics matrix): users are
+    // cohorted by first-active day, and each (cohort_day, day_offset) cell
+    // counts how many of that cohort were active that many days later.
+    // Scale shape: ONE wide exchange — repartition(user_id) satisfies both
+    // the (user, day) distinct (user_id ⊆ grouping keys ⇒ clustered
+    // distribution already met, no second exchange) and the per-user
+    // min-day cohort window; the cell aggregate then re-keys on the tiny
+    // day×offset domain, map-side combined. The naive
+    // distinct→groupBy→self-join spelling pays three wide exchanges.
+    "fa2_cohort_retention" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS").as("day"))
+        .repartition(col("user_id"))
+        .distinct()
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }),
 
     // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
@@ -271,6 +293,16 @@ object EventQueries extends QueryPack {
           FROM err JOIN clk USING (user_id)
           WHERE cts_us BETWEEN ets_us - $LAG_US AND ets_us
           ORDER BY error_id, click_id""",
+    "fa2_cohort_retention" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // ${DAY_NS / 1000} AS day
+                        FROM events),
+          cohort AS (SELECT user_id, min(day) AS cohort_day
+                     FROM days GROUP BY user_id)
+          SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+                 count(*) AS n_users
+          FROM days d JOIN cohort c USING (user_id)
+          GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
     "fa1_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
          v AS (SELECT user_id,

@@ -105,4 +105,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("fa2 cohort: one wide exchange serves distinct AND the cohort window") {
+    val p = plan("fa2_cohort_retention")
+    // exchanges: the user_id repartition, the tiny cell-aggregate re-key,
+    // and the output rangepartitioning sort — the (user_id, day) distinct
+    // and the min-over-user window must NOT add their own
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(p.contains("Window"), p.linesIterator.take(5).mkString("\n"))
+    assert(n <= 2, s"expected <=2 hash exchanges (repartition + cell agg), got $n:\n$p")
+  }
 }
