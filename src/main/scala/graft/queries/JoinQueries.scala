@@ -192,6 +192,53 @@ object JoinQueries extends QueryPack {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated scalar
+    // subquery "quantity < 0.2 × this part's average" decorrelated by
+    // hand the way Spark's optimizer would — the brand/size part filter
+    // broadcasts and prunes lineitem BEFORE any shuffle, the per-part
+    // average aggregates only the pruned rows (one keyed shuffle), and
+    // the tiny avg table broadcasts back onto the same pruned stream.
+    // avg stays exact cross-engine: quantities are integral doubles, so
+    // every partial sum is exact regardless of partitioning.
+    "q17_small_quantity_revenue" -> ((s, d) => {
+      val pf = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val av = li.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("lim"))
+      li.join(broadcast(av), Seq("l_partkey"))
+        .filter(col("l_quantity") < col("lim"))
+        .agg(count(lit(1)).as("n_small"),
+          (Num.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): HAVING-subquery turned
+    // inside out — lineitem aggregates per order (the one wide shuffle),
+    // the post-HAVING survivor set is tiny and BROADCASTS into orders,
+    // and that result (still tiny) broadcasts into customer, so neither
+    // dim ever shuffles. Quantity totals are integral → exact as BIGINT.
+    "q18_large_volume_customers" -> ((s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val withOrd = Tables.orders(s, d)
+        .join(broadcast(hot), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_totalprice"), col("total_qty"))
+      Tables.customer(s, d).select("c_custkey", "c_name")
+        .join(broadcast(withOrd), col("c_custkey") === col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "odate_us",
+          "o_totalprice", "total_qty")
+        .orderBy(col("o_totalprice").desc, col("odate_us"), col("o_orderkey"))
+        .limit(100)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +264,25 @@ object JoinQueries extends QueryPack {
             AND o_orderdate >= TIMESTAMP '1996-01-01'
             AND o_orderdate < TIMESTAMP '1997-01-01'
           GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q17_small_quantity_revenue" ->
+      s"""WITH pf AS (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#23' AND p_size <= 15),
+          li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                 FROM lineitem JOIN pf ON l_partkey = p_partkey),
+          av AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS lim
+                 FROM li GROUP BY l_partkey)
+          SELECT CAST(count(*) AS BIGINT) AS n_small,
+                 ${Num.sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
+          FROM li JOIN av USING (l_partkey) WHERE l_quantity < lim""",
+    "q18_large_volume_customers" ->
+      """WITH hot AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING sum(l_quantity) > 300)
+          SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+                 o_totalprice, total_qty
+          FROM customer, orders, hot
+          WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+          ORDER BY o_totalprice DESC, odate_us, o_orderkey LIMIT 100""",
     "j8_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
                  ${Num.sqlSum("l_extendedprice")} AS sum_price

@@ -106,6 +106,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q17: part filter and per-part avg both broadcast, lineitem never " +
+    "shuffled for the joins") {
+    val p = plan("q17_small_quantity_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q18: post-HAVING survivors broadcast into orders then customer") {
+    val p = plan("q18_large_volume_customers")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 broadcast joins, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("fa2 cohort: one wide exchange serves distinct AND the cohort window") {
     val p = plan("fa2_cohort_retention")
     // exchanges: the user_id repartition, the tiny cell-aggregate re-key,
