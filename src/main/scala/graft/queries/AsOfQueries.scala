@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, SaltedAgg}
+import graft.ops.{AsOfJoin, Num, SaltedAgg}
 
 /** As-of join + skew-salted aggregation over the corpus, oracle-checked
   * against DuckDB's NATIVE `ASOF JOIN` — our composed union-scan operator
@@ -98,6 +98,28 @@ object AsOfQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Last-touch attribution: the marketing-analytics shape built ON the
+    // native as-of operator — each purchase matches the user's most recent
+    // click (or none → organic), then revenue rolls up per (day,
+    // attributed). The as-of side shuffles once per side; the rollup is an
+    // ordinary partial+final aggregate on the joined stream.
+    "at1_last_touch_revenue" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts DIV 1000").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.NativeAsOf.asofJoin(purch, clicks, Seq("user_id"),
+          "pts", "cts", Seq("click_id" -> "click_id"))
+        .select(expr("pts DIV 86400000000").as("day_idx"),
+          col("click_id").isNotNull.as("attributed"), col("value"))
+        .groupBy("day_idx", "attributed")
+        .agg(count(lit(1)).as("n_purchases"), Num.dsum(col("value")).as("revenue"))
+        .orderBy("day_idx", "attributed")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -165,6 +187,20 @@ object AsOfQueries extends QueryPack {
          FROM err e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ets <= c.cts
          ORDER BY e.event_id""",
+    "at1_last_touch_revenue" ->
+      s"""WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purch AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS pts
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.pts // 86400000000 AS day_idx,
+                c.click_id IS NOT NULL AS attributed,
+                count(*) AS n_purchases,
+                ${Num.sqlSum("p.value")} AS revenue
+         FROM purch p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.pts >= c.cts
+         GROUP BY 1, 2 ORDER BY day_idx, attributed""",
     "ao2_salted_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

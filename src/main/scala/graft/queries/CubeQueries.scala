@@ -118,6 +118,42 @@ object CubeQueries extends QueryPack {
     // listagg/string_agg: made order-independent (and thus cross-engine
     // exact) by sorting the distinct set BEFORE joining — a raw string_agg
     // over an unordered group is nondeterministic on any parallel engine.
+    // A/B experiment readout in ONE aggregate pass: deterministic hash
+    // split (portable polyHash → both engines assign identical variants),
+    // per-variant n/Σx/Σx² as conditional decimal-exact sums, then mean,
+    // sample variance, and the Welch t statistic as a fixed double tree
+    // over the exact sums. No join, no second scan — the 100 TB shape is
+    // a single partial+final HashAggregate. sqrt/÷/× are IEEE
+    // correctly-rounded (identical cross-engine); only ln needs the
+    // decimal pin elsewhere (t20), not used here.
+    "ab1_welch_ttest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("value"),
+          pmod(graft.functions.StableHash.polyHash(
+            concat_ws("", lit("ab|"), col("user_id").cast("string"))), lit(2))
+            .as("variant"))
+      val sums = ev.agg(
+        sum(when(col("variant") === 0, 1)).cast("long").as("n_a"),
+        sum(when(col("variant") === 1, 1)).cast("long").as("n_b"),
+        Num.dsum(when(col("variant") === 0, col("value"))).as("s1_a"),
+        Num.dsum(when(col("variant") === 1, col("value"))).as("s1_b"),
+        Num.dsum(when(col("variant") === 0, col("value") * col("value"))).as("s2_a"),
+        Num.dsum(when(col("variant") === 1, col("value") * col("value"))).as("s2_b"))
+      val stats = sums.select(col("n_a"), col("n_b"),
+        (col("s1_a") / col("n_a").cast("double")).as("mean_a"),
+        (col("s1_b") / col("n_b").cast("double")).as("mean_b"),
+        ((col("s2_a") - col("s1_a") * col("s1_a") / col("n_a").cast("double"))
+          / (col("n_a") - 1).cast("double")).as("var_a"),
+        ((col("s2_b") - col("s1_b") * col("s1_b") / col("n_b").cast("double"))
+          / (col("n_b") - 1).cast("double")).as("var_b"))
+      stats.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double"))).as("t_stat"))
+    }),
+
     "c8_string_agg" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -183,6 +219,36 @@ object CubeQueries extends QueryPack {
            EXCEPT ALL
            SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
          SELECT k, count(*) AS n FROM x GROUP BY k ORDER BY k""",
+    "ab1_welch_ttest" -> {
+      import graft.functions.StableHash
+      s"""WITH ev AS (
+           SELECT value,
+                  ${StableHash.polyHashSql("concat('ab|', CAST(user_id AS VARCHAR))")} % 2
+                    AS variant
+           FROM events WHERE event_type = 'purchase'),
+         sums AS (
+           SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+                  ${Num.sqlSum("CASE WHEN variant = 0 THEN value END")} AS s1_a,
+                  ${Num.sqlSum("CASE WHEN variant = 1 THEN value END")} AS s1_b,
+                  ${Num.sqlSum("CASE WHEN variant = 0 THEN value * value END")} AS s2_a,
+                  ${Num.sqlSum("CASE WHEN variant = 1 THEN value * value END")} AS s2_b
+           FROM ev),
+         stats AS (
+           SELECT n_a, n_b,
+                  s1_a / CAST(n_a AS DOUBLE) AS mean_a,
+                  s1_b / CAST(n_b AS DOUBLE) AS mean_b,
+                  (s2_a - s1_a * s1_a / CAST(n_a AS DOUBLE))
+                    / CAST(n_a - 1 AS DOUBLE) AS var_a,
+                  (s2_b - s1_b * s1_b / CAST(n_b AS DOUBLE))
+                    / CAST(n_b - 1 AS DOUBLE) AS var_b
+           FROM sums)
+         SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+                (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE)
+                  + var_b / CAST(n_b AS DOUBLE)) AS t_stat
+         FROM stats"""
+    },
+
     "c8_string_agg" ->
       """SELECT o_orderpriority,
                 array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')

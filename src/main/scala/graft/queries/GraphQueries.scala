@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num
+
+/** Graph / dominance analytics over the corpus — the iterative-join tier.
+  *
+  * PageRank is the canonical "Spark has no operator for this" workload: a
+  * loop of join + aggregate where the EDGE table is the 100-TB side. The
+  * scale contract: edges are shuffled ONCE (repartition by src, persisted);
+  * each iteration reshuffles only the O(|nodes|) rank table against it, and
+  * pays the one unavoidable exchange on dst for the incoming-mass sum.
+  * Unrolled (3 fixed iterations), both engines evaluate the same fixed
+  * expression tree per iteration, with commutative accumulation in decimal
+  * (Num) so partitioning order can never perturb a rank.
+  *
+  * The skyline (Pareto frontier) is the dominance-query companion: the
+  * naive spelling is a quadratic NOT EXISTS self-join; here it collapses to
+  * one keyed aggregate + a broadcast of per-x stats, because for 2-D
+  * dominance "no point with x' ≥ x has y' ≥ y (strictly better somewhere)"
+  * reduces to per-x maxima and a suffix-max over x — O(|distinct x|) state.
+  * The DuckDB oracle keeps the quadratic NOT EXISTS spelling: hash-matching
+  * it proves the rewrite exact.
+  */
+object GraphQueries extends QueryPack {
+
+  // Damping constants as EXPLICIT double literals on both sides: Scala
+  // "0.15" and DuckDB's DECIMAL-literal-to-DOUBLE promotion both yield the
+  // nearest double to 15/100, but a computed `1 - 0.85` would not
+  // (= 0.15000000000000002) — never derive one constant from the other.
+  private val D = 0.85
+  private val Teleport = 0.15
+
+  /** Directed edges: customer→supplier for every (order, lineitem) pair,
+    * plus supplier→customer back-edges on returned lines ('R') so the
+    * graph has cycles and iteration is non-trivial. Node ids are bipartite
+    * encoded (cust→2k, supp→2k+1: the key spaces overlap at 1..100).
+    */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val oli = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_returnflag"),
+        col("o_orderkey") === col("l_orderkey"))
+    val fwd = oli.select((col("o_custkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val back = oli.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("o_custkey") * 2).as("dst"))
+    fwd.union(back).distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3 unrolled PageRank iterations (mass form: avg node mass = 1, so
+    // decimal quantization keeps ~5 significant digits; dangling mass is
+    // not redistributed — both engines apply the identical convention).
+    "gr1_pagerank" -> ((s, d) => {
+      // one shuffle for the edge table's whole lifetime: partitioned by
+      // src, the per-iteration rank join and the outdeg aggregate both
+      // reuse this layout (zero additional exchanges on the edge side)
+      val e = edges(s, d).repartition(col("src")).persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = e.join(deg, "src").persist() // co-partitioned: no exchange
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      var mass = nodes.withColumn("mass", lit(1.0))
+      for (_ <- 1 to 3) {
+        val incoming = ed.join(mass, col("src") === col("id"))
+          .select(col("dst"), (col("mass") / col("outdeg")).as("contrib"))
+          .groupBy("dst").agg(Num.dsum(col("contrib")).as("m_in"))
+        mass = nodes.join(incoming, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(Teleport) + lit(D) * coalesce(col("m_in"), lit(0.0))).as("mass"))
+      }
+      mass.select(col("id").as("node_id"), col("mass").as("pr_mass"))
+        .orderBy(col("pr_mass").desc, col("node_id"))
+        .limit(50)
+    }),
+
+    // 2-D Pareto frontier of customers maximizing (order count, spend):
+    // keyed aggregate → tiny per-x stats → broadcast back. A row survives
+    // iff it holds its x-group's max y AND beats the best y of any
+    // strictly-larger x (suffix max over the stats table).
+    "sky1_pareto_frontier" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("spend"))
+      // |distinct n_orders| rows: window over the stats table is trivially
+      // small (single-partition window on purpose — it is the REDUCED set)
+      val stats = base.groupBy("n_orders")
+        .agg(max(col("spend")).as("max_y"))
+        .withColumn("best_above",
+          max(col("max_y")).over(Window.orderBy(col("n_orders").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      base.join(broadcast(stats), Seq("n_orders"))
+        .filter(col("spend") === col("max_y") &&
+          col("spend") > coalesce(col("best_above"),
+            lit(Double.NegativeInfinity)))
+        .select("c_custkey", "n_orders", "spend")
+        .orderBy("n_orders", "c_custkey")
+    }),
+  )
+
+  private def edgesSql: String =
+    """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       UNION
+       SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_returnflag = 'R'"""
+
+  private def iterSql(prev: String): String =
+    s"""SELECT n.id,
+               0.15 + 0.85 * coalesce(s.m_in, 0.0) AS mass
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, ${Num.sqlSum(s"$prev.mass / deg.outdeg")} AS m_in
+          FROM edges e
+          JOIN $prev ON e.src = $prev.id
+          JOIN deg ON e.src = deg.src
+          GROUP BY e.dst) s ON n.id = s.dst"""
+
+  val oracles: Map[String, String] = Map(
+    "gr1_pagerank" ->
+      s"""WITH edges AS ($edgesSql),
+          nodes AS (SELECT src AS id FROM edges
+                    UNION SELECT dst FROM edges),
+          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          m0 AS (SELECT id, 1.0 AS mass FROM nodes),
+          m1 AS (${iterSql("m0")}),
+          m2 AS (${iterSql("m1")}),
+          m3 AS (${iterSql("m2")})
+          SELECT id AS node_id, mass AS pr_mass FROM m3
+          ORDER BY pr_mass DESC, node_id LIMIT 50""",
+    "sky1_pareto_frontier" ->
+      s"""WITH base AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+                               ${Num.sqlSum("o_totalprice")} AS spend
+                        FROM orders GROUP BY o_custkey)
+          SELECT c_custkey, n_orders, spend FROM base b
+          WHERE NOT EXISTS (
+            SELECT 1 FROM base a
+            WHERE a.n_orders >= b.n_orders AND a.spend >= b.spend
+              AND (a.n_orders > b.n_orders OR a.spend > b.spend))
+          ORDER BY n_orders, c_custkey""",
+  )
+}

@@ -239,6 +239,66 @@ object JoinQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("odate_us"), col("o_orderkey"))
         .limit(100)
     }),
+
+    // TPC-H Q21 shape (sole problem supplier): the classic
+    // EXISTS(other supplier) + NOT EXISTS(other problem supplier) pair,
+    // decorrelated into ONE pass — lineitem aggregates per
+    // (orderkey, suppkey) with a has-problem flag (the one wide shuffle),
+    // and both correlated subqueries become window counts over the SAME
+    // orderkey partitioning, so they add zero exchanges. The corpus has no
+    // commit/receipt dates; "problem line" = l_returnflag = 'R'. Spelled
+    // naively this is 3 scans of lineitem and 2 extra shuffled joins.
+    "q21_sole_problem_supplier" -> ((s, d) => {
+      // one explicit orderkey-only shuffle: hashpartitioning(orderkey)
+      // satisfies the (orderkey, suppkey) aggregate's ClusteredDistribution
+      // (subset key) AND the window's partitionBy(orderkey), so neither
+      // adds an exchange — groupBy alone would partition on both keys and
+      // force a second shuffle for the window
+      val perSupp = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("has_prob"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      val sole = perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_prob", sum(col("has_prob")).over(w))
+        .filter(col("has_prob") === 1 && col("n_supp") > 1 && col("n_prob") === 1)
+      sole.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): the scalar AVG subquery
+    // is a 1-row aggregate broadcast onto the dim scan, and NOT EXISTS
+    // (recent orders) is a shuffled LEFT ANTI on o_custkey — the fact side
+    // never broadcasts (its distinct-key set is O(|customers|)); AQE picks
+    // the build side at runtime. "Idle" = no order since 2000-01-01 (this
+    // corpus gives every customer SOME order across 1995-2001, so the
+    // unfiltered NOT EXISTS would be vacuous; the date filter also reaches
+    // the orders scan as a PushedFilter). Decimal-exact acctbal avg.
+    "q22_idle_rich_customers" -> ((s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY", "FURNITURE")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin(segs: _*))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(Num.davg(col("c_acctbal")).as("avg_bal"))
+      cust.join(broadcast(avgBal)) // 1-row scalar: broadcast nested loop
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), Num.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +386,34 @@ object JoinQueries extends QueryPack {
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
          ORDER BY c_custkey""",
+    // Oracle deliberately keeps the textbook correlated-subquery spelling:
+    // hash-matching it proves the one-pass window decorrelation is exact.
+    "q21_sole_problem_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier,
+              (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_returnflag = 'R') l1
+         WHERE s_suppkey = l1.l_suppkey
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q22_idle_rich_customers" ->
+      s"""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+                        WHERE c_mktsegment IN ('BUILDING','MACHINERY','FURNITURE')),
+          av AS (SELECT ${Num.sqlAvg("c_acctbal")} AS avg_bal
+                 FROM cust WHERE c_acctbal > 0.0)
+          SELECT c_mktsegment, count(*) AS numcust,
+                 ${Num.sqlSum("c_acctbal")} AS totacctbal
+          FROM cust, av
+          WHERE c_acctbal > avg_bal
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

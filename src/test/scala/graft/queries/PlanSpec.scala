@@ -129,4 +129,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p.linesIterator.take(5).mkString("\n"))
     assert(n <= 2, s"expected <=2 hash exchanges (repartition + cell agg), got $n:\n$p")
   }
+
+  test("q21: both correlated subqueries ride the per-order aggregate's " +
+    "exchange — windows add none; supplier dim broadcast") {
+    val p = plan("q21_sole_problem_supplier")
+    // hash exchanges: the (orderkey, suppkey) aggregate and the final
+    // per-supplier count. The EXISTS / NOT-EXISTS window counts reuse the
+    // first one (same orderkey key); naive spelling pays two more joins.
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+    assert(p.contains("Window"), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q22: scalar avg broadcast; NOT EXISTS is an anti join, never a " +
+    "nested loop on the fact side") {
+    val p = plan("q22_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row scalar side is the only nested-loop (that one is correct)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sky1 skyline: per-x stats broadcast back; corpus never self-joined") {
+    val p = plan("sky1_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("gr1 pagerank: edge table shuffled once (explicit repartition), " +
+    "per-iteration joins reuse its layout") {
+    val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // materialize caches
+    val p = df.queryExecution.executedPlan.toString
+    // after the one explicit src repartition is cached, each of the 3
+    // iterations pays: mass-side shuffle into the src join + the dst
+    // aggregate exchange; the edge/deg side must come from the cache
+    assert(p.contains("InMemoryTableScan"), p.linesIterator.take(8).mkString("\n"))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
