@@ -157,6 +157,62 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q2: correlated min rides the offer aggregate's exchange; part " +
+    "filter pruned via broadcast semi before the shuffle") {
+    val p = plan("q2_min_cost_supplier")
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+    assert(p.contains("Window") && p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q11: global total computed FROM the per-part aggregate (1-row " +
+    "broadcast), lineitem scanned once") {
+    val p = plan("q11_important_value")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"expected <=2 scans (one may re-read the agg), got $scans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the 1-row scalar side
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q13: per-customer count rides the sort-merge join's custkey " +
+    "clustering — no exchange between join and aggregate") {
+    val p = plan("q13_order_count_distribution")
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(5).mkString("\n"))
+    // 2 join-input exchanges + 1 tiny distribution exchange, nothing more
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"expected <=3 hash exchanges, got $n:\n$p")
+  }
+
+  test("q16: flagged suppliers and part dims broadcast; only the distinct " +
+    "supply pairs and the count-distinct phases shuffle") {
+    val p = plan("q16_supplier_part_types")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q19: hand-extracted single-side bounds reach both scans as pushed " +
+    "filters; the exact OR runs post-join") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("In(p_brand"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q20: per-part total rides the (part, supplier) aggregate's " +
+    "exchange — the correlated HAVING costs no second scan") {
+    val p = plan("q20_dominant_supplier")
+    // repartition(partkey) + distinct(suppkey): exactly 2 hash exchanges
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+    assert(p.contains("Window") && !p.contains("SortMergeJoin"))
+    val liScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, s"lineitem must be scanned once, got $liScans")
+  }
+
   test("gr1 pagerank: edge table shuffled once (explicit repartition), " +
     "per-iteration joins reuse its layout") {
     val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
