@@ -52,7 +52,71 @@ object GraphQueries extends QueryPack {
     fwd.union(back).distinct()
   }
 
+  /** Undirected co-purchase graph: parts are adjacent iff some order
+    * contains both. The per-order self-join's fan-out is C(order size, 2)
+    * — bounded by the biggest order, never by |graph|.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    pairs.join(pairs.select(col("o"), col("p").as("p2")), "o")
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("u"), col("p2").as("v")).distinct()
+  }
+
+  /** Triangles by degree orientation (the MPC-classic algorithm): orient
+    * every edge from its lower-(degree, id) endpoint, generate wedges from
+    * common sources, close them with a semi-join. Orientation bounds the
+    * max out-degree at O(√2m), so the wedge fan-out — the quadratic term —
+    * is O(m^1.5) worst-case instead of Σ deg², and a hub node can never
+    * explode a partition. The oracle counts the same triangles with the
+    * naive id-orientation spelling: orientation choice is result-invariant,
+    * which the hash match proves.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // deg is |V| rows — broadcast here; at 100 TB this becomes two keyed
+    // joins (u then v) riding the edge table's existing partitioning
+    val withDeg = e
+      .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
+    val wedges = oriented.alias("x")
+      .join(oriented.select(col("src"), col("dst").as("dst2"),
+        col("ddst").as("ddst2")).alias("y"), "src")
+      .filter(struct(col("ddst"), col("dst")) <
+        struct(col("ddst2"), col("dst2")))
+      .select(col("src").as("a"), col("dst").as("b"), col("dst2").as("c"))
+    // wedge ordering equals orientation ordering, so the closing edge of
+    // {b, c} — if it exists — is oriented exactly b→c: one semi-join
+    wedges.join(oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global edge + triangle census of the co-purchase graph.
+    "gt1_triangle_count" -> ((s, d) => {
+      val tri = triangles(s, d).agg(count(lit(1)).as("n_triangles"))
+      coEdges(s, d).agg(count(lit(1)).as("n_edges"))
+        .join(broadcast(tri)) // two 1-row sides
+    }),
+
+    // Per-node triangle participation, top 20 — each triangle credits all
+    // three corners; ties broken by part id for a total order.
+    "gt2_triangle_top_nodes" -> ((s, d) =>
+      triangles(s, d)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
+        .limit(20)),
+
     // 3 unrolled PageRank iterations (mass form: avg node mass = 1, so
     // decimal quantization keeps ~5 significant digits; dangling mass is
     // not redistributed — both engines apply the identical convention).
@@ -122,7 +186,27 @@ object GraphQueries extends QueryPack {
           JOIN deg ON e.src = deg.src
           GROUP BY e.dst) s ON n.id = s.dst"""
 
+  // Shared naive-orientation (u < v by id) triangle CTE for the oracles.
+  private def triSql: String =
+    """pairs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       edges AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p),
+       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM edges e1
+               JOIN edges e2 ON e2.u = e1.v
+               JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
+
   val oracles: Map[String, String] = Map(
+    "gt1_triangle_count" ->
+      s"""WITH $triSql
+          SELECT (SELECT count(*) FROM edges) AS n_edges,
+                 count(*) AS n_triangles
+          FROM tri""",
+    "gt2_triangle_top_nodes" ->
+      s"""WITH $triSql
+          SELECT part, count(*) AS n_tri
+          FROM (SELECT unnest([a, b, c]) AS part FROM tri)
+          GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""",
     "gr1_pagerank" ->
       s"""WITH edges AS ($edgesSql),
           nodes AS (SELECT src AS id FROM edges

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.StableHash
+import graft.ops.Num
+
+/** Statistical operators over the corpus: exact stratified sampling and a
+  * chi-square independence readout — the experiment-analysis companions to
+  * `ab1_welch_ttest` (CubeQueries).
+  *
+  * Both are ONE-pass shapes: the sample is a pure row-local predicate (no
+  * shuffle at all — the 100-TB plan is a filtered scan), and the chi-square
+  * reduces the fact table once, then does all marginal/expectation algebra
+  * on the tiny cell table. Cross-engine exactness comes from the same
+  * discipline as t20: deterministic affine-rehashed polyHash uniforms,
+  * integer counts, fixed IEEE double trees, decimal-pinned accumulation.
+  */
+object StatsQueries extends QueryPack {
+
+  // Same affine-rehash rationale as t20 (TextQueries.scala): raw polyHash
+  // of short prefixed ids lands in narrow bands; one multiply by the Knuth
+  // constant mod P spreads them before the uniform is taken.
+  private val (sA, sB) = StableHash.affineParams(1).head
+
+  // Per-segment sampling fractions — deliberately spread over two orders
+  // of magnitude so the test at sf0.01 exercises both heavy and thin keeps.
+  private val Fractions = Seq(
+    "AUTOMOBILE" -> 0.75, "BUILDING" -> 0.50, "MACHINERY" -> 0.25,
+    "FURNITURE" -> 0.10, "HOUSEHOLD" -> 0.05)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact stratified sampling: keep iff u(c_custkey) < f(stratum). The
+    // whole operator is a row-local predicate — zero exchanges, fully
+    // codegen'd, trivially parallel at any scale — and reproducible: the
+    // same row is kept in every run on every cluster layout. (Contrast
+    // df.sampleBy, which is seeded per-partition and changes with the
+    // partitioning.)
+    "st1_stratified_sample" -> ((s, d) => {
+      val u = ((StableHash.polyHash(concat_ws("",
+        lit("strat|"), col("c_custkey").cast("string")))
+        * lit(sA) + lit(sB)) % lit(StableHash.P) + lit(1.0))
+        .cast("double") / lit((StableHash.P + 1).toDouble)
+      val f = Fractions.tail.foldLeft(
+        when(col("c_mktsegment") === Fractions.head._1,
+          lit(Fractions.head._2))) { case (acc, (seg, fr)) =>
+        acc.when(col("c_mktsegment") === seg, lit(fr))
+      }.otherwise(lit(0.0))
+      Tables.customer(s, d)
+        .filter(u < f)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Chi-square independence test of mktsegment × orderpriority: the fact
+    // join+aggregate is the only wide work (customer dim broadcast); the
+    // 25-row cell table carries marginals via windows and the statistic is
+    // Σ (obs−exp)²/exp with exp = rowTot·colTot/total — integer counts, a
+    // fixed IEEE tree per cell, decimal-pinned final sum.
+    "st2_chi2_independence" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("obs"))
+      val withMarg = cells
+        .withColumn("row_tot", sum(col("obs")).over(Window.partitionBy("seg")))
+        .withColumn("col_tot", sum(col("obs")).over(Window.partitionBy("prio")))
+        .withColumn("total", sum(col("obs")).over(Window.partitionBy()))
+      val exp = (col("row_tot").cast("double") * col("col_tot").cast("double")
+        / col("total").cast("double"))
+      withMarg
+        .select(col("seg"), col("prio"), col("obs"),
+          ((col("obs").cast("double") - exp) * (col("obs").cast("double") - exp)
+            / exp).as("term"))
+        .agg(Num.dsum(col("term")).as("chi2_stat"),
+          ((countDistinct(col("seg")) - 1) * (countDistinct(col("prio")) - 1))
+            .as("dof"))
+    }),
+  )
+
+  private def uSql(keyExpr: String, prefix: String): String =
+    s"""((${StableHash.polyHashSql(s"concat('$prefix', $keyExpr)")}
+         * $sA + $sB) % ${StableHash.P} + 1.0) / ${StableHash.P + 1}.0"""
+
+  val oracles: Map[String, String] = Map(
+    "st1_stratified_sample" -> {
+      val cases = Fractions.map { case (seg, fr) =>
+        s"WHEN c_mktsegment = '$seg' THEN CAST($fr AS DOUBLE)"
+      }.mkString(" ")
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+          WHERE ${uSql("CAST(c_custkey AS VARCHAR)", "strat|")}
+              < CASE $cases ELSE 0.0 END
+          ORDER BY c_custkey"""
+    },
+    "st2_chi2_independence" ->
+      s"""WITH cells AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+                   count(*) AS obs
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2),
+          m AS (
+            SELECT seg, prio, obs,
+                   sum(obs) OVER (PARTITION BY seg) AS row_tot,
+                   sum(obs) OVER (PARTITION BY prio) AS col_tot,
+                   sum(obs) OVER () AS total
+            FROM cells),
+          t AS (
+            SELECT seg, prio, obs,
+                   (CAST(obs AS DOUBLE)
+                      - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                        / CAST(total AS DOUBLE))
+                   * (CAST(obs AS DOUBLE)
+                      - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                        / CAST(total AS DOUBLE))
+                   / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(total AS DOUBLE)) AS term
+            FROM m)
+          SELECT ${Num.sqlSum("term")} AS chi2_stat,
+                 CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1)
+                      AS BIGINT) AS dof
+          FROM t""",
+  )
+}

@@ -213,6 +213,21 @@ class PlanSpec extends SparkTestBase {
     assert(liScans == 1, s"lineitem must be scanned once, got $liScans")
   }
 
+  test("st1 stratified sample: a pure filtered scan — the only exchange " +
+    "is the deterministic output sort") {
+    val p = plan("st1_stratified_sample")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+  }
+
+  test("gt2 triangles: wedge closure is a semi-join, never a cartesian; " +
+    "degree table broadcast") {
+    val p = plan("gt2_triangle_top_nodes")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("gr1 pagerank: edge table shuffled once (explicit repartition), " +
     "per-iteration joins reuse its layout") {
     val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
