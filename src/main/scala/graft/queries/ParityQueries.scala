@@ -65,6 +65,21 @@ object ParityQueries extends QueryPack {
         .orderBy("bulk_id", "slab_millers", "slab_shift")
     }),
 
+    // S5 .npz read through the DataSource V2 table (format("npz")):
+    // deterministic fixtures to a scratch dir, one row per archive with
+    // array columns, melted to join-ready rows against a literal oracle.
+    // The missing `counts` member in the ood archive exercises the
+    // null-column path without touching the melt.
+    "s5_npz_table" -> ((s, _) => {
+      val dir = graft.sources.NpzFixtures.writeTo(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_s5_npz"))
+      val raw = s.read.format("npz").load(dir)
+        .withColumn("dist", regexp_extract(col("path"), "([^/]+)\\.npz", 1))
+      graft.sources.Sources.meltArrays(raw, "dist", "ids", "energies")
+        .select(col("distribution"), col("id"), col("ml_energy"))
+        .orderBy("distribution", "id")
+    }),
+
     // S6 real .traj read through the driver gate: spec-conformant ULM
     // fixtures written to a scratch dir, parsed distributed, per-frame
     // energies + the anomaly screen verdict against a literal oracle.
@@ -116,6 +131,19 @@ object ParityQueries extends QueryPack {
                    count(*) AS n
             FROM x GROUP BY frame)
           SELECT frame, mae, me, n FROM c ORDER BY mae, frame LIMIT 1""",
+    // the s5 fixtures are deterministic — the oracle is their pinned
+    // content (all energies exact binary doubles)
+    "s5_npz_table" ->
+      """SELECT distribution, id, CAST(ml_energy AS DOUBLE) AS ml_energy
+         FROM (VALUES
+           ('val_id', 'mp-101', 1.5),
+           ('val_id', 'mp-2', -2.25),
+           ('val_id', 'mp-33333', 0.75),
+           ('val_id', 'mvc-7', -0.125),
+           ('val_ood', 'mp-8', 0.5),
+           ('val_ood', 'oqmd-77', -1.75))
+           AS t(distribution, id, ml_energy)
+         ORDER BY distribution, id""",
     // the s6 fixtures are deterministic — the oracle is their pinned
     // content (frame is posexplode's INT, energies exact binary doubles)
     "s6_traj_energies" ->

@@ -25,15 +25,22 @@ object Npz {
   case class NpLongs(shape: Seq[Int], data: Array[Long]) extends NpArray
   case class NpStrings(shape: Seq[Int], data: Array[String]) extends NpArray
 
-  /** Parse a whole .npz archive: member name (minus .npy) → array. */
-  def readNpz(bytes: Array[Byte]): Map[String, NpArray] = {
+  /** Parse a whole .npz archive: member name (minus .npy) → array.
+    * `keep` gates which members are decompressed and parsed — the column
+    * pruning hook for [[NpzDataSource]]: `getNextEntry` skips an unread
+    * member's compressed bytes without inflating them.
+    */
+  def readNpz(bytes: Array[Byte],
+              keep: String => Boolean = _ => true): Map[String, NpArray] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, NpArray]
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
-        if (!entry.isDirectory && entry.getName.endsWith(".npy"))
-          out += entry.getName.stripSuffix(".npy") -> readNpy(zin.readAllBytes())
+        if (!entry.isDirectory && entry.getName.endsWith(".npy")) {
+          val name = entry.getName.stripSuffix(".npy")
+          if (keep(name)) out += name -> readNpy(zin.readAllBytes())
+        }
         entry = zin.getNextEntry
       }
     } finally zin.close()
