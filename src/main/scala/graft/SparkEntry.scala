@@ -15,7 +15,8 @@ object SparkEntry {
     FilterQueries, GroupedQueries, JoinQueries, FanoutQueries, ScalarQueries,
     TextQueries, DedupQueries, SimilarityQueries, EventQueries, PipelineQueries,
     MultimodalQueries, DomainQueries, ParityQueries, AsOfQueries, CubeQueries,
-    RangeQueries, WindowQueries, GraphQueries, TpchQueries, StatsQueries)
+    RangeQueries, WindowQueries, GraphQueries, TpchQueries, TpchQueries2,
+    StatsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full screening-pipeline shape: fan-out, broadcast cross join,

@@ -228,6 +228,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q4: the correlated EXISTS is ONE semi join carrying the cross-table " +
+    "date comparison as a residual, never a per-order loop") {
+    val p = plan("q4_priority_check")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(10).mkString("\n"))
+    assert(p.contains("INTERVAL '60' DAY"),
+      "date residual missing from the semi join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q10: top-20 customers computed BEFORE any dim join — the only hash " +
+    "exchange is the o_custkey revenue aggregate; customer never shuffles") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(8).mkString("\n"))
+    val hashEx =
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("o_custkey"),
+      hashEx.mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q15: the scalar-max branch reuses the revenue view's exchange — " +
+    "the fact table is scanned once at runtime") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    df.collect() // AQE finalizes stage reuse only during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("gr1 pagerank: edge table shuffled once (explicit repartition), " +
     "per-iteration joins reuse its layout") {
     val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
