@@ -25,7 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` normalized to a canonical nanos-since-epoch BIGINT.
+    *
+    * The corpus has shipped `ts` both as TIMESTAMP(NANOS) — which the
+    * sessions read as BIGINT nanos via `nanosAsLong` — and as plain
+    * micros TIMESTAMP/TIMESTAMP_NTZ. All downstream window math is
+    * integer arithmetic on nanos, so whatever the physical type, convert
+    * here (micros → nanos is exact ×1000; the cast to TIMESTAMP under the
+    * UTC session zone makes NTZ and TZ agree). Narrow, codegen'd, no
+    * behavior change when the file is already nanos-BIGINT.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
