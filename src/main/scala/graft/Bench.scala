@@ -1,15 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // n>=3 timed iterations per query, report the MEDIAN: single-run
+    // timings cannot distinguish plan cost from session noise (GC pause,
+    // listener-bus backlog, JIT deopt) — the r3->r4 "regressions" in
+    // d6/d7/a5 were unattributable precisely because each round had one
+    // sample. Median of 3 rejects a single outlier iteration per query.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     // ERROR, not WARN: d7's localCheckpoint unpersist emits hundreds of
     // benign lineage-truncation WARNs that drown the one-line JSON output
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,43 +29,60 @@ object Bench {
       catch { case _: Throwable => }
     // noop sink: forces FULL materialization of every output column —
     // count() would let Catalyst prune the projections being measured.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // untimed GC between queries (JMH discipline): without it, one
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Option[Double] = {
+      // untimed GC between iterations (JMH discipline): without it, one
       // query's garbage (checkpoint blocks, shuffle buffers) surfaces as
       // GC pauses inside a LATER query's timed window — measured as d7
       // 2.9 s standalone vs 5-12 s in-bench
       System.gc()
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); None }
     }
-    // a failed query must read as failure, never as a fast run: it reports
-    // -1 and is excluded from the total, and the failures list is explicit
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2) // odd n -> middle; even n -> upper-middle
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val samples = (1 to iters).flatMap(_ => runOnce(fn, name))
+      // a query that failed EVERY iteration must read as failure, never as
+      // a fast run: reported -1, excluded from the total, listed explicitly
+      if (samples.isEmpty) (name, -1.0, Seq.empty[Double], false)
+      else (name, median(samples), samples, true)
+    }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def dict(rs: Seq[(String, Double, Boolean)]): String = rs.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) fmt(v) else "-1.0")
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => k }
+    def dict(rs: Seq[(String, Double, Seq[Double], Boolean)]): String =
+      rs.map { case (k, v, _, ok) =>
+        "\"" + k + "\":" + (if (ok) fmt(v) else "-1.0")
+      }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => k }
     // the stdout line must stay under the 2000-char tail even on a
     // mass-failure run: cap the failures listed there (full list → file)
     def failArr(fs: Seq[String]) = fs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // total = sum of per-query MEDIANS (not wall-clock: iterations of the
+    // same query are consecutive, so wall-clock would triple-count)
+    val total = results.collect { case (_, v, _, true) => v }.sum
     // n_queries rides the line because the stdout "queries" dict is only
     // the headline subset: without the count, a total that grew because
-    // the REGISTRY grew (74 → 128 queries across rounds) reads as a
+    // the REGISTRY grew (74 → 182 queries across rounds) reads as a
     // regression in round-over-round comparison
     def line(qs: String, fs: Seq[String]) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failed.size},"queries":$qs,"failures":${failArr(fs)},"sf":"$sfDir"}"""
-    // full per-query map → file; the driver reads a 2000-char stdout TAIL
-    // (BENCH_r01/r02 "tail"), so the stdout line must stay well under that —
-    // it carries the total plus a fixed headline subset for regression
-    // tracking, one per operator family plus the known hotspots
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failed.size},"iters":$iters,"stat":"median","queries":$qs,"failures":${failArr(fs)},"sf":"$sfDir"}"""
+    // full artifact → file: the median dict for ALL queries plus every raw
+    // sample, so a future round can re-derive spread (max-min) and tell
+    // noise from plan regression without re-running. The driver reads a
+    // 2000-char stdout TAIL, so stdout carries only the total + a fixed
+    // headline subset (one per operator family plus the known hotspots).
+    def samplesDict(rs: Seq[(String, Double, Seq[Double], Boolean)]): String =
+      rs.map { case (k, _, ss, _) =>
+        "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(dict(results), failed) + "\n")
+      (line(dict(results), failed) + "\n" +
+        s"""{"metric":"samples","iters":$iters,"sf":"$sfDir","samples":${samplesDict(results)}}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = Set(
       "ao4_asof_native", "t18_bm25",

@@ -16,11 +16,7 @@ object Explain {
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = Sessions.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- names) {
       println(s"\n========== $q ==========")

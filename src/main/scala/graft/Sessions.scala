@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared SparkSession recipe for every entry point (Bench, Verify,
+  * Explain, the tools/ mains, and the test base).
+  *
+  * Centralized because the configs are load-bearing invariants, not
+  * preferences:
+  *   - `spark.sql.session.timeZone=UTC`: `Tables.events` normalizes a
+  *     micros TIMESTAMP/TIMESTAMP_NTZ `ts` column to nanos-since-epoch by
+  *     casting under the session zone. NTZ carries no zone, so a session
+  *     inheriting a non-UTC JVM default would shift every event timestamp
+  *     by the zone offset — windows/sessionization would silently diverge
+  *     from the UTC-pinned verify/test sessions. Pinning it HERE (instead
+  *     of per-main) makes the invariant unforgeable: a new tool can't
+  *     forget it.
+  *   - `nanosAsLong`: events.parquet ships TIMESTAMP(NANOS); read as
+  *     nanos-epoch BIGINT to match DuckDB's epoch_ns oracle arithmetic.
+  *   - shuffle.partitions sized to the local core count, not the 200
+  *     default (local[n] has no cluster to absorb 200 tiny tasks).
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

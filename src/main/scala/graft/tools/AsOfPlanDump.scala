@@ -8,11 +8,7 @@ import org.apache.spark.sql.SparkSession
 object AsOfPlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("ao4_asof_native", "ao1_asof_join")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)

@@ -13,11 +13,7 @@ object PlanDump {
     require(args.length >= 2, "usage: PlanDump <query>... <sfDir>")
     val sfDir = args.last
     val names = args.dropRight(1)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -13,11 +13,7 @@ object ProfileQuery {
     val sfDir = args.last
     val names = args.dropRight(1)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val times = (1 to reps).map { _ =>

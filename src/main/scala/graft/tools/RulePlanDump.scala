@@ -10,9 +10,7 @@ import graft.plans.RangeJoinBinningRule
   */
 object RulePlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Sessions.builder("local[8]", "8")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

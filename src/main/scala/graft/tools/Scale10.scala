@@ -21,11 +21,7 @@ object Scale10 {
     val queries = if (args.nonEmpty) args.toSeq else Seq(
       "d11_semdedup_apply", "t15_curriculum", "t16_outlier_filter",
       "t14_source_mixture", "c5_histogram", "e8_interval_join_outer")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val az = "abcdefghijklmnopqrstuvwxyz"
