@@ -242,14 +242,137 @@ object Dedup {
       .mkString(" OR ")
   }
 
+  // ---- 64-bit simhash (two 32-bit lanes) ---------------------------------
+
+  /** Affine lane constants deriving two independent full-width 32-bit token
+    * hashes from one polyHash: lane(h) = (h·a + b) mod 2³². polyHash lands
+    * in [0, P) ≈ 30 bits, so using it directly as a fingerprint lane would
+    * pin the top bits to 0; the mod-2³² affine rehash fills all 32. The
+    * product stays < 2⁶⁰ (h < 2³⁰, a < 2³⁰), so the identical arithmetic
+    * runs overflow-free as BIGINT in DuckDB — which is also why the 64-bit
+    * fingerprint lives in TWO 32-bit lane columns instead of one signed
+    * long: every value stays non-negative and below 2³², no engine needs
+    * two's-complement shift semantics to agree, and the design extends to
+    * 128-bit (4 lanes) for free.
+    */
+  val LANE_M: Long = 1L << 32
+  val laneParams: Seq[(Long, Long)] = Seq(
+    (2654435761L % StableHash.P, 2246822519L % StableHash.P),
+    (3266489917L % StableHash.P, 668265263L % StableHash.P))
+
+  private def laneHashes(th: Column, lane: Int): Column = {
+    val (a, b) = laneParams(lane)
+    transform(th, h => (h * a + b) % LANE_M)
+  }
+
+  private def laneHashesSql(th: String, lane: Int): String = {
+    val (a, b) = laneParams(lane)
+    s"(($th * $a + $b) % $LANE_M)"
+  }
+
+  /** 64-bit simhash as (sim_hi, sim_lo) 32-bit lanes — the industry-norm
+    * fingerprint width (Charikar simhash as deployed for web dedup uses 64
+    * bits; 32 collides heavily on clustered corpora — d10's corpus has 98
+    * exact 32-bit collisions in 500 docs). Same single-pass per-row shape
+    * as [[simhashCol]], one narrow projection, no explode/groupBy.
+    */
+  def simhash64(df: DataFrame, id: String, text: Column): DataFrame =
+    parallelize(df.select(col(id), text.as("__txt")))
+      .select(col(id),
+        transform(split(col("__txt"), " "), t => StableHash.polyHash(t)).as("__th"))
+      // lane arrays materialized in their own projection: each is
+      // referenced 64× by the per-bit filters below — CollapseProject
+      // keeps multi-referenced aliases, so the rehash runs once per token
+      .select(col(id), laneHashes(col("__th"), 0).as("__tl"),
+        laneHashes(col("__th"), 1).as("__thh"))
+      .select(col(id), simhashCol(col("__thh"), 32).as("sim_hi"),
+        simhashCol(col("__tl"), 32).as("sim_lo"))
+
+  /** Hamming-LSH pairs over the 64-bit fingerprint: `bands` slices per
+    * 32-bit lane (2·bands total — docs are candidates iff ANY slice
+    * matches), exact verify hamming = popcount(hi⊕hi′) + popcount(lo⊕lo′)
+    * ≤ `maxHamming`. Same generate-then-verify economics as
+    * [[simhashBandPairs]]; twice the bands at the same slice width means
+    * the candidate recall of 64-bit banding matches the 32-bit tier's
+    * while the verify is 2× more selective.
+    */
+  def simhash64BandPairs(df: DataFrame, id: String, text: Column,
+                         bandsPerLane: Int, maxHamming: Int): DataFrame = {
+    require(bandsPerLane > 0 && 32 % bandsPerLane == 0,
+      s"bandsPerLane=$bandsPerLane must divide 32")
+    val w = 32 / bandsPerLane
+    val mask = (1L << w) - 1
+    val fps = simhash64(df, id, text)
+    val slices = (0 until bandsPerLane).flatMap { b =>
+      Seq(struct(lit(b).as("band"),
+            shiftright(col("sim_lo"), b * w).bitwiseAND(lit(mask)).as("slice")),
+          struct(lit(b + bandsPerLane).as("band"),
+            shiftright(col("sim_hi"), b * w).bitwiseAND(lit(mask)).as("slice")))
+    }
+    val exploded = fps
+      .select(col(id), col("sim_hi"), col("sim_lo"),
+        explode(array(slices: _*)).as("bs"))
+      .select(col(id), col("sim_hi"), col("sim_lo"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val l = exploded.select(col("band"), col("slice"), col(id).as("id1"),
+      col("sim_hi").as("__h1"), col("sim_lo").as("__l1"))
+    val r = exploded.select(col("band"), col("slice"), col(id).as("id2"),
+      col("sim_hi").as("__h2"), col("sim_lo").as("__l2"))
+    l.join(r, Seq("band", "slice"))
+      .filter(col("id1") < col("id2"))
+      // verify before the distinct, as in simhashBandPairs: failing
+      // candidates never ride the dedup shuffle
+      .select(col("id1"), col("id2"),
+        (bit_count(col("__h1").bitwiseXOR(col("__h2"))) +
+          bit_count(col("__l1").bitwiseXOR(col("__l2")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB twin of the per-lane simhash: CTE tail `f(id, sim_hi, sim_lo)`
+    * from a token-hash CTE exposing `th`. Generated beside the Spark
+    * expressions (one fingerprint definition), like [[simhashBitSumsSql]].
+    */
+  def simhash64CteSql(docTable: String, idCol: String, textCol: String): String = {
+    val sums = (lane: String, pfx: String) => (0 until 32).map(j =>
+      s"CAST(sum((($lane >> $j) & 1) * 2 - 1) AS BIGINT) AS $pfx$j")
+      .mkString(",\n               ")
+    val fold = (pfx: String) => (0 until 32).map(j =>
+      s"(CASE WHEN $pfx$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS tk FROM $docTable),
+        th0 AS (SELECT $idCol, ${StableHash.polyHashSql("tk")} AS th FROM tok),
+        lanes AS (SELECT $idCol, ${laneHashesSql("th", 0)} AS tl,
+                         ${laneHashesSql("th", 1)} AS thh FROM th0),
+        s AS (SELECT $idCol, ${sums("tl", "l")},
+               ${sums("thh", "h")}
+              FROM lanes GROUP BY $idCol),
+        f AS (SELECT $idCol, ${fold("h")} AS sim_hi, ${fold("l")} AS sim_lo FROM s)"""
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle, via inverted-index
     * self-join: |A∩B| from the posting-list join, sizes from per-doc counts,
     * J = inter / (|A| + |B| − inter). Blocked on `blockCol` to bound
-    * posting-list fan-out (at scale: also cap posting-list length — stop
-    * words generate quadratic pairs).
+    * posting-list fan-out.
+    *
+    * `maxPostingLen` is the stop-shingle cap: a posting list longer than
+    * the cap is DROPPED before pair generation. Pair cost per shingle is
+    * O(len²), so one boilerplate shingle shared by p docs (a site header,
+    * a license banner) contributes p² pairs — at 100 TB a single hot
+    * shingle makes the stage quadratic in corpus size. Dropping it is the
+    * standard stop-word move and is *principled* for Jaccard: a shingle in
+    * p of N docs contributes at most 1/|A∪B| to any pair's score while
+    * costing p² — the discriminating signal lives in RARE shingles. The
+    * cap bounds worst-case pairs at |shingles|·cap², independent of doc
+    * distribution. Semantics change only for pairs whose overlap includes
+    * a dropped shingle (their `inter` undercounts by the number of dropped
+    * shared shingles); a cap above the corpus's max list length is exactly
+    * the uncapped operator (the d6 gate runs in that regime, so the oracle
+    * needs no cap mirror).
     */
   def ngramJaccard(df: DataFrame, id: String, text: Column, k: Int,
-                   blockCol: Option[Column]): DataFrame = {
+                   blockCol: Option[Column],
+                   maxPostingLen: Int = Int.MaxValue): DataFrame = {
     // Join on shingle *hashes*, not strings: 8-byte keys shuffle ~5× less
     // data than the shingle text at scale (and match the oracle's hashed
     // posting list exactly).
@@ -275,8 +398,16 @@ object Dedup {
       .select(keepCols :+ explode_outer(col("__hs")).as("s"): _*)
       .filter(col("s").isNotNull)
     val groupKeys = Seq(col("s")) ++ (if (blockCol.isDefined) Seq(col("blk")) else Nil)
-    val lists = posting.groupBy(groupKeys: _*)
+    val grouped = posting.groupBy(groupKeys: _*)
       .agg(collect_list(struct(col("pid"), col("nsh"))).as("ps"))
+    // stop-shingle cap: drop hot posting lists BEFORE the n² pair lambda —
+    // a size() filter on the just-aggregated array, zero extra shuffle.
+    // (Dropping beats sampling here: a sampled hot list would yield pairs
+    // whose `inter` depends on which members survived — nondeterministic
+    // scores — while a dropped list changes every affected pair the same
+    // way and keeps the operator deterministic.)
+    val lists = if (maxPostingLen == Int.MaxValue) grouped
+      else grouped.filter(size(col("ps")) <= maxPostingLen)
     // same explode_outer discipline as `posting`: the n² pair-generation
     // expression must not be inlined into an inferred pre-Generate filter
     val pairs = lists.select(explode_outer(flatten(

@@ -379,6 +379,47 @@ object Similarity {
     emb.join(drops, Seq(id), "left_anti")
   }
 
+  /** True-SemDeDup apply (arXiv:2303.09540 as published): k-means cluster
+    * the embeddings, then WITHIN each cluster drop every vector that has a
+    * smaller-id member within cosine > `threshold`. [[semDedup]] is the
+    * LSH-bucket stand-in (bucket ≈ cluster); this is the real thing — the
+    * cluster assignment comes from `iters` Lloyd rounds over a seed set
+    * ([[kmeansTrain]]), so semantically-near vectors land in the same
+    * block even when they straddle an LSH hyperplane.
+    *
+    * Scale shape: training touches the corpus `iters`× (broadcast +
+    * narrow pass + tiny-domain shuffle each — see [[kmeansTrain]]); final
+    * assignment is one more broadcast pass; the within-cluster pair join
+    * shuffles once on the cluster id and is quadratic only in cluster
+    * size (C is the knob: E[|cluster|] = N/C, so pair work is N²/C —
+    * pick C ∝ N for linear total work, the SemDeDup paper's own recipe);
+    * the apply is one anti-join on the unique id. No all-pairs join at
+    * any stage.
+    */
+  def semDedupKmeans(emb: DataFrame, id: String, vec: String,
+                     seedPred: Column, iters: Int,
+                     threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // centroids are localCheckpoint'd by kmeansTrain and referenced
+    // LAZILY by the returned plan — do not unpersist here (the caller's
+    // action would hit truncated lineage); the blocks are tiny (C×dim).
+    val cent = kmeansTrain(emb, id, vec, seedPred, iters)
+    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"),
+        cosine(col(vec), col("cv")).as("ccos"))
+    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    val assign = scored.withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col(id), col(vec), col("cid"))
+    val l = assign.select(col("cid"), col(id).as("id1"), col(vec).as("v1"))
+    val r = assign.select(col("cid"), col(id).as("id2"), col(vec).as("v2"))
+    val drops = l.join(r, Seq("cid")).filter(col("id1") < col("id2"))
+      .filter(cosine(col("v1"), col("v2")) > threshold)
+      .select(col("id2").as(id)).distinct()
+    emb.join(drops, Seq(id), "left_anti")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane h, dim i):
     * hash → uniform in [−0.5, 0.5). Portable (StableHash) so the oracle can
     * reproduce the planes.

@@ -89,9 +89,14 @@ object DedupQueries extends QueryPack {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // maxPostingLen: the stop-shingle cap rides the production query so the
+    // gate exercises the capped plan; 1<<20 is far above any list this
+    // corpus produces (sf0.1 max ≈ corpus-per-source), so the result is
+    // hash-identical to the uncapped oracle — DedupOpsSpec proves the cap
+    // actually bounds pair count under a planted hot shingle.
     "d6_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", col("text"), K,
-        Some(col("source")))
+        Some(col("source")), maxPostingLen = 1 << 20)
         .orderBy("id1", "id2")),
 
     // Hamming-LSH over simhash: band the 32-bit fingerprint into 4 byte
@@ -104,6 +109,18 @@ object DedupQueries extends QueryPack {
     "d10_simhash_band_pairs" -> ((s, d) =>
       Dedup.simhashBandPairs(Tables.documents(s, d), "doc_id", col("text"),
         BITS, bands = 4, maxHamming = 1)
+        .orderBy("id1", "id2")),
+
+    // 64-bit simhash tier (industry-norm width; 32-bit collides heavily on
+    // clustered corpora — d9 shows 98/500 exact 32-bit collisions). Two
+    // 32-bit lanes (sim_hi, sim_lo) keep every value non-negative < 2³² so
+    // the DuckDB twin needs no two's-complement shift semantics; 4 bands
+    // of 8 bits per lane (8 bands total), exact hamming verify over both
+    // lanes. Looser maxHamming than d10 because 64-bit fingerprints spread
+    // the clustered corpus out — the width upgrade is the point.
+    "d13_simhash64_band_pairs" -> ((s, d) =>
+      Dedup.simhash64BandPairs(Tables.documents(s, d), "doc_id", col("text"),
+        bandsPerLane = 4, maxHamming = 3)
         .orderBy("id1", "id2")),
 
     // Edit-distance near-dup pairs (character-level dedup tier): docs with
@@ -227,6 +244,22 @@ object DedupQueries extends QueryPack {
         ORDER BY doc_id"""
   }
 
+  private def simhash64BandPairsSql: String = {
+    val share = (0 until 4).map { b =>
+      Seq(s"(((a.sim_lo >> ${b * 8}) & 255) = ((b.sim_lo >> ${b * 8}) & 255))",
+          s"(((a.sim_hi >> ${b * 8}) & 255) = ((b.sim_hi >> ${b * 8}) & 255))")
+    }.flatten.mkString(" OR ")
+    s"""${Dedup.simhash64CteSql("documents", "doc_id", "text")}
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sim_hi, b.sim_hi)) +
+                    bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE ($share)
+          AND bit_count(xor(a.sim_hi, b.sim_hi)) +
+              bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+        ORDER BY id1, id2"""
+  }
+
   private def simhashBandPairsSql: String =
     s"""$simhashCte
         SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -266,6 +299,7 @@ object DedupQueries extends QueryPack {
     "d9_fingerprint_dedup" -> fingerprintDedupSql,
     "d6_ngram_jaccard" -> jaccardSql,
     "d10_simhash_band_pairs" -> simhashBandPairsSql,
+    "d13_simhash64_band_pairs" -> simhash64BandPairsSql,
     "pd1_chunk_dedup" -> chunkDedupSql,
     "d12_editdist_pairs" -> editDistPairsSql,
   )

@@ -20,6 +20,7 @@ object SimilarityQueries extends QueryPack {
   private val NEARDUP_T = 0.2  // cosine threshold for near-dup pairs
   private val NSUB = 8         // PQ subspaces (sim8)
   private val CMOD = 10        // PQ codebook subset: vec_id % CMOD == 7
+  private val KM_ITERS = 2     // Lloyd rounds for d11b (oracle unrolls them)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
@@ -61,6 +62,17 @@ object SimilarityQueries extends QueryPack {
     "d11_semdedup_apply" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         DIM, PLANES, NEARDUP_T)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
+    // True SemDeDup (the paper's shape): 2 Lloyd rounds over the sim6 seed
+    // set give REAL cluster assignments; within-cluster cosine prune, one
+    // anti-join apply. Replaces d11's LSH-bucket stand-in as the semantic
+    // tier — near-dups that straddle a hyperplane but share a centroid are
+    // now caught (AnnRecallSpec pins the drop-recall gap vs exact).
+    "d11b_semdedup_kmeans" -> ((s, d) =>
+      Similarity.semDedupKmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 100 === 7, iters = KM_ITERS, threshold = NEARDUP_T)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
@@ -187,6 +199,46 @@ object SimilarityQueries extends QueryPack {
           SELECT e.vec_id, e.label FROM embeddings e
           WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
           ORDER BY e.vec_id""",
+    // kmeansTrain unrolled: KM_ITERS Lloyd rounds as chained CTEs (rank →
+    // assign → decimal-exact per-(cid,pos) means → rebuild centroid lists
+    // ordered by pos), then the final assignment + within-cluster prune.
+    // One cluster definition shared with the Spark side via cosineSql /
+    // Num.sqlAvg — same fold order, bit-identical scores.
+    "d11b_semdedup_kmeans" -> {
+      def round(n: Int): String = {
+        val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+        s"""r$n AS (SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY $ccos DESC, c.cid) AS crn
+               FROM embeddings e CROSS JOIN c${n - 1} c),
+          a$n AS (SELECT vec_id, embedding, cid FROM r$n WHERE crn = 1),
+          x$n AS (SELECT cid,
+                    CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos,
+                    unnest(embedding) AS v
+                  FROM a$n),
+          m$n AS (SELECT cid, pos, ${graft.ops.Num.sqlAvg("CAST(v AS DOUBLE)")} AS mean_v
+                  FROM x$n GROUP BY cid, pos),
+          c$n AS (SELECT cid, list(mean_v ORDER BY pos) AS cv FROM m$n GROUP BY cid)"""
+      }
+      val rounds = (1 to KM_ITERS).map(round).mkString(",\n          ")
+      val fcos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      s"""WITH c0 AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+               FROM embeddings WHERE vec_id % 100 = 7),
+          $rounds,
+          fr AS (SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $fcos DESC, c.cid) AS crn
+                 FROM embeddings e CROSS JOIN c$KM_ITERS c),
+          fa AS (SELECT vec_id, embedding, cid FROM fr WHERE crn = 1),
+          drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM fa a JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${Similarity.cosineSql("a.embedding", "b.embedding", DIM)} > $NEARDUP_T)
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+          ORDER BY e.vec_id"""
+    },
     "sim3_hyperplane_buckets" ->
       s"""SELECT vec_id,
                  ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES)} AS bucket

@@ -128,4 +128,36 @@ class AnnRecallSpec extends SparkTestBase {
       f"multi-table LSH must clearly beat single-table: multi=$multi%.3f single=$single%.3f")
     assert(ivf >= 0.4, f"IVF nprobe=2 recall regressed: $ivf%.3f")
   }
+
+  test("SemDeDup drop-recall: k-means clusters vs LSH buckets vs exact") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries.DIM
+    val t = 0.2
+    val emb = graft.Tables.embeddings(spark, d)
+    // exact drop set: vec dropped iff ANY smaller-id vector in the corpus
+    // is cosine-near — the all-pairs ground truth both approximations
+    // under-approximate (their candidate sets are subsets of all pairs,
+    // same predicate, so approx drops ⊆ exact drops and recall = |approx|/|exact|)
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exactDrops = e1.crossJoin(e2).filter(col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) > t)
+      .select("id2").distinct().as[Long].collect().toSet
+    assert(exactDrops.nonEmpty)
+    def dropsOf(q: String): Set[Long] = {
+      val kept = graft.SparkEntry.queries(q)(spark, d)
+        .select("vec_id").as[Long].collect().toSet
+      emb.select("vec_id").as[Long].collect().toSet -- kept
+    }
+    val lsh = dropsOf("d11_semdedup_apply")
+    val km = dropsOf("d11b_semdedup_kmeans")
+    assert(lsh.subsetOf(exactDrops) && km.subsetOf(exactDrops))
+    val lshR = lsh.size.toDouble / exactDrops.size
+    val kmR = km.size.toDouble / exactDrops.size
+    info(f"drop-recall: kmeans=$kmR%.3f lsh=$lshR%.3f exact_drops=${exactDrops.size}")
+    // semantic clustering must catch near-dups that straddle a hyperplane:
+    // the k-means tier's whole reason to exist over the LSH stand-in
+    assert(kmR > lshR,
+      f"k-means SemDeDup should out-recall LSH buckets: km=$kmR%.3f lsh=$lshR%.3f")
+  }
 }

@@ -188,6 +188,62 @@ class DedupOpsSpec extends SparkTestBase {
     assert(wide.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ngramJaccard stop-shingle cap bounds pair count under a planted hot shingle") {
+    // every doc opens with the same boilerplate 3-shingle ("hot hot hot");
+    // all other shingles are doc-unique — the canonical hot-posting-list
+    // corpus: one shared shingle makes EVERY doc pair a candidate
+    val n = 30
+    val df = (1L to n.toLong).map(i => (i, s"hot hot hot u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    // uncapped: the hot list alone generates all C(30,2) pairs
+    val uncapped = Dedup.ngramJaccard(df, "doc_id", col("text"), 3, None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.size == n * (n - 1) / 2)
+    // cap below the hot-list length: the stop-shingle is dropped, no other
+    // shingle is shared, pair count collapses to zero — the quadratic term
+    // is provably bounded by the cap
+    val capped = Dedup.ngramJaccard(df, "doc_id", col("text"), 3, None,
+      maxPostingLen = 10)
+    assert(capped.count() == 0)
+    // cap above every list length = the uncapped operator exactly (the
+    // regime the d6 gate runs in, keeping its oracle cap-free)
+    val wide = Dedup.ngramJaccard(df, "doc_id", col("text"), 3, None,
+      maxPostingLen = 1000).as[(Long, Long, Double)].collect().toSet
+    assert(wide == uncapped)
+  }
+
+  test("simhash64: lane range, identical-text equality, band-pairs brute parity") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 zz"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val fps = Dedup.simhash64(df, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect() // (doc_id, sim_hi, sim_lo)
+    // both lanes full-width non-negative 32-bit (the affine mod-2³² rehash
+    // must fill bits polyHash's ~30-bit range leaves at zero)
+    fps.foreach { case (_, hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32)) }
+    assert(fps.exists { case (_, hi, lo) => hi >= (1L << 30) || lo >= (1L << 30) })
+    val m = fps.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m(1L) == m(2L) && m(1L) != m(4L))
+    // brute-force reference: same per-lane fingerprints, all pairs, same
+    // share-a-band ∧ hamming≤h predicate (mirrors the 32-bit parity test)
+    val bpl = 4; val maxH = 6
+    val got = Dedup.simhash64BandPairs(df, "doc_id", col("text"), bpl, maxH)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    def share(a: Long, b: Long) = (0 until bpl).exists(i =>
+      ((a >> (i * 8)) & 255) == ((b >> (i * 8)) & 255))
+    val want = (for {
+      i <- m.keys; j <- m.keys if i < j
+      h = java.lang.Long.bitCount(m(i)._1 ^ m(j)._1) +
+        java.lang.Long.bitCount(m(i)._2 ^ m(j)._2)
+      if h <= maxH && (share(m(i)._1, m(j)._1) || share(m(i)._2, m(j)._2))
+    } yield (i, j, h)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 0)), s"exact dups must collide: $got")
+  }
+
   test("bloom prefilter: no false negatives; exact verify removes false positives") {
     val build = (1 to 200).map(i => s"key$i").toDF("g")
     val probe = Bloom.mightContain(build, "g", expectedItems = 200, fpp = 0.01)
@@ -251,6 +307,25 @@ class SimilarityOpsSpec extends SparkTestBase {
     val got = Similarity.semDedup(df, "vec_id", "embedding", dim, planes, t)
       .select("vec_id").as[Long].collect().toSet
     assert(got == keepRef && got.size < n, s"got ${got.size} of $n")
+  }
+
+  test("semDedupKmeans drops exactly the smaller-id within-cluster near-dups") {
+    // two tight clusters; within each, later vectors are near-copies of the
+    // first → k-means assigns each group to its own centroid and the prune
+    // keeps only the lowest id per near-dup set, plus the outlier
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.05f, 0.0f)),
+      (2L, Array(0.98f, 0.02f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.97f, 0.0f, 0.0f, 0.03f)),   // near-dup of 1
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.05f)),
+      (5L, Array(0.02f, 0.99f, 0.03f, 0.0f)),  // near-dup of 4
+      (6L, Array(0.0f, 0.0f, -1.0f, 0.0f)))    // no near-dup anywhere
+    val df = vecs.toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKmeans(df, "vec_id", "embedding",
+      seedPred = col("vec_id") === 1 || col("vec_id") === 4,
+      iters = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L), s"kept=$kept")
   }
 
   test("cosine: identity 1, orthogonal 0") {
