@@ -132,5 +132,96 @@ object DomainQueries extends QueryPack {
     }),
   )
 
-  val oracles: Map[String, String] = Map()
+  /** Literal expected-value oracles: these queries run the fixture-driven
+    * domain engine (deterministic, sf-independent), so the oracle is the
+    * PINNED output itself -- values cross-audited against the ScalaTest
+    * pins (GeometrySpec/DomainSpec/AnomalySpec semantics) and frozen as a
+    * VALUES table. This upgrades the driver check from rows-only to full
+    * rows+schema+hash: any drift in enumeration, nuclearity union-find,
+    * flip/invertibility, or anomaly thresholds now fails the gate loudly.
+    * (Doubles serialized as shortest round-trip strings CAST to DOUBLE --
+    * string->double parse is nearest-even in DuckDB, so bits match.)
+    */
+  val oracles: Map[String, String] = Map(
+    "a11_nuclearity" ->
+      """SELECT * FROM (VALUES
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), 'Pt', 'infinite'),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), 'Pt', 'semi-finite'),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), 'Pt', 'infinite'),
+          ('mp-13', '1,0,0', CAST('0.0' AS DOUBLE), 'Fe', 'infinite'),
+          ('mp-13', '1,1,0', CAST('0.0' AS DOUBLE), 'Fe', 'infinite'),
+          ('mp-13', '1,1,1', CAST('0.0' AS DOUBLE), 'Fe', '1'),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), 'Cu', 'infinite'),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), 'Cu', 'semi-finite'),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), 'Cu', 'infinite'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), 'O', '0'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), 'O', '1'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), 'Zn', '1'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), 'Zn', '0'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), 'O', '1'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), 'O', '0'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), 'Zn', '0'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), 'Zn', '1'),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), 'O', '1'),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), 'Zn', '1'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), 'O', '0'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), 'O', '1'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), 'Zn', '1'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), 'Zn', '0'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), 'O', '1'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), 'O', '0'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), 'Zn', '0'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), 'Zn', '1'),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), 'Au', 'infinite'),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), 'Au', 'semi-finite'),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), 'Au', 'infinite'))
+          AS t(bulk_id, slab_millers, slab_shift, element, nuclearity)""",
+    "u12_anomaly_flags" ->
+      """SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), false, false, false),
+          (CAST(1 AS BIGINT), false, false, false),
+          (CAST(2 AS BIGINT), false, false, false),
+          (CAST(3 AS BIGINT), false, false, false),
+          (CAST(4 AS BIGINT), false, false, false),
+          (CAST(5 AS BIGINT), false, false, false),
+          (CAST(6 AS BIGINT), false, false, false),
+          (CAST(7 AS BIGINT), true, false, false),
+          (CAST(8 AS BIGINT), true, false, false),
+          (CAST(9 AS BIGINT), true, false, false),
+          (CAST(10 AS BIGINT), true, false, false),
+          (CAST(11 AS BIGINT), true, false, false),
+          (CAST(12 AS BIGINT), true, false, false),
+          (CAST(13 AS BIGINT), true, false, false),
+          (CAST(14 AS BIGINT), true, false, false),
+          (CAST(15 AS BIGINT), true, false, false),
+          (CAST(16 AS BIGINT), true, false, false),
+          (CAST(17 AS BIGINT), true, false, false),
+          (CAST(18 AS BIGINT), true, false, false),
+          (CAST(19 AS BIGINT), true, false, false))
+          AS t(pair_id, dissociation, desorption, reconstruction)""",
+    "u16_invertibility" ->
+      """SELECT * FROM (VALUES
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-13', '1,0,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-13', '1,1,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-13', '1,1,1', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), false, false, true),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), true, false, true),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), false, false, true),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), true, false, true),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), false, false, true),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), true, false, true),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), false, false, true),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), true, false, true),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), true, true, true),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), true, true, true))
+          AS t(bulk_id, slab_millers, slab_shift, slab_top, invertible, flip_involution)""",
+  )
 }

@@ -117,6 +117,30 @@ object ParityQueries extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "u2_geometry_scores" ->
+      """SELECT * FROM (VALUES
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), CAST('15.366399999999999' AS DOUBLE), CAST('0.4166333333333333' AS DOUBLE), CAST('3.049044440476393' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.021692350409551576' AS DOUBLE), CAST('1.3015410245730947' AS DOUBLE)),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), CAST('21.731371284849928' AS DOUBLE), CAST('0.41663333333333336' AS DOUBLE), CAST('3.049044440476393' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.02300821211170305' AS DOUBLE), CAST('0.8282956360213098' AS DOUBLE)),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), CAST('26.615385529426394' AS DOUBLE), CAST('0.4999666666666666' AS DOUBLE), CAST('3.049044440476393' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.01878612652246544' AS DOUBLE), CAST('0.6763005548087557' AS DOUBLE)),
+          ('mp-13', '1,0,0', CAST('0.0' AS DOUBLE), CAST('8.2369' AS DOUBLE), CAST('0.4166333333333333' AS DOUBLE), CAST('2.734042199747473' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.03035122436839102' AS DOUBLE), CAST('0.7284293848413844' AS DOUBLE)),
+          ('mp-13', '1,1,0', CAST('0.0' AS DOUBLE), CAST('11.648735691910948' AS DOUBLE), CAST('0.4999666666666667' AS DOUBLE), CAST('2.734042199747473' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.021461556568203675' AS DOUBLE), CAST('0.5150773576368882' AS DOUBLE)),
+          ('mp-13', '1,1,1', CAST('0.0' AS DOUBLE), CAST('14.266729296864087' AS DOUBLE), CAST('0.41663333333333347' AS DOUBLE), CAST('2.734042199747473' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.021904109449156606' AS DOUBLE), CAST('0.38551232630515625' AS DOUBLE)),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), CAST('13.0321' AS DOUBLE), CAST('0.4166333333333333' AS DOUBLE), CAST('2.807921028091781' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.025577867982392196' AS DOUBLE), CAST('1.5346720789435317' AS DOUBLE)),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), CAST('18.430172566202412' AS DOUBLE), CAST('0.41663333333333347' AS DOUBLE), CAST('2.807921028091781' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.027129425847965696' AS DOUBLE), CAST('0.9766593305267651' AS DOUBLE)),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), CAST('22.572259329318364' AS DOUBLE), CAST('0.4999666666666667' AS DOUBLE), CAST('2.807921028091781' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.022151083447396268' AS DOUBLE), CAST('0.7974390041062657' AS DOUBLE)),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), CAST('18.232899999999997' AS DOUBLE), CAST('0.4672002281505876' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.013711477603672485' AS DOUBLE), CAST('0.3290754624881396' AS DOUBLE)),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), CAST('18.232899999999997' AS DOUBLE), CAST('0.3660664385160791' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.013711477603672485' AS DOUBLE), CAST('0.3290754624881396' AS DOUBLE)),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), CAST('18.232899999999997' AS DOUBLE), CAST('0.3660664385160792' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.013711477603672485' AS DOUBLE), CAST('0.3290754624881396' AS DOUBLE)),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), CAST('18.232899999999997' AS DOUBLE), CAST('0.4672002281505877' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.013711477603672485' AS DOUBLE), CAST('0.3290754624881396' AS DOUBLE)),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), CAST('25.7852144613924' AS DOUBLE), CAST('0.4999666666666669' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.009695478793644286' AS DOUBLE), CAST('0.2326914910474629' AS DOUBLE)),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), CAST('31.58030916932258' AS DOUBLE), CAST('0.4672002281505877' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.009895406606834791' AS DOUBLE), CAST('0.17415915628029233' AS DOUBLE)),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), CAST('31.58030916932258' AS DOUBLE), CAST('0.36606643851607923' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.009895406606834791' AS DOUBLE), CAST('0.17415915628029233' AS DOUBLE)),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), CAST('31.58030916932258' AS DOUBLE), CAST('0.3660664385160792' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.009895406606834791' AS DOUBLE), CAST('0.17415915628029233' AS DOUBLE)),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), CAST('31.58030916932258' AS DOUBLE), CAST('0.4672002281505877' AS DOUBLE), CAST('4.067721321575508' AS DOUBLE), CAST(8 AS INTEGER), CAST('0.009895406606834791' AS DOUBLE), CAST('0.17415915628029233' AS DOUBLE)),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), CAST('16.6464' AS DOUBLE), CAST('0.41663333333333324' AS DOUBLE), CAST('3.1734952339652254' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.020024349609124695' AS DOUBLE), CAST('1.2014609765474817' AS DOUBLE)),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), CAST('23.54156464468749' AS DOUBLE), CAST('0.41663333333333336' AS DOUBLE), CAST('3.1734952339652254' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.021239030096193396' AS DOUBLE), CAST('0.7646050834629623' AS DOUBLE)),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), CAST('28.83241056311456' AS DOUBLE), CAST('0.4999666666666667' AS DOUBLE), CAST('3.1734952339652254' AS DOUBLE), CAST(12 AS INTEGER), CAST('0.01734159545576298' AS DOUBLE), CAST('0.6242974364074673' AS DOUBLE)))
+          AS t(bulk_id, slab_millers, slab_shift, area, com_z, min_bond_length, max_cn, broken_bond_score, surface_density_score)""",
     "pr1_parity_report" -> parityOracle,
     "pr2_best_frame" ->
       s"""WITH x AS (
