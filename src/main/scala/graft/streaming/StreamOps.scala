@@ -83,6 +83,17 @@ object StreamOps {
     * key, range pruning inside the state store. Column contract:
     * errors(error_id, e_user, ets), clicks(click_id, c_user, cts) with
     * timestamp-typed ets/cts.
+    *
+    * Skew/state bound (measured — StreamingSpec "interval-join state is
+    * bounded on a skewed key"): per-key state holds only rows still inside
+    * the watermark+lag horizon, NOT the key's total history — a 200-row
+    * hot-key history holds ~42 state rows (its 40-minute horizon window)
+    * while hot and evicts once the watermark passes (cts + lag). So a hot
+    * key costs rate × horizon rows of state; the
+    * knob is the watermark delay. The batch tier's RangeJoinBinningRule
+    * has no streaming analog here because the state store already
+    * range-prunes on the watermark — binning would add a shuffle key
+    * without shrinking state.
     */
   def intervalJoin(errors: DataFrame, clicks: DataFrame,
                    lag: String = "10 minutes",

@@ -201,6 +201,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("interval-join state is bounded on a skewed key: watermark evicts the hot backlog") {
+    // the 100 TB question for stream-stream joins: a hot key (one user
+    // producing most of the click volume) buffers rows in the state store —
+    // does state grow with the key's TOTAL history, or only with its rate ×
+    // the watermark+lag horizon? This pins the latter with numbers from
+    // StateOperatorProgress: 200 hot-key clicks buffered while live, then
+    // evicted once the watermark passes (cts + lag), leaving only the rows
+    // a future match could still need. Per-key state ∝ rate × horizon —
+    // the mitigation knob for skew is the watermark delay, not a rewrite.
+    implicit val sql = spark.sqlContext
+    val errs = MemoryStream[StreamOps.Evt]
+    val clks = MemoryStream[StreamOps.Evt]
+    val eDf = errs.toDF().select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("ets"))
+    val cDf = clks.toDF().select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("cts"))
+    val q = StreamOps.intervalJoin(eDf, cDf,
+        lag = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ijoin_skew")
+      .outputMode("append").start()
+    try {
+      def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // skewed key: user 1 emits 200 clicks over minutes 0..199
+      clks.addData((0 until 200).map(i =>
+        StreamOps.Evt(1000 + i, ts(i), 1, "click", 1.0)): _*)
+      errs.addData(StreamOps.Evt(1, ts(199), 1, "error", 1.0))
+      q.processAllAvailable()
+      val backlog = stateRows
+      // measured: 42 = 41 clicks inside the 40-min watermark+lag horizon
+      // (minutes 159..199) + the live error — processAllAvailable already
+      // ran the eviction batch after the watermark advanced to 169, so the
+      // 160-click prefix of the hot key's history never survives the call.
+      // State ∝ rate × horizon even while the key is hot: the bound.
+      assert(backlog >= 40L && backlog <= 60L,
+        s"hot-key state must equal the horizon window (~42), not the " +
+          s"200-row history: state=$backlog")
+      // advance event time far past the horizon: the whole window evicts
+      clks.addData(StreamOps.Evt(2000, ts(600), 1, "click", 1.0))
+      errs.addData(StreamOps.Evt(2, ts(600), 1, "error", 1.0))
+      q.processAllAvailable()
+      clks.addData(StreamOps.Evt(2001, ts(601), 1, "click", 1.0))
+      errs.addData(StreamOps.Evt(3, ts(601), 1, "error", 1.0))
+      q.processAllAvailable()
+      val evicted = stateRows
+      assert(evicted <= 20L && evicted < backlog / 2,
+        s"state must shrink to the live horizon after the watermark passes: " +
+          s"before=$backlog after=$evicted")
+    } finally q.stop()
+  }
+
   test("counts mat-view converges to the batch aggregate across updates") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[StreamOps.Evt]
