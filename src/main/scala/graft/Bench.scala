@@ -44,7 +44,14 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2) // odd n -> middle; even n -> upper-middle
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the measured registry —
+    // the sf1 scale-evidence runs time the fixed headline subset at 10×
+    // data without paying for all 180+ queries × iterations there
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val registry = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to iters).flatMap(_ => runOnce(fn, name))
       // a query that failed EVERY iteration must read as failure, never as
       // a fast run: reported -1, excluded from the total, listed explicitly
