@@ -32,8 +32,17 @@ object Tables {
     * micros TIMESTAMP/TIMESTAMP_NTZ. All downstream window math is
     * integer arithmetic on nanos, so whatever the physical type, convert
     * here (micros → nanos is exact ×1000; the cast to TIMESTAMP under the
-    * UTC session zone makes NTZ and TZ agree). Narrow, codegen'd, no
-    * behavior change when the file is already nanos-BIGINT.
+    * UTC session zone makes NTZ and TZ agree — the zone is pinned by
+    * [[Sessions.builder]], shared by every entry point). Narrow and
+    * codegen'd; no behavior change when the file is already nanos-BIGINT.
+    *
+    * Known perf trade-off on MICROS corpora only: the withColumn rewrite
+    * sits between the scan and any ts predicate, so ts filters stop
+    * reaching the parquet scan as PushedFilters (row-group pruning on ts
+    * is lost; other columns' pushdown is unaffected). The nanos-BIGINT
+    * corpus — the shipping default — takes the LongType branch and keeps
+    * full pushdown. If a micros corpus with selective ts filters shows up,
+    * filter on the RAW column before converting in that query.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
