@@ -143,6 +143,63 @@ object DomainQueries extends QueryPack {
     * string->double parse is nearest-even in DuckDB, so bits match.)
     */
   val oracles: Map[String, String] = Map(
+    "screen_e2e_fixture" ->
+      """SELECT * FROM (VALUES
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-0.528' AS DOUBLE), CAST('-0.8719999999999999' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('0.883' AS DOUBLE), CAST('-0.8679999999999999' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.693' AS DOUBLE), CAST('-2.037' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-2.25' AS DOUBLE), CAST('-4.0' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.991' AS DOUBLE), CAST('1.6719999999999997' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), true, '*H', CAST('0.06500000000000039' AS DOUBLE), CAST('0.3070000000000004' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-13', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('1.9329999999999998' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-13', '1,0,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-0.07100000000000017' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-13', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('0.7679999999999998' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-13', '1,1,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-3.2039999999999997' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-13', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('0.46999999999999975' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-13', '1,1,1', CAST('0.0' AS DOUBLE), true, '*H', CAST('-0.8889999999999998' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-0.31499999999999995' AS DOUBLE), CAST('-2.066' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-1.4969999999999999' AS DOUBLE), CAST('1.5460000000000003' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.473' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('1.37' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.771' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), true, '*H', CAST('-2.315' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), false, '*CO', CAST('-0.5539999999999998' AS DOUBLE), CAST('-0.8980000000000001' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), false, '*H', CAST('0.625' AS DOUBLE), CAST('-1.126' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('1.0039999999999996' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-2.678' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), false, '*CO', CAST('-2.268' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), false, '*H', CAST('1.6639999999999997' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), true, '*CO', CAST('0.04999999999999982' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,0,0', CAST('0.5' AS DOUBLE), true, '*H', CAST('-1.8730000000000002' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-0.16100000000000003' AS DOUBLE), CAST('-1.912' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-79', '1,1,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-3.818' AS DOUBLE), CAST('-0.7749999999999999' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), false, '*CO', CAST('0.22599999999999998' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), false, '*H', CAST('-0.8380000000000001' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-2.452' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.0' AS DOUBLE), true, '*H', CAST('-1.5030000000000001' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), false, '*CO', CAST('1.7619999999999996' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), false, '*H', CAST('1.928' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), true, '*CO', CAST('-3.693' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-79', '1,1,1', CAST('0.5' AS DOUBLE), true, '*H', CAST('-1.093' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.565' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('1.88' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('1.2699999999999996' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), true, '*H', CAST('-1.2530000000000001' AS DOUBLE), CAST(NULL AS DOUBLE), 'no *CO in [-2.0, 0.0] for min_dE_cheap'),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.021' AS DOUBLE), CAST('-2.7720000000000002' AS DOUBLE), CAST(NULL AS VARCHAR)),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), true, '*H', CAST('1.0620000000000003' AS DOUBLE), CAST('0.09799999999999986' AS DOUBLE), CAST(NULL AS VARCHAR)))
+          AS t(bulk_id, slab_millers, slab_shift, slab_top, adsorbate_smiles, min_dE_cheap, min_dE_expensive, filter_reason)""",
+    "screen_e2e_pourbaix" ->
+      """SELECT * FROM (VALUES
+          ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-0.528' AS DOUBLE)),
+          ('mp-126', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.693' AS DOUBLE)),
+          ('mp-126', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.991' AS DOUBLE)),
+          ('mp-30', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-0.31499999999999995' AS DOUBLE)),
+          ('mp-30', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.473' AS DOUBLE)),
+          ('mp-30', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.771' AS DOUBLE)),
+          ('mp-81', '1,0,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-3.565' AS DOUBLE)),
+          ('mp-81', '1,1,0', CAST('0.0' AS DOUBLE), true, '*CO', CAST('1.2699999999999996' AS DOUBLE)),
+          ('mp-81', '1,1,1', CAST('0.0' AS DOUBLE), true, '*CO', CAST('-1.021' AS DOUBLE)))
+          AS t(bulk_id, slab_millers, slab_shift, slab_top, adsorbate_smiles, min_dE_cheap)""",
     "a11_nuclearity" ->
       """SELECT * FROM (VALUES
           ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), 'Pt', 'infinite'),
