@@ -49,13 +49,22 @@ object Bench {
     // data without paying for all 180+ queries × iterations there
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // unknown names fail LOUDLY: a typo'd subset entry silently dropping
+    // a query would read as an improvement in round-over-round totals
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val registry = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to iters).flatMap(_ => runOnce(fn, name))
-      // a query that failed EVERY iteration must read as failure, never as
-      // a fast run: reported -1, excluded from the total, listed explicitly
-      if (samples.isEmpty) (name, -1.0, Seq.empty[Double], false)
+      // ANY failed iteration marks the query failed (-1, excluded from the
+      // total, listed explicitly) — a flaky query must never launder into
+      // a clean artifact via the median of its surviving samples; the
+      // samples line still carries whatever succeeded for diagnosis
+      if (samples.size < iters) (name, -1.0, samples, false)
       else (name, median(samples), samples, true)
     }
     def fmt(v: Double): String = BigDecimal(v)
@@ -95,6 +104,7 @@ object Bench {
       "ao4_asof_native", "t18_bm25",
       "q1_agg", "m5_pipeline_screen", "screen_e2e_fixture",
       "d4_lsh_candidate_pairs", "d6_ngram_jaccard", "d7_dup_groups",
+      "d11b_semdedup_kmeans", "d13_simhash64_band_pairs",
       "sim1_bruteforce_topk", "sim2b_neardup_bucketed", "sim5_ivf_ann_topk",
       "t1_langid", "a5_grouped_regression", "a7_grouped_exists_keep",
       "a8_group_topk", "ao1_asof_join", "j4_composite_key_left_join",

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * join, per-group quadratic window) grows ~100× here and stands out
   * against the ~10× linear queries.
   *
-  * Honest-scaling transforms (no 10-clique artifacts):
+  * Honest-scaling transforms ([[ScaleTransforms]] — no 10-clique
+  * artifacts):
   *  - documents: length-preserving caesar remap per copy — cross-copy
   *    shingles/fingerprints never collide, dedup sees a real 10× corpus;
-  *  - embeddings: +0.001·copy offset — near-dup structure preserved
-  *    within a copy, copies don't stack on identical vectors;
+  *  - embeddings: circular dimension rotation per copy — orthogonal, so
+  *    within-copy geometry is bit-preserved and cross-copy cosines carry
+  *    no systematic alignment;
   *  - events: disjoint event/user id spaces per copy — sessionization and
   *    per-user windows get 10× users, not 10× events per user;
   *  - TPC-H tables: per-copy key offsets applied CONSISTENTLY across
@@ -79,15 +81,12 @@ object MakeSf1 {
       "l_suppkey" -> suppS))
     replicate("events", Map("event_id" -> evS, "user_id" -> userS))
 
-    val az = "abcdefghijklmnopqrstuvwxyz"
-    def rot(c: Int) = az.drop(c % 26) + az.take(c % 26)
     replicate("documents", Map("doc_id" -> docS), (c, df) =>
-      if (c == 0) df
-      else df.withColumn("text", translate(col("text"), az, rot(c))))
+      df.withColumn("text", ScaleTransforms.remapText(col("text"), c)))
     replicate("embeddings", Map("vec_id" -> vecS), (c, df) =>
-      if (c == 0) df
-      else df.withColumn("embedding",
-        transform(col("embedding"), v => (v + lit(0.001f * c)).cast("float"))))
+      df.withColumn("embedding",
+        ScaleTransforms.rotateEmbedding(col("embedding"), c,
+          graft.queries.SimilarityQueries.DIM)))
     spark.stop()
   }
 }

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.SparkEntry
 
 /** 10× scale-up harness (PLANS.md "10× scale-up measurement"): replicate
-  * the sf0.1 corpus 10× with honest per-copy transforms — length-preserving
-  * caesar text remap (cross-copy shingles never collide, so dedup sees a
-  * real 10×, not a 10-clique), +0.001·c embedding offset, disjoint id/user
-  * spaces for events — write it with the same 32-file layout, then time the
-  * given registry queries at both scales (3 reps, prints each).
+  * the sf0.1 corpus 10× with the honest per-copy transforms of
+  * [[ScaleTransforms]] — length-preserving caesar text remap (cross-copy
+  * shingles never collide, so dedup sees a real 10×, not a 10-clique),
+  * circular embedding-dimension rotation (within-copy geometry preserved,
+  * cross-copy cosines decorrelated), disjoint id/user spaces for events —
+  * write it with the same 32-file layout, then time the given registry
+  * queries at both scales (3 reps, prints each).
   *
   * Usage: Scale10 [query ...]  (default: the round-4 additions)
   */
@@ -24,15 +26,11 @@ object Scale10 {
     val spark = graft.Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val az = "abcdefghijklmnopqrstuvwxyz"
-    def rot(c: Int) = az.drop(c % 26) + az.take(c % 26)
-
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val docStride = docs.agg(max("doc_id")).first().getLong(0) + 1
     (0 until copies).map { c =>
       docs.select((col("doc_id") + lit(c * docStride)).as("doc_id"),
-        (if (c == 0) col("text")
-         else translate(col("text"), az, rot(c))).as("text"),
+        ScaleTransforms.remapText(col("text"), c).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32)
@@ -42,8 +40,8 @@ object Scale10 {
     val vecStride = emb.agg(max("vec_id")).first().getLong(0) + 1
     (0 until copies).map { c =>
       emb.select((col("vec_id") + lit(c * vecStride)).as("vec_id"),
-        transform(col("embedding"),
-          v => (v + lit(0.001f * c)).cast("float")).as("embedding"),
+        ScaleTransforms.rotateEmbedding(col("embedding"), c,
+          graft.queries.SimilarityQueries.DIM).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
       .repartition(32)
