@@ -21,6 +21,20 @@ object SimilarityQueries extends QueryPack {
   private val NSUB = 8         // PQ subspaces (sim8)
   private val CMOD = 10        // PQ codebook subset: vec_id % CMOD == 7
   private val KM_ITERS = 2     // Lloyd rounds for d11b (oracle unrolls them)
+  // Fixed-size quantizer universe: the IVF/PQ centroid and codeword
+  // predicates are additionally capped at vec_id < CENT_CAP. A bare
+  // `% MOD` predicate grows C WITH the corpus, which turns the N·C
+  // encode/assign passes quadratic — measured at sf1 (10× data): sim8
+  // 31×, sim9 13× before the cap; 18× (flat-PQ is exhaustive Q·N ADC by
+  // definition — sim9 is its pruned production form) and 1.8× after.
+  // Production quantizers fix C (PQ's 8-bit codes = 256 codewords per
+  // subspace by definition; IVF's nlist is a tuned constant, not a
+  // sample rate). CENT_CAP = 2000 covers every gate corpus's full id
+  // range (sf0.001–sf0.1 max vec_id = 1999), so all oracle results are
+  // unchanged there; at sf1+ C stops growing. Deliberately NOT applied
+  // to d11b's k-means seeds: SemDeDup's linearity recipe is the
+  // opposite knob — C ∝ N keeps within-cluster pair work N²/C linear.
+  private val CENT_CAP = 2000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
@@ -111,14 +125,15 @@ object SimilarityQueries extends QueryPack {
     // set sim5 probes — per-dimension decimal-exact means, flat output.
     "sim6_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 100 === 7)
+        col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP)
         .orderBy("cid", "pos")),
 
     // IVF ANN: centroid subset (vec_id % 100 == 7), nprobe=2 lists probed,
     // exact re-rank on candidates only.
     "sim5_ivf_ann_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 100 === 7, col("vec_id") % QMOD === 0,
+        col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
+        col("vec_id") % QMOD === 0,
         nprobe = 2, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
@@ -139,7 +154,8 @@ object SimilarityQueries extends QueryPack {
     // production ANN composing sim5's and sim8's machinery.
     "sim9_ivfpq_ann_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % 100 === 7, col("vec_id") % CMOD === 7,
+        col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
+        col("vec_id") % CMOD === 7 && col("vec_id") < CENT_CAP,
         col("vec_id") % QMOD === 0, DIM, nSub = NSUB, nprobe = 2, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
@@ -149,7 +165,8 @@ object SimilarityQueries extends QueryPack {
     // memory-compression ANN the brute/LSH/IVF variants don't cover.
     "sim8_pq_ann_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") % CMOD === 7, col("vec_id") % QMOD === 0,
+        col("vec_id") % CMOD === 7 && col("vec_id") < CENT_CAP,
+        col("vec_id") % QMOD === 0,
         DIM, nSub = NSUB, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
@@ -263,7 +280,7 @@ object SimilarityQueries extends QueryPack {
       val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
       s"""WITH cent AS (
             SELECT vec_id AS cid, embedding AS cv FROM embeddings
-            WHERE vec_id % 100 = 7),
+            WHERE vec_id % 100 = 7 AND vec_id < $CENT_CAP),
           ranked AS (
             SELECT e.vec_id, e.embedding, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -282,7 +299,7 @@ object SimilarityQueries extends QueryPack {
       val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
       s"""WITH cent AS (
             SELECT vec_id AS cid, embedding AS cv FROM embeddings
-            WHERE vec_id % 100 = 7),
+            WHERE vec_id % 100 = 7 AND vec_id < $CENT_CAP),
           ranked AS (
             SELECT e.vec_id, e.embedding, c.cid,
                    CAST(row_number() OVER (PARTITION BY e.vec_id
@@ -351,7 +368,7 @@ object SimilarityQueries extends QueryPack {
         .mkString(",\n                   ")
       val adist = (0 until nSub).map(mm => s"qd$mm").mkString(" + ")
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                        WHERE vec_id % 100 = 7),
+                        WHERE vec_id % 100 = 7 AND vec_id < $CENT_CAP),
           ranked AS (SELECT e.vec_id, e.embedding, c.cid, c.cv,
                        row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY $ccos DESC, c.cid) AS crn
@@ -359,7 +376,7 @@ object SimilarityQueries extends QueryPack {
           assign AS (SELECT vec_id, cid, ${resid("embedding", "cv")} AS res
                      FROM ranked WHERE crn = 1),
           cb AS (SELECT vec_id AS ccid, res AS cbres FROM assign
-                 WHERE vec_id % $CMOD = 7),
+                 WHERE vec_id % $CMOD = 7 AND vec_id < $CENT_CAP),
           sc AS (SELECT a.vec_id, a.cid, cb.ccid,
                    ${dCols("a.res", "cb.cbres")}
                  FROM assign a CROSS JOIN cb),
@@ -403,7 +420,7 @@ object SimilarityQueries extends QueryPack {
         .mkString(",\n                   ")
       val adist = (0 until nSub).map(mm => s"qd$mm").mkString(" + ")
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                        WHERE vec_id % $CMOD = 7),
+                        WHERE vec_id % $CMOD = 7 AND vec_id < $CENT_CAP),
           sc AS (SELECT e.vec_id, c.cid,
                    ${dCols("e.embedding", "c.cv")}
                  FROM embeddings e CROSS JOIN cent c),
