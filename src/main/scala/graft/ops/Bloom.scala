@@ -41,4 +41,19 @@ object Bloom {
     val probe = udf((k: String) => k != null && bc.value.mightContainString(k))
     (key: Column) => probe(key)
   }
+
+  /** Long-keyed variant — for composite keys packed into one long (e.g. a
+    * graph edge (u,v) as an arithmetic combination). Any deterministic
+    * packing is safe even if it collides: build and probe share the
+    * encoding, so a packing collision can only ADD a false positive for
+    * the exact verify to discard — never a false negative.
+    */
+  def mightContainLong(build: DataFrame, keyCol: String,
+                       expectedItems: Long, fpp: Double): Column => Column = {
+    val sketch = build.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = build.sparkSession.sparkContext.broadcast(sketch)
+    val probe = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    (key: Column) => probe(key)
+  }
 }

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Num
+import graft.ops.{Bloom, Num}
 
 /** Graph / dominance analytics over the corpus — the iterative-join tier.
   *
@@ -82,22 +82,42 @@ object GraphQueries extends QueryPack {
     val withDeg = e
       .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
       .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+    // localCheckpoint: `oriented` feeds FIVE consumers (wedge left/right,
+    // bloom build, edge count, closing semi-join) — without it the whole
+    // lineitem self-join chain re-executes per consumer (exchange reuse
+    // only spans one job). ~3 longs × |edges|, modest; lazily referenced
+    // by the returned plan, so it stays cached (d7-labels discipline).
     val oriented = withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
+      .localCheckpoint()
     val wedges = oriented.alias("x")
       .join(oriented.select(col("src"), col("dst").as("dst2"),
         col("ddst").as("ddst2")).alias("y"), "src")
       .filter(struct(col("ddst"), col("dst")) <
         struct(col("ddst2"), col("dst2")))
       .select(col("src").as("a"), col("dst").as("b"), col("dst2").as("c"))
+    // Bloom pre-prune before the wedge exchange: wedges are the m^1.5
+    // blow-up, but only the tiny closing fraction survives the semi-join,
+    // so shuffling all of them wastes the dominant exchange. A ~MB bloom
+    // over the (b,c) edge keys — packed into one long via shiftLeft (node
+    // ids here are part keys ≪ 2³¹; a packing collision could only add a
+    // false positive for the exact semi-join below to discard) — drops
+    // non-closing wedges map-side. Generate-then-verify, same discipline
+    // as t17: the semi-join keeps the result exact at any fpp.
+    val edgeKey = (b: Column, c: Column) => shiftleft(b, 32) + c
+    val nEdges = oriented.count()
+    val probe = Bloom.mightContainLong(
+      oriented.select(edgeKey(col("src"), col("dst")).as("k")), "k",
+      expectedItems = math.max(nEdges, 1L), fpp = 0.01)
     // wedge ordering equals orientation ordering, so the closing edge of
     // {b, c} — if it exists — is oriented exactly b→c: one semi-join
-    wedges.join(oriented.select(col("src").as("b"), col("dst").as("c")),
-      Seq("b", "c"), "left_semi")
+    wedges.filter(probe(edgeKey(col("b"), col("c"))))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
