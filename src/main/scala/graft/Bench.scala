@@ -23,7 +23,7 @@ object Bench {
     // swamped real plan-cost signal in the per-query history.
     for (wq <- Seq("q1_agg", "c1_rollup", "w2_lag_delta",
         "d3_minhash_signatures", "a8_topk_agg",
-        "d7_dup_groups", "sim9_ivfpq_ann_topk"))
+        "d7_dup_groups", "sim9_ivfpq_ann_topk", "gt2_triangle_top_nodes"))
       try SparkEntry.queries(wq)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }

@@ -244,6 +244,21 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.contains((1L, 2L, 0)), s"exact dups must collide: $got")
   }
 
+  test("long-keyed bloom: no false negatives on packed composite keys") {
+    // packed (u,v) edge keys, the triangle-wedge pruning shape
+    val pack = (u: Long, v: Long) => (u << 32) + v
+    val edges = (1L to 300L).map(i => pack(i, i + 1)).toDF("k")
+    val probe = Bloom.mightContainLong(edges, "k", expectedItems = 300, fpp = 0.01)
+    val present = (1L to 300L).map(i => pack(i, i + 1)).toDF("k")
+      .filter(probe(col("k"))).count()
+    assert(present == 300L) // bloom guarantee: every built key passes
+    // absent keys are mostly rejected (fpp-bounded, not exact — the
+    // caller's exact semi-join is what makes the final result exact)
+    val absent = (1L to 1000L).map(i => pack(i + 5000, i)).toDF("k")
+      .filter(probe(col("k"))).count()
+    assert(absent < 100L, s"absent-key pass-through too high: $absent")
+  }
+
   test("bloom prefilter: no false negatives; exact verify removes false positives") {
     val build = (1 to 200).map(i => s"key$i").toDF("g")
     val probe = Bloom.mightContain(build, "g", expectedItems = 200, fpp = 0.01)
