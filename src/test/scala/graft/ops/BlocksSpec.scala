@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase}
+
+/** Block-manager hygiene for ITERATIVE / checkpointing operators.
+  *
+  * Every operator that `localCheckpoint`s (connected components, the
+  * triangle family, k-means SemDeDup) runs inside long-lived sessions —
+  * Bench executes 180+ queries × 3 iterations in one JVM — so a checkpoint
+  * that outlives its consuming action is a session-lifetime leak: round 5
+  * measured gt2's bench samples rising monotonically (8.0 → 10.0 → 15.6 s)
+  * from exactly this, and the stranded blocks' GC pressure surfaced in
+  * unrelated queries' timed windows. These tests convert that bench
+  * symptom into a pinned invariant: REPEATED invocations must not grow
+  * the persistent-RDD registry.
+  *
+  * `getPersistentRDDs` deltas (not absolutes) are asserted because the
+  * suite session is shared; entries leave the map synchronously on
+  * unpersist, so the post-action assertions are deterministic. The
+  * weak-valued registry also drops entries once the last reference is
+  * garbage-collected — the ContextCleaner backstop — which the final
+  * eventually-style check exercises.
+  */
+class BlocksSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def nPersist: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("triangle family: repeated gt1/gt2 invocations hold exactly ONE " +
+    "cached oriented edge list (memoized cache-and-release, no growth)") {
+    def consume(name: String): Unit =
+      assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
+    consume("gt2_triangle_top_nodes") // builds the memoized base
+    val base = nPersist
+    // any interleaving, any repetition: zero additional persistent RDDs
+    consume("gt1_triangle_count")
+    consume("gt2_triangle_top_nodes")
+    consume("gt1_triangle_count")
+    consume("gt2_triangle_top_nodes")
+    assert(nPersist == base,
+      s"triangle reruns grew the persistent-RDD registry: $base -> $nPersist")
+  }
+
+  test("connected components: per-round checkpoints are freed inside the " +
+    "call; at most the final label table stays cached per invocation") {
+    import spark.implicits._
+    // a chain long enough to force several pointer-jumping rounds, plus a
+    // second component and singletons
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (1L to 60L).toDF("id")
+    val before = nPersist
+    def runOnce(): Unit = {
+      val labels = Dedup.connectedComponents(nodes, edges, "id", "src", "dst")
+      assert(labels.filter(col("component") === 1L).count() == 40L)
+    }
+    runOnce()
+    val afterOne = nPersist
+    assert(afterOne - before <= 1,
+      s"one CC run left ${afterOne - before} persistent RDDs (want <=1: " +
+        "the final label table only — sym and superseded rounds freed)")
+    runOnce(); runOnce()
+    // pre-GC: one final label table may linger per run (weak-valued map —
+    // reclaimed once dereferenced), but never the per-round intermediates
+    assert(nPersist - before <= 3,
+      s"3 CC runs left ${nPersist - before} persistent RDDs (want <=3)")
+    // backstop: dereferenced label tables leave the registry under GC
+    var tries = 0
+    while (nPersist - before > 1 && tries < 20) {
+      System.gc(); Thread.sleep(250); tries += 1
+    }
+    assert(nPersist - before <= 1,
+      s"dereferenced CC label tables were not reclaimed: ${nPersist - before} remain")
+  }
+}
