@@ -9,6 +9,8 @@ object Bench {
     // d6/d7/a5 were unattributable precisely because each round had one
     // sample. Median of 3 rejects a single outlier iteration per query.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // fail loudly, not via IndexOutOfBounds on an empty sample median
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     // ERROR, not WARN: d7's localCheckpoint unpersist emits hundreds of
     // benign lineage-truncation WARNs that drown the one-line JSON output

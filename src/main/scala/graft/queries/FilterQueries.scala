@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.StableHash
 import graft.ops.Filters
 
 /** SURVEY §2.2 filter inventory (F1–F14, P14–P16, F9 grid-EXISTS) exercised
@@ -43,6 +44,10 @@ object FilterQueries extends QueryPack {
   private val ignorePriorities = Seq("5-LOW", "4-NOT SPECIFIED")
   private val sizeList = Seq(1, 5, 10, 15, 20)
   private val segments = Seq("BUILDING", "AUTOMOBILE")
+
+  // f12b's sample coin: same affine family as st1 (one definition, both
+  // engines), distinct "sample|" prefix so the kept sets are independent
+  private val (sA, sB) = StableHash.affineParams(1).head
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
   private def sqlIn(xs: Seq[String])   = xs.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -160,6 +165,24 @@ object FilterQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // F12b: the deterministic twin of F12 — identical Bernoulli-sample
+    // semantics, but the coin is a row-local hash of the key (st1
+    // discipline: u(doc_id) < 0.25), so the kept set is the same on any
+    // engine, any partitioning, any cluster layout — and therefore fully
+    // hash-gated, where F12's engine-RNG kept set can only be rows-gated.
+    // Pure codegen'd predicate in the scan; the only exchange is the
+    // deterministic output sort.
+    "f12b_sample_deterministic" -> ((s, d) => {
+      val u = ((StableHash.polyHash(concat_ws("",
+        lit("sample|"), col("doc_id").cast("string")))
+        * lit(sA) + lit(sB)) % lit(StableHash.P) + lit(1.0))
+        .cast("double") / lit((StableHash.P + 1).toDouble)
+      Tables.documents(s, d)
+        .filter(u < lit(0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "f14_smiles_isin" -> ((s, d) =>
       Tables.customer(s, d)
         .filter(Filters.byIds(col("c_mktsegment"), segments))
@@ -246,6 +269,11 @@ object FilterQueries extends QueryPack {
     "f11_two_sided_range" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
          WHERE c_acctbal BETWEEN 1000.0 AND 5000.0 ORDER BY c_custkey""",
+    "f12b_sample_deterministic" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ((${StableHash.polyHashSql("concat('sample|', CAST(doc_id AS VARCHAR))")}
+                  * $sA + $sB) % ${StableHash.P} + 1.0) / ${StableHash.P + 1}.0 < 0.25
+          ORDER BY doc_id""",
     "f14_smiles_isin" ->
       s"""SELECT c_custkey, c_mktsegment FROM customer
           WHERE c_mktsegment IN ${sqlIn(segments)} ORDER BY c_custkey""",

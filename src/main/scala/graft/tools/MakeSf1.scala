@@ -36,9 +36,15 @@ object MakeSf1 {
     val spark = graft.Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def stride(table: String, key: String): Long =
-      spark.read.parquet(s"$base/$table.parquet")
-        .agg(max(key)).first().getLong(0) + 1
+    // getAs[Number] tolerates int-typed keys on corpus regenerations; an
+    // empty table (max = NULL) fails with the table/key named instead of
+    // a bare NullPointerException
+    def stride(table: String, key: String): Long = {
+      val m = spark.read.parquet(s"$base/$table.parquet")
+        .agg(max(key)).first().getAs[Number](0)
+      require(m != null, s"[sf1] $table.$key has no rows — cannot derive a stride")
+      m.longValue() + 1
+    }
 
     // one shared shift helper: copy c adds c·stride to the named key
     // columns, leaves the rest untouched, preserves column order
