@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Bloom, Num}
+import graft.ops.Num
 
 /** Graph / dominance analytics over the corpus — the iterative-join tier.
   *
@@ -65,9 +65,11 @@ object GraphQueries extends QueryPack {
   }
 
   /** Shared base for the triangle family: the degree-oriented,
-    * localCheckpoint'd edge list plus a bloom probe over its edge keys.
+    * localCheckpoint'd edge list plus the per-source sorted adjacency
+    * arrays derived from it (also checkpointed — both feed every
+    * invocation of gt1/gt2).
     */
-  private final case class TriBase(oriented: DataFrame, probe: Column => Column)
+  private final case class TriBase(oriented: DataFrame, adj: DataFrame)
 
   // Memoized per (session, data dir). Cache-and-RELEASE: building for a
   // new key unpersists the superseded checkpoint first, so a long-lived
@@ -100,7 +102,10 @@ object GraphQueries extends QueryPack {
         // skip release when the superseded entry's session is already
         // stopped (its blocks died with the context)
         prev.foreach { case ((ps, _), tb) =>
-          if (!ps.sparkContext.isStopped) graft.ops.Blocks.unpersist(tb.oriented) }
+          if (!ps.sparkContext.isStopped) {
+            graft.ops.Blocks.unpersist(tb.oriented)
+            graft.ops.Blocks.unpersist(tb.adj)
+          } }
         val e = coEdges(s, d)
         val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -115,58 +120,52 @@ object GraphQueries extends QueryPack {
         // only spans one job). ~3 longs × |edges|, modest.
         val oriented = withDeg.select(
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t")))
             .as("e"))
-          .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
+          .select(col("e.s").as("src"), col("e.t").as("dst"))
           .localCheckpoint()
-        // the count doubles as the checkpoint-materializing action and
-        // sizes the bloom exactly (it reads the fresh checkpoint blocks —
-        // milliseconds, and only on the once-per-session build path)
-        val nEdges = oriented.count()
-        val probe = Bloom.mightContainLong(
-          oriented.select(edgeKey(col("src"), col("dst")).as("k")), "k",
-          expectedItems = math.max(nEdges, 1L), fpp = 0.01)
-        val tb = TriBase(oriented, probe)
+        // per-source out-neighbor arrays: orientation bounds every array
+        // at O(√2m) entries (the classic degeneracy argument), so no
+        // collect_list group can blow a partition even on a hub node; the
+        // arrays total exactly m entries. sort_array only pins a
+        // deterministic layout — intersection is order-insensitive.
+        val adj = oriented.groupBy("src")
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+          .localCheckpoint()
+        val tb = TriBase(oriented, adj)
         triCache = Some((key, tb))
         tb
     }
   }
 
-  // (b,c) edge keys packed into one long via shiftLeft — node ids here are
-  // part keys ≪ 2³¹; a packing collision could only ADD a bloom false
-  // positive for the exact semi-join to discard, never lose a triangle
-  private val edgeKey = (b: Column, c: Column) => shiftleft(b, 32) + c
-
-  /** Triangles by degree orientation (the MPC-classic algorithm): orient
-    * every edge from its lower-(degree, id) endpoint, generate wedges from
-    * common sources, close them with a semi-join. Orientation bounds the
-    * max out-degree at O(√2m), so the wedge fan-out — the quadratic term —
-    * is O(m^1.5) worst-case instead of Σ deg², and a hub node can never
-    * explode a partition. The oracle counts the same triangles with the
-    * naive id-orientation spelling: orientation choice is result-invariant,
-    * which the hash match proves.
+  /** Triangles by degree orientation + edge-centric adjacency
+    * intersection: orient every edge from its lower-(degree, id) endpoint,
+    * then for each oriented edge (a, b) every w ∈ adj(a) ∩ adj(b) closes
+    * the triangle a→b, a→w, b→w. Orientation makes the per-triangle
+    * source unique, so each triangle is emitted exactly once — as the
+    * same (a, b, c) row the earlier wedge-then-semi-join spelling
+    * produced, which the unchanged DuckDB hash gate proves.
+    *
+    * Why intersection beats generate-then-verify at scale: the wedge
+    * spelling materializes and SHUFFLES O(m^1.5) candidate rows of which
+    * only the closing fraction survives (a bloom pre-prune recovered part
+    * of that waste, round 5); the intersection does the same O(Σ min(da,
+    * db)) = O(m^1.5) WORK inside `array_intersect` per already-co-located
+    * row, materializing only true triangles — two keyed joins of m-row
+    * tables against the |V'|-row adjacency table, no candidate exchange
+    * at all. Measured sf1 (10× data): gt1 40.8 → [see PLANS.md] s.
     */
   private def triangles(s: SparkSession, d: String): DataFrame = {
     val tb = triBase(s, d)
-    val oriented = tb.oriented
-    val wedges = oriented.alias("x")
-      .join(oriented.select(col("src"), col("dst").as("dst2"),
-        col("ddst").as("ddst2")).alias("y"), "src")
-      .filter(struct(col("ddst"), col("dst")) <
-        struct(col("ddst2"), col("dst2")))
-      .select(col("src").as("a"), col("dst").as("b"), col("dst2").as("c"))
-    // Bloom pre-prune before the wedge exchange: wedges are the m^1.5
-    // blow-up, but only the tiny closing fraction survives the semi-join,
-    // so shuffling all of them wastes the dominant exchange. The ~MB bloom
-    // over the (b,c) edge keys drops non-closing wedges map-side.
-    // Generate-then-verify, same discipline as t17: the semi-join keeps
-    // the result exact at any fpp.
-    // wedge ordering equals orientation ordering, so the closing edge of
-    // {b, c} — if it exists — is oriented exactly b→c: one semi-join
-    wedges.filter(tb.probe(edgeKey(col("b"), col("c"))))
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"), "left_semi")
+    // join adj twice: on the edge's source (wedge arms from a) and on its
+    // destination (closing arms from b). Inner joins — an endpoint with
+    // no out-neighbors cannot close a triangle.
+    tb.oriented
+      .join(tb.adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+      .join(tb.adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,8 +27,8 @@ class BlocksSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
   private def nPersist: Int = spark.sparkContext.getPersistentRDDs.size
 
-  test("triangle family: repeated gt1/gt2 invocations hold exactly ONE " +
-    "cached oriented edge list (memoized cache-and-release, no growth)") {
+  test("triangle family: repeated gt1/gt2 invocations hold one fixed set " +
+    "of cached base frames (memoized cache-and-release, no growth)") {
     def consume(name: String): Unit =
       assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
     consume("gt2_triangle_top_nodes") // builds the memoized base

@@ -221,10 +221,14 @@ class PlanSpec extends SparkTestBase {
       exchanges.mkString("\n"))
   }
 
-  test("gt2 triangles: wedge closure is a semi-join, never a cartesian; " +
-    "degree table broadcast") {
+  test("gt2 triangles: edge-centric adjacency intersection — equi-joins " +
+    "plus a generate, never a cartesian, no wedge materialization") {
     val p = plan("gt2_triangle_top_nodes")
-    assert(p.contains("LeftSemi"), p.linesIterator.take(5).mkString("\n"))
+    // the closing arms come from array_intersect exploded in a Generate —
+    // true triangles only; a wedge-style plan would show a candidate
+    // exchange (or worse, a cartesian) here
+    assert(p.contains("Generate") && p.contains("array_intersect"),
+      p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
