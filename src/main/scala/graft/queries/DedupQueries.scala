@@ -114,13 +114,23 @@ object DedupQueries extends QueryPack {
     // 64-bit simhash tier (industry-norm width; 32-bit collides heavily on
     // clustered corpora — d9 shows 98/500 exact 32-bit collisions). Two
     // 32-bit lanes (sim_hi, sim_lo) keep every value non-negative < 2³² so
-    // the DuckDB twin needs no two's-complement shift semantics; 4 bands
-    // of 8 bits per lane (8 bands total), exact hamming verify over both
+    // the DuckDB twin needs no two's-complement shift semantics; 2 bands
+    // of 16 bits per lane (4 bands total), exact hamming verify over both
     // lanes. Looser maxHamming than d10 because 64-bit fingerprints spread
     // the clustered corpus out — the width upgrade is the point.
+    //
+    // Band GEOMETRY is a pure cost knob here, not a semantics one: any
+    // geometry with more bands than maxHamming has candidate recall 1.0
+    // (pigeonhole — 3 flips cannot touch all 4 bands), and the exact
+    // hamming verify makes the final pair set geometry-invariant. 16-bit
+    // slices give 65,536 bucket values per band where 8-bit slices gave
+    // 256: with buckets that coarse, occupancy grows linearly with the
+    // corpus and the in-bucket pair term grows QUADRATICALLY — the sf1
+    // sweep measured d13 at 3.5-6.7x for 10x data. Wider slices push the
+    // quadratic onset out by 256x while changing nothing downstream.
     "d13_simhash64_band_pairs" -> ((s, d) =>
       Dedup.simhash64BandPairs(Tables.documents(s, d), "doc_id", col("text"),
-        bandsPerLane = 4, maxHamming = 3)
+        bandsPerLane = 2, maxHamming = 3)
         .orderBy("id1", "id2")),
 
     // Edit-distance near-dup pairs (character-level dedup tier): docs with
@@ -245,9 +255,14 @@ object DedupQueries extends QueryPack {
   }
 
   private def simhash64BandPairsSql: String = {
-    val share = (0 until 4).map { b =>
-      Seq(s"(((a.sim_lo >> ${b * 8}) & 255) = ((b.sim_lo >> ${b * 8}) & 255))",
-          s"(((a.sim_hi >> ${b * 8}) & 255) = ((b.sim_hi >> ${b * 8}) & 255))")
+    // 2 bands × 16 bits per lane — mirrors the query's geometry (the
+    // share condition is implied by hamming<=3 for ANY >3-band geometry,
+    // so the result set is geometry-invariant; keeping the mirror makes
+    // the oracle the same generate-then-verify program, not just the same
+    // answer)
+    val share = (0 until 2).map { b =>
+      Seq(s"(((a.sim_lo >> ${b * 16}) & 65535) = ((b.sim_lo >> ${b * 16}) & 65535))",
+          s"(((a.sim_hi >> ${b * 16}) & 65535) = ((b.sim_hi >> ${b * 16}) & 65535))")
     }.flatten.mkString(" OR ")
     s"""${Dedup.simhash64CteSql("documents", "doc_id", "text")}
         SELECT a.doc_id AS id1, b.doc_id AS id2,

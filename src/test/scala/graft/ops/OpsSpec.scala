@@ -244,6 +244,22 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.contains((1L, 2L, 0)), s"exact dups must collide: $got")
   }
 
+  test("simhash64 band geometry is a pure cost knob: any >maxHamming band " +
+    "count yields the identical verified pair set (pigeonhole recall 1.0)") {
+    // richer corpus: exact dups, 1-token variants, unrelated docs
+    val df = (1L to 40L).map { i =>
+      val base = s"tok${i % 7} alpha beta gamma delta epsilon zeta eta"
+      (i, if (i % 3 == 0) base + " extra" else base)
+    }.toDF("doc_id", "text")
+    def pairs(bpl: Int) =
+      Dedup.simhash64BandPairs(df, "doc_id", col("text"), bpl, maxHamming = 3)
+        .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val p2 = pairs(2) // 4 bands of 16 bits -- the d13 production geometry
+    val p4 = pairs(4) // 8 bands of 8 bits -- the pre-round-6 geometry
+    assert(p2 === p4, "band geometry changed the verified pair set")
+    assert(p2.nonEmpty, "corpus must exercise the positive path")
+  }
+
   test("long-keyed bloom: no false negatives on packed composite keys") {
     // packed (u,v) edge keys, the triangle-wedge pruning shape
     val pack = (u: Long, v: Long) => (u << 32) + v
