@@ -74,25 +74,21 @@ object GraphQueries extends QueryPack {
   // Memoized per (session, data dir). Cache-and-RELEASE: building for a
   // new key unpersists the superseded checkpoint first, so a long-lived
   // session holds exactly ONE oriented edge list in the block manager no
-  // matter how many times gt1/gt2 run. Round 5 rebuilt (checkpoint +
-  // bloom) per invocation and never unpersisted: gt2's bench samples rose
+  // matter how many times gt1/gt2 run. Round 5 rebuilt the checkpoint per
+  // invocation and never unpersisted: gt2's bench samples rose
   // monotonically (8.0 → 10.0 → 15.6 s) as leaked blocks accumulated, the
   // gt1/gt2 split depended on run order, and the stranded blocks' GC
   // pressure even surfaced in UNRELATED queries' timed windows (t1_langid
-  // ~1.0 s → ~1.9 s full-registry, while unchanged standalone). Superseded
-  // bloom broadcasts are reclaimed by the ContextCleaner once the evicted
-  // probe closure is dropped. Keyed by session identity so tests with
-  // independent sessions never cross-release each other's blocks.
+  // ~1.0 s → ~1.9 s full-registry, while unchanged standalone). Keyed by
+  // session identity so tests with independent sessions never
+  // cross-release each other's blocks.
   private var triCache: Option[((SparkSession, String), TriBase)] = None
 
   /** Memoized triangle base — built ONCE per (session, dir), reused by
-    * gt1, gt2, and every bench iteration. Construction is eager (the
-    * checkpoint materializes and the bloom sketch aggregates, same
-    * index-build discipline as IVF/PQ training): a plan dump of gt1/gt2
-    * therefore executes the edge pipeline — once per session, accepted
-    * and documented; deferring the sketch to first-action time would move
-    * the same jobs inside the first consumer's critical path and save no
-    * total work.
+    * gt1, gt2, and every bench iteration. The localCheckpoints materialize
+    * on the first consumer's action (index-build discipline, like IVF/PQ
+    * training); a plan dump of gt1/gt2 therefore stays cheap until
+    * something actually runs.
     */
   private def triBase(s: SparkSession, d: String): TriBase = synchronized {
     val key = (s, d)
@@ -106,33 +102,18 @@ object GraphQueries extends QueryPack {
             graft.ops.Blocks.unpersist(tb.oriented)
             graft.ops.Blocks.unpersist(tb.adj)
           } }
-        val e = coEdges(s, d)
-        val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        // deg is |V| rows — broadcast here; at 100 TB this becomes two keyed
-        // joins (u then v) riding the edge table's existing partitioning
-        val withDeg = e
-          .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
-          .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
-        // localCheckpoint: `oriented` feeds FIVE consumers (wedge left/right,
-        // bloom build, edge count, closing semi-join) — without it the whole
-        // lineitem self-join chain re-executes per consumer (exchange reuse
-        // only spans one job). ~3 longs × |edges|, modest.
-        val oriented = withDeg.select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            struct(col("u").as("s"), col("v").as("t")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t")))
-            .as("e"))
-          .select(col("e.s").as("src"), col("e.t").as("dst"))
-          .localCheckpoint()
-        // per-source out-neighbor arrays: orientation bounds every array
-        // at O(√2m) entries (the classic degeneracy argument), so no
-        // collect_list group can blow a partition even on a hub node; the
-        // arrays total exactly m entries. sort_array only pins a
-        // deterministic layout — intersection is order-insensitive.
-        val adj = oriented.groupBy("src")
-          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-          .localCheckpoint()
+        // localCheckpoint both: `oriented` feeds the enumeration joins AND
+        // gt1's edge census, `adj` feeds two join sides — without the
+        // checkpoints the whole lineitem self-join chain re-executes per
+        // consumer (exchange reuse only spans one job). ~2 longs × |edges|
+        // plus the m-entry adjacency arrays, modest. eager=false: blocks
+        // materialize under the first consumer's (full-partition) action,
+        // so constructing the plan — a plan dump, an explain — runs no
+        // jobs (ADVICE round-5 finding).
+        val oriented = graft.ops.Triangles.orient(coEdges(s, d), "u", "v")
+          .localCheckpoint(eager = false)
+        val adj = graft.ops.Triangles.adjacency(oriented)
+          .localCheckpoint(eager = false)
         val tb = TriBase(oriented, adj)
         triCache = Some((key, tb))
         tb
@@ -158,14 +139,7 @@ object GraphQueries extends QueryPack {
     */
   private def triangles(s: SparkSession, d: String): DataFrame = {
     val tb = triBase(s, d)
-    // join adj twice: on the edge's source (wedge arms from a) and on its
-    // destination (closing arms from b). Inner joins — an endpoint with
-    // no out-neighbors cannot close a triangle.
-    tb.oriented
-      .join(tb.adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
-      .join(tb.adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
-      .select(col("src").as("a"), col("dst").as("b"),
-        explode(array_intersect(col("na"), col("nb"))).as("c"))
+    graft.ops.Triangles.enumerate(tb.oriented, tb.adj)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
