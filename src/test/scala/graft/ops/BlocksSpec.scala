@@ -72,4 +72,35 @@ class BlocksSpec extends SparkTestBase {
     assert(nPersist - before <= 1,
       s"dereferenced CC label tables were not reclaimed: ${nPersist - before} remain")
   }
+
+  test("k-means training: superseded centroid rounds are freed inside the " +
+    "call; at most the final centroid frame stays cached") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val before = nPersist
+    val cent = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, iters = 3)
+    assert(cent.count() > 0)
+    assert(nPersist - before <= 1,
+      s"k-means left ${nPersist - before} persistent RDDs (want <=1: the " +
+        "final centroids only — all superseded rounds freed)")
+  }
+
+  test("pagerank: per-invocation persists are dereferenced with the plan " +
+    "and reclaimed under GC (bounded-by-GC contract)") {
+    def runOnce(): Unit =
+      assert(SparkEntry.queries("gr1_pagerank")(spark, sf).count() > 0)
+    runOnce() // absorb first-call session effects
+    val base = nPersist
+    runOnce(); runOnce()
+    // each invocation pins its own edge/deg/node frames only while its
+    // plan is referenced; once dropped, the weak-valued registry returns
+    // to baseline under GC — the backstop Bench's inter-iteration
+    // System.gc() exercises
+    var tries = 0
+    while (nPersist > base && tries < 20) {
+      System.gc(); Thread.sleep(250); tries += 1
+    }
+    assert(nPersist <= base,
+      s"pagerank reruns grew the persistent-RDD registry: $base -> $nPersist")
+  }
 }
