@@ -21,6 +21,10 @@ object DedupQueries extends QueryPack {
   private val BITS = 32      // simhash width
   private val CHUNK = 16     // chunk-dedup paragraph width (tokens)
 
+  // d14's split coin: same affine family as st1/f12b (one definition,
+  // both engines), distinct "split|" prefix
+  private val (sA, sB) = StableHash.affineParams(1).head
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -70,6 +74,27 @@ object DedupQueries extends QueryPack {
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .join(sizes, col("doc_id") === col("component"))
         .drop("component")
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe train/val/test split: the split coin is a hash of the
+    // dup COMPONENT, not the doc — every member of a near-dup group lands
+    // in the same split by construction, so eval can never score a
+    // training-set near-copy (the standard contamination-through-split
+    // failure of row-level splitting). Cost over d7: one narrow map.
+    // 80/10/10; row-local and engine-independent like st1/f12b, so the
+    // assignment is reproducible on any cluster layout.
+    "d14_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+      val u = ((StableHash.polyHash(concat_ws("",
+        lit("split|"), col("component").cast("string")))
+        * lit(sA) + lit(sB)) % lit(StableHash.P) + lit(1.0))
+        .cast("double") / lit((StableHash.P + 1).toDouble)
+      Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
         .orderBy("doc_id")
     }),
 
@@ -230,6 +255,18 @@ object DedupQueries extends QueryPack {
         FROM sz JOIN documents d ON d.doc_id = sz.component
         ORDER BY doc_id"""
 
+  private def leakageSafeSplitSql: String =
+    s"""$componentCte
+        SELECT doc_id, component,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, component,
+                ((${StableHash.polyHashSql("concat('split|', CAST(component AS VARCHAR))")}
+                  * $sA + $sB) % ${StableHash.P} + 1.0) / ${StableHash.P + 1}.0 AS u
+              FROM comp)
+        ORDER BY doc_id"""
+
   /** Shared simhash CTE ending in `f(doc_id, simhash)`: d5 appends its
     * SELECT, d9 appends its QUALIFY — one fingerprint definition, like
     * [[componentCte]] for d7/d8.
@@ -310,6 +347,7 @@ object DedupQueries extends QueryPack {
     "d4_lsh_candidate_pairs" -> lshSql,
     "d7_dup_groups" -> dupGroupsSql,
     "d8_dedup_apply" -> dedupApplySql,
+    "d14_leakage_safe_split" -> leakageSafeSplitSql,
     "d5_simhash" -> simhashSql,
     "d9_fingerprint_dedup" -> fingerprintDedupSql,
     "d6_ngram_jaccard" -> jaccardSql,
