@@ -25,6 +25,28 @@ object DedupQueries extends QueryPack {
   // both engines), distinct "split|" prefix
   private val (sA, sB) = StableHash.affineParams(1).head
 
+  // Shared dup-labels base for the connected-components family (d7
+  // groups, d8 apply, d14 split): the expensive part — LSH candidate
+  // pairs + the iterative CC loop — runs ONCE per (session, dir) behind a
+  // cache-and-release memo ([[graft.ops.SharedBase]], triangle-family
+  // discipline); each family member then pays only its own cheap tail
+  // (a sort, a group-size aggregate, a split map). The returned frame is
+  // `docs ⟕ labels` over CC's internally-cached final label table — that
+  // single checkpoint root is what eviction releases; construction is
+  // eager (the CC loop's convergence checks run jobs), index-build
+  // discipline like IVF/PQ training.
+  private val dupLabelsCache = new graft.ops.SharedBase[DataFrame](
+    build = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+      Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+    },
+    release = graft.ops.Blocks.unpersist)
+
+  private def dupLabels(s: SparkSession, d: String): DataFrame =
+    dupLabelsCache.get(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -53,25 +75,19 @@ object DedupQueries extends QueryPack {
     // Dedup GROUPS: LSH pairs → connected components; every doc gets its
     // canonical (minimum reachable) doc_id. The step production dedup runs
     // after candidate generation — pairs alone aren't a dedup decision.
-    "d7_dup_groups" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
-      Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
+    "d7_dup_groups" -> ((s, d) =>
+      dupLabels(s, d).orderBy("doc_id")),
 
     // Dedup APPLY: the corpus rewrite that dedup exists for — keep each
     // group's canonical (minimum-id) member, drop the rest, and audit how
     // many near-dups each survivor absorbed. Same CC labels as d7 plus one
     // keyed join; no broadcast (survivors ≈ corpus size at scale).
     "d8_dedup_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
-      val sizes = Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
+      val sizes = dupLabels(s, d)
         .groupBy(col("component"))
         .agg(count(lit(1)).cast("int").as("group_size"))
-      docs.select(col("doc_id"), col("source"), col("n_chars"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
         .join(sizes, col("doc_id") === col("component"))
         .drop("component")
         .orderBy("doc_id")
@@ -85,14 +101,11 @@ object DedupQueries extends QueryPack {
     // 80/10/10; row-local and engine-independent like st1/f12b, so the
     // assignment is reproducible on any cluster layout.
     "d14_leakage_safe_split" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
       val u = ((StableHash.polyHash(concat_ws("",
         lit("split|"), col("component").cast("string")))
         * lit(sA) + lit(sB)) % lit(StableHash.P) + lit(1.0))
         .cast("double") / lit((StableHash.P + 1).toDouble)
-      Dedup.connectedComponents(docs, pairs, "doc_id", "id1", "id2")
-        .withColumnRenamed("id", "doc_id")
+      dupLabels(s, d)
         .withColumn("split",
           when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
         .orderBy("doc_id")

@@ -71,54 +71,34 @@ object GraphQueries extends QueryPack {
     */
   private final case class TriBase(oriented: DataFrame, adj: DataFrame)
 
-  // Memoized per (session, data dir). Cache-and-RELEASE: building for a
-  // new key unpersists the superseded checkpoint first, so a long-lived
-  // session holds exactly ONE oriented edge list in the block manager no
-  // matter how many times gt1/gt2 run. Round 5 rebuilt the checkpoint per
-  // invocation and never unpersisted: gt2's bench samples rose
-  // monotonically (8.0 → 10.0 → 15.6 s) as leaked blocks accumulated, the
-  // gt1/gt2 split depended on run order, and the stranded blocks' GC
-  // pressure even surfaced in UNRELATED queries' timed windows (t1_langid
-  // ~1.0 s → ~1.9 s full-registry, while unchanged standalone). Keyed by
-  // session identity so tests with independent sessions never
-  // cross-release each other's blocks.
-  private var triCache: Option[((SparkSession, String), TriBase)] = None
+  // Memoized triangle base ([[graft.ops.SharedBase]] cache-and-release) —
+  // built ONCE per (session, dir), reused by gt1, gt2, and every bench
+  // iteration; round 5's per-invocation checkpoints were never unpersisted
+  // and their accumulated blocks' GC pressure surfaced in UNRELATED
+  // queries' timed windows (t1_langid ~1.0 s → ~1.9 s full-registry,
+  // while unchanged standalone). localCheckpoint both frames: `oriented`
+  // feeds the enumeration joins AND gt1's edge census, `adj` feeds two
+  // join sides — without the checkpoints the whole lineitem self-join
+  // chain re-executes per consumer (exchange reuse only spans one job).
+  // ~2 longs × |edges| plus the m-entry adjacency arrays, modest.
+  // eager=false: blocks materialize under the first consumer's
+  // (full-partition) action, so constructing the plan — a plan dump, an
+  // explain — runs no jobs (ADVICE round-5 finding).
+  private val triBaseCache = new graft.ops.SharedBase[TriBase](
+    build = (s, d) => {
+      val oriented = graft.ops.Triangles.orient(coEdges(s, d), "u", "v")
+        .localCheckpoint(eager = false)
+      val adj = graft.ops.Triangles.adjacency(oriented)
+        .localCheckpoint(eager = false)
+      TriBase(oriented, adj)
+    },
+    release = tb => {
+      graft.ops.Blocks.unpersist(tb.oriented)
+      graft.ops.Blocks.unpersist(tb.adj)
+    })
 
-  /** Memoized triangle base — built ONCE per (session, dir), reused by
-    * gt1, gt2, and every bench iteration. The localCheckpoints materialize
-    * on the first consumer's action (index-build discipline, like IVF/PQ
-    * training); a plan dump of gt1/gt2 therefore stays cheap until
-    * something actually runs.
-    */
-  private def triBase(s: SparkSession, d: String): TriBase = synchronized {
-    val key = (s, d)
-    triCache match {
-      case Some((k, tb)) if k == key => tb
-      case prev =>
-        // skip release when the superseded entry's session is already
-        // stopped (its blocks died with the context)
-        prev.foreach { case ((ps, _), tb) =>
-          if (!ps.sparkContext.isStopped) {
-            graft.ops.Blocks.unpersist(tb.oriented)
-            graft.ops.Blocks.unpersist(tb.adj)
-          } }
-        // localCheckpoint both: `oriented` feeds the enumeration joins AND
-        // gt1's edge census, `adj` feeds two join sides — without the
-        // checkpoints the whole lineitem self-join chain re-executes per
-        // consumer (exchange reuse only spans one job). ~2 longs × |edges|
-        // plus the m-entry adjacency arrays, modest. eager=false: blocks
-        // materialize under the first consumer's (full-partition) action,
-        // so constructing the plan — a plan dump, an explain — runs no
-        // jobs (ADVICE round-5 finding).
-        val oriented = graft.ops.Triangles.orient(coEdges(s, d), "u", "v")
-          .localCheckpoint(eager = false)
-        val adj = graft.ops.Triangles.adjacency(oriented)
-          .localCheckpoint(eager = false)
-        val tb = TriBase(oriented, adj)
-        triCache = Some((key, tb))
-        tb
-    }
-  }
+  private def triBase(s: SparkSession, d: String): TriBase =
+    triBaseCache.get(s, d)
 
   /** Triangles by degree orientation + edge-centric adjacency
     * intersection: orient every edge from its lower-(degree, id) endpoint,

@@ -73,6 +73,20 @@ class BlocksSpec extends SparkTestBase {
       s"dereferenced CC label tables were not reclaimed: ${nPersist - before} remain")
   }
 
+  test("dedup CC family: repeated d7/d8/d14 invocations share one memoized " +
+    "label base (no persistent-RDD growth)") {
+    def consume(name: String): Unit =
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0)
+    consume("d7_dup_groups") // builds the memoized dup-labels base
+    val base = nPersist
+    consume("d8_dedup_apply")
+    consume("d14_leakage_safe_split")
+    consume("d7_dup_groups")
+    consume("d8_dedup_apply")
+    assert(nPersist == base,
+      s"dedup-family reruns grew the persistent-RDD registry: $base -> $nPersist")
+  }
+
   test("k-means training: superseded centroid rounds are freed inside the " +
     "call; at most the final centroid frame stays cached") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
