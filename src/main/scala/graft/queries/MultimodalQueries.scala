@@ -39,6 +39,32 @@ object MultimodalQueries extends QueryPack {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.nFrames").as("n_frames"))
         .orderBy("media_id")),
+
+    // Content-addressed asset dedup — the exact-dedup tier for OPAQUE
+    // binary payloads (images/audio shipped byte-identical by mirrors and
+    // re-crawls; no decode needed). The digest is computed in the scan
+    // projection, so at 100 TB only (32-byte sha, id) pairs ride the one
+    // keyed shuffle — the payload bytes themselves never leave the scan.
+    // Canonical survivor = minimum media id, with an absorbed-copy audit
+    // count (d8 discipline, applied to media). The corpus has no
+    // byte-identical payloads, so docs with doc_id % 9 == 0 become one of
+    // three constant "mirrored asset" blobs (deterministic, row-local) —
+    // the absorb path provably fires, same rationale as t7's PII seeds
+    // and d12's corrupted twins.
+    "mm4_media_exact_dedup" -> ((s, d) => {
+      val seeded = when(col("doc_id") % 9 === 0,
+        concat(lit("MIRROR ASSET "),
+          ((col("doc_id") % 27) / lit(9)).cast("int").cast("string")))
+        .otherwise(col("text"))
+      MediaOps.mediaFromDocuments(
+          Tables.documents(s, d).withColumn("text", seeded))
+        .select(col("media_id"), sha2(col("payload"), 256).as("content_sha"))
+        .groupBy("content_sha")
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).cast("int").as("n_copies"))
+        .select("media_id", "content_sha", "n_copies")
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -64,5 +90,17 @@ object MultimodalQueries extends QueryPack {
                 CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
                 CAST(n_chars % 30 + 1 AS INT) AS n_frames
          FROM documents ORDER BY media_id""",
+    // payload = UTF-8 bytes of text, and DuckDB's sha256 digests the
+    // string's UTF-8 bytes — identical hex on both engines
+    "mm4_media_exact_dedup" ->
+      """WITH p AS (SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN concat('MIRROR ASSET ',
+                                  CAST((doc_id % 27) // 9 AS VARCHAR))
+                      ELSE text END AS payload
+              FROM documents)
+         SELECT min(doc_id) AS media_id, sha256(payload) AS content_sha,
+                CAST(count(*) AS INT) AS n_copies
+         FROM p GROUP BY sha256(payload) ORDER BY media_id""",
   )
 }

@@ -110,6 +110,34 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Decontamination REPORT tier: the per-source roll-up the pipeline
+    // owner reads before deciding what to drop — docs scanned, docs
+    // contaminated, the rate, and total overlapping grams per source.
+    // Same gram→gram posting join as t8 plus ONE keyed aggregate over the
+    // already-tiny per-doc hit table; no new shuffle shape, and the rate
+    // is an int/int IEEE divide (bit-identical cross-engine).
+    "t22_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"),
+          explode_outer(graft.ops.Dedup.shinglesFromTokens(col("__ts"), 8)).as("g"))
+        .filter(col("g").isNotNull)
+      val bench = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
+      val hits = grams.filter(col("doc_id") % 10 =!= 0)
+        .join(bench, Seq("g"))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          count(col("n_hits")).cast("int").as("n_contaminated"),
+          (count(col("n_hits")).cast("double") /
+            count(lit(1)).cast("double")).as("contamination_rate"),
+          sum(coalesce(col("n_hits"), lit(0L))).as("n_overlap_grams"))
+        .orderBy("source")
+    }),
+
     // Per-source quota sampling (domain balancing): keep ≤10 docs per
     // source in deterministic hash order (cap < every source's count here,
     // so the cap provably bites) — one keyed shuffle, and Spark plans the
@@ -573,6 +601,27 @@ object TextQueries extends QueryPack {
                  coalesce(h.n_hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
           WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""",
+    "t22_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          i AS (SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM t),
+          n AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                FROM i),
+          b AS (SELECT DISTINCT g FROM n WHERE doc_id % 10 = 0),
+          h AS (SELECT n.doc_id, count(DISTINCT n.g) AS n_hits
+                FROM n JOIN b USING (g) WHERE n.doc_id % 10 <> 0
+                GROUP BY n.doc_id)
+          SELECT d.source,
+                 CAST(count(*) AS INT) AS n_docs,
+                 CAST(count(h.n_hits) AS INT) AS n_contaminated,
+                 CAST(count(h.n_hits) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS contamination_rate,
+                 CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_overlap_grams
+          FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 10 <> 0
+          GROUP BY d.source ORDER BY d.source""",
     "t9_domain_quota" ->
       s"""WITH x AS (SELECT doc_id, source,
                  ${StableHash.polyHashSql("concat('quota|', CAST(doc_id AS VARCHAR))")} AS h
