@@ -127,6 +127,28 @@ object DedupQueries extends QueryPack {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // Incremental INGEST dedup — the production shape at 100 TB: a new
+    // batch is never deduped against the raw historical corpus (a re-scan
+    // of everything per ingest) but against the compact fingerprint STORE
+    // the d9 pass maintains. Two stages, one plan: (a) cross-batch — an
+    // ANTI join of batch fingerprints against the store (at scale the
+    // store side is bucketed on the fingerprint, so this is a co-located
+    // join; a bloom pre-prune as in t17 cuts the probe shuffle); (b)
+    // within-batch — keep-first per fingerprint among survivors (the
+    // batch can collide with itself). Batch = doc_id % 4 == 0, store =
+    // fingerprints of the rest; 37 of 125 batch docs are absorbed at
+    // sf0.01 (both paths provably fire).
+    "d15_incremental_ingest_dedup" -> ((s, d) => {
+      val fps = Dedup.simhash(Tables.documents(s, d), "doc_id", col("text"), BITS)
+      val store = fps.filter(col("doc_id") % 4 =!= 0).select("simhash").distinct()
+      val batch = fps.filter(col("doc_id") % 4 === 0)
+      Dedup.keepFirst(
+        batch.join(store, Seq("simhash"), "left_anti"),
+        Seq("simhash"), Seq(col("doc_id")))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
     // maxPostingLen: the stop-shingle cap rides the production query so the
     // gate exercises the capped plan; 1<<20 is far above any list this
     // corpus produces (sf0.1 max ≈ corpus-per-source), so the result is
@@ -304,6 +326,14 @@ object DedupQueries extends QueryPack {
         ORDER BY doc_id"""
   }
 
+  private def incrementalIngestSql: String =
+    s"""$simhashCte
+        SELECT doc_id, simhash FROM f
+        WHERE doc_id % 4 = 0
+          AND simhash NOT IN (SELECT simhash FROM f WHERE doc_id % 4 <> 0)
+        QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1
+        ORDER BY doc_id"""
+
   private def simhash64BandPairsSql: String = {
     // 2 bands × 16 bits per lane — mirrors the query's geometry (the
     // share condition is implied by hamming<=3 for ANY >3-band geometry,
@@ -363,6 +393,7 @@ object DedupQueries extends QueryPack {
     "d14_leakage_safe_split" -> leakageSafeSplitSql,
     "d5_simhash" -> simhashSql,
     "d9_fingerprint_dedup" -> fingerprintDedupSql,
+    "d15_incremental_ingest_dedup" -> incrementalIngestSql,
     "d6_ngram_jaccard" -> jaccardSql,
     "d10_simhash_band_pairs" -> simhashBandPairsSql,
     "d13_simhash64_band_pairs" -> simhash64BandPairsSql,
