@@ -34,6 +34,10 @@ object GraphQueries extends QueryPack {
   private val D = 0.85
   private val Teleport = 0.15
 
+  // gt3's core threshold — one definition feeds the Spark filter and the
+  // oracle's HAVING
+  private val CoreK = 80
+
   /** Directed edges: customer→supplier for every (order, lineitem) pair,
     * plus supplier→customer back-edges on returned lines ('R') so the
     * graph has cycles and iteration is non-trivial. Node ids are bipartite
@@ -142,6 +146,35 @@ object GraphQueries extends QueryPack {
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)),
 
+    // 3 unrolled peel rounds toward the 80-core (gr1's unrolled-iteration
+    // discipline applied to subgraph decomposition): each round drops
+    // nodes whose degree in the CURRENT induced subgraph is < 80 and
+    // recomputes. k tuned to the gate corpus so the peel provably BITES
+    // (sf0.01: 135 of 2000 parts peel, 1865 survive; at k=100 the whole
+    // graph cascades away — the co-purchase graph is dense).
+    // Fixed unroll ⇒ the same expression tree on both
+    // engines; integer degree counts ⇒ hash-exact. Rides the memoized
+    // family base: the oriented edge list IS the co-purchase edge set
+    // (1:1), so the expensive lineitem self-join never re-runs. Per
+    // round: one count aggregate + two semi-joins over a shrinking edge
+    // set — the keep set is |V'| rows and broadcasts; at 100 TB the
+    // semi-joins ride the edge table's keyed partitioning instead.
+    "gt3_kcore_peel" -> ((s, d) => {
+      var edges = triBase(s, d).oriented
+        .select(col("src").as("u"), col("dst").as("v"))
+      for (_ <- 1 to 3) {
+        val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= CoreK).select("n")
+        edges = edges
+          .join(broadcast(keep.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
+      }
+      edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
+        .orderBy("node")
+    }),
+
     // 3 unrolled PageRank iterations (mass form: avg node mass = 1, so
     // decimal quantization keeps ~5 significant digits; dangling mass is
     // not redistributed — both engines apply the identical convention).
@@ -232,6 +265,25 @@ object GraphQueries extends QueryPack {
           SELECT part, count(*) AS n_tri
           FROM (SELECT unnest([a, b, c]) AS part FROM tri)
           GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""",
+    "gt3_kcore_peel" -> {
+      def round(prev: String, n: Int): String =
+        s"""k$n AS (SELECT nd FROM (SELECT u AS nd FROM $prev
+                                    UNION ALL SELECT v FROM $prev)
+                    GROUP BY nd HAVING count(*) >= $CoreK),
+            e$n AS (SELECT u, v FROM $prev
+                    WHERE u IN (SELECT nd FROM k$n)
+                      AND v IN (SELECT nd FROM k$n))"""
+      s"""WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p),
+          ${round("e0", 1)},
+          ${round("e1", 2)},
+          ${round("e2", 3)}
+          SELECT node, count(*) AS deg_in_core
+          FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+          GROUP BY node ORDER BY node"""
+    },
+
     "gr1_pagerank" ->
       s"""WITH edges AS ($edgesSql),
           nodes AS (SELECT src AS id FROM edges
