@@ -21,6 +21,7 @@ object EventQueries extends QueryPack {
   private val DAY_NS = 24L * HOUR_NS // fa2 cohort bucket (the corpus spans days, not months)
   private val GAP_NS = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
   private val LAG_US = 10L * 60 * 1000 * 1000        // 10 min interval-join lag
+  private val FUNNEL_W_US = 24L * 3600 * 1000 * 1000 // e13 conversion window
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling hourly window per event type (streaming: groupBy(window(...)))
@@ -276,9 +277,71 @@ object EventQueries extends QueryPack {
           count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+
+    // Ordered conversion funnel (view → click → purchase, 24 h windows):
+    // each stage's timestamp is the earliest event of that kind STRICTLY
+    // AFTER the previous stage and WITHIN the conversion window — the
+    // order- and recency-sensitive definition (a purchase before the
+    // first qualifying click, or a week later, does not convert; window
+    // tuned so every stage outcome fires at gate scale: 25 purchase / 35
+    // click-only / 90 stall at sf0.01). Three keyed min-aggregates, each
+    // joined forward; every exchange is on user_id so AQE coalesces them
+    // onto one clustering, and all time math is integer micros
+    // (engine-exact). At 100 TB this is the canonical "funnel without a
+    // per-user sort": no window over full event history, only min()s.
+    "e13_funnel" -> ((s, d) => {
+      val tsUs = expr("ts DIV 1000")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("us"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val tc = ev.filter(col("event_type") === "click")
+        .join(tv, Seq("user_id"))
+        .filter(col("us") > col("t_view") &&
+          col("us") <= col("t_view") + lit(FUNNEL_W_US))
+        .groupBy("user_id").agg(min(col("us")).as("t_click"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(tc, Seq("user_id"))
+        .filter(col("us") > col("t_click") &&
+          col("us") <= col("t_click") + lit(FUNNEL_W_US))
+        .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+      ev.select("user_id").distinct()
+        .join(tv, Seq("user_id"), "left")
+        .join(tc.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          tv AS (SELECT user_id, min(us) AS t_view FROM ev
+                 WHERE event_type = 'view' GROUP BY user_id),
+          tc AS (SELECT ev.user_id, min(us) AS t_click FROM ev
+                 JOIN tv ON ev.user_id = tv.user_id
+                 WHERE event_type = 'click' AND us > t_view
+                   AND us <= t_view + $FUNNEL_W_US
+                 GROUP BY ev.user_id),
+          tp AS (SELECT ev.user_id, min(us) AS t_purchase FROM ev
+                 JOIN tc ON ev.user_id = tc.user_id
+                 WHERE event_type = 'purchase' AND us > t_click
+                   AND us <= t_click + $FUNNEL_W_US
+                 GROUP BY ev.user_id)
+          SELECT u.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+                 CAST(CASE WHEN tp.t_purchase IS NOT NULL THEN 3
+                           WHEN tc.t_click IS NOT NULL THEN 2
+                           WHEN tv.t_view IS NOT NULL THEN 1
+                           ELSE 0 END AS INT) AS stage
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          LEFT JOIN tv ON u.user_id = tv.user_id
+          LEFT JOIN tc ON u.user_id = tc.user_id
+          LEFT JOIN tp ON u.user_id = tp.user_id
+          ORDER BY u.user_id""",
     "e7_stream_static_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
                 c.c_mktsegment AS segment, c.c_nationkey AS nation_key
