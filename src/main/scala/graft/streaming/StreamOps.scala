@@ -243,6 +243,63 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         unix_micros(col("w.end")).as("end_us"), col("n_events"))
 
+  case class FunnelOut(user_id: Long, stage: Int, at_us: Long)
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long,
+                         lastTsMs: Long)
+
+  /** Streaming conversion funnel — the e13 twin: per user, emit a row each
+    * time the funnel ADVANCES (view → click → purchase), with the same
+    * ordered-and-windowed semantics as the batch query: a stage counts
+    * only strictly after the previous stage and within `windowUs` of it.
+    * State is three fixed timestamps per user (-1 = not reached) — O(1)
+    * regardless of event volume, the property that makes a funnel viable
+    * over an unbounded stream — plus the quota op's TTL discipline so
+    * forever-idle users expire. Monotone-advance semantics: rows are
+    * processed in event-time order WITHIN each batch, and a cross-batch
+    * straggler that would have qualified earlier cannot retract an
+    * already-advanced stage (same at-watermark finality trade every
+    * streaming funnel makes; the batch e13 is the exact retrospective
+    * form).
+    */
+  def funnel(spark: SparkSession, events: Dataset[Evt],
+             windowUs: Long = 24L * 3600 * 1000 * 1000,
+             watermarkDelay: String = "1 minute",
+             ttlMs: Long = 2L * 3600 * 1000): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(FunnelState(-1L, -1L, -1L, 0L))
+            val out = Seq.newBuilder[FunnelOut]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000
+              e.event_type match {
+                case "view" if st.tView < 0 =>
+                  st = st.copy(tView = tUs); out += FunnelOut(user, 1, tUs)
+                case "click" if st.tClick < 0 && st.tView >= 0 &&
+                    tUs > st.tView && tUs <= st.tView + windowUs =>
+                  st = st.copy(tClick = tUs); out += FunnelOut(user, 2, tUs)
+                case "purchase" if st.tPurchase < 0 && st.tClick >= 0 &&
+                    tUs > st.tClick && tUs <= st.tClick + windowUs =>
+                  st = st.copy(tPurchase = tUs); out += FunnelOut(user, 3, tUs)
+                case _ =>
+              }
+            }
+            st = st.copy(lastTsMs = math.max(st.lastTsMs,
+              sorted.lastOption.map(_.ts.getTime).getOrElse(st.lastTsMs)))
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

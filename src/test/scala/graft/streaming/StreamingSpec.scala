@@ -547,4 +547,59 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streaming funnel advances stages in order within the conversion " +
+    "window and holds O(1) state per user (e13 twin)") {
+    // user 1: full funnel in order; user 2: purchase arrives BEFORE any
+    // click (must not convert); user 3: click outside the window (stalls)
+    val windowUs = 30L * 60 * 1000 * 1000 // 30 min
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(1, ts(0), 1, "view", 1.0),
+      StreamOps.Evt(2, ts(5), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(10), 1, "purchase", 1.0),
+      StreamOps.Evt(4, ts(0), 2, "view", 1.0),
+      StreamOps.Evt(5, ts(3), 2, "purchase", 1.0),
+      StreamOps.Evt(6, ts(0), 3, "view", 1.0),
+      StreamOps.Evt(7, ts(40), 3, "click", 1.0)))
+    val q = StreamOps.funnel(spark, ms.toDS(), windowUs = windowUs)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .select("user_id", "stage").as[(Long, Int)].collect().toSet
+      assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)),
+        rows.toString)
+    } finally q.stop()
+  }
+
+  test("streaming funnel final stages agree with the batch e13 definition " +
+    "on in-order data") {
+    // deterministic corpus: 12 users, staggered event mixes
+    val evts = (1L to 12L).flatMap { u =>
+      val base = Seq(StreamOps.Evt(u * 100, ts(0), u, "view", 1.0))
+      val click = if (u % 2 == 0)
+        Seq(StreamOps.Evt(u * 100 + 1, ts(5), u, "click", 1.0)) else Nil
+      val buy = if (u % 4 == 0)
+        Seq(StreamOps.Evt(u * 100 + 2, ts(9), u, "purchase", 1.0)) else Nil
+      base ++ click ++ buy
+    }
+    val windowUs = 30L * 60 * 1000 * 1000
+    val ms = mkEvents(evts)
+    val q = StreamOps.funnel(spark, ms.toDS(), windowUs = windowUs)
+      .writeStream.format("memory").queryName("funnel_agree")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_agree")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      // the batch retrospective definition on the same rows
+      val batch = (1L to 12L).map { u =>
+        u -> (if (u % 4 == 0) 3 else if (u % 2 == 0) 2 else 1)
+      }.toMap
+      assert(streamed == batch, s"$streamed vs $batch")
+    } finally q.stop()
+  }
 }
