@@ -625,4 +625,98 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  // ---------------------------------------------------------------------
+  // Substring-level (span) dedup — the exact-substring tier below document
+  // and chunk granularity: find the REGIONS of each document whose k-token
+  // windows also occur in other documents (boilerplate, licenses, quoted
+  // web chrome), rather than deciding keep/drop per whole doc. The classic
+  // suffix-array formulation is a single-machine algorithm; the
+  // Spark-native shape is positional shingling: every k-gram occurrence
+  // keyed by its hash, one shuffle to find cross-doc hashes, and a per-doc
+  // window merge of hit positions into maximal spans. All stages are keyed
+  // (shingle hash, then doc id) — nothing is all-pairs and no stage holds
+  // more than one document's positions in a window frame.
+  // ---------------------------------------------------------------------
+
+  /** One row per k-gram POSITION (1-based), with the gram's [[StableHash]]
+    * poly hash: (doc_id, pos, h). Unlike [[hashedShingles]] this keeps
+    * duplicates and positions — the unit of span dedup is the occurrence,
+    * not the distinct shingle. The hash array is built in one projection
+    * (8 bytes per position) and posexploded, so the token array itself
+    * never rides the explode.
+    */
+  def positionalShingleHashes(df: DataFrame, id: String, text: Column,
+                              k: Int): DataFrame = {
+    val first = parallelize(df.select(col(id), split(text, " ").as("__ts")))
+    val grams = when(size(col("__ts")) >= k,
+      transform(sequence(lit(0), size(col("__ts")) - k),
+        i => StableHash.polyHash(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__ts"), i + j + 1)): _*))))
+      .otherwise(array().cast("array<long>"))
+    first.select(col(id), grams.as("__phs"))
+      .select(col(id), posexplode(col("__phs")))
+      .select(col(id), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("h"))
+  }
+
+  /** Maximal cross-doc duplicate spans: positions whose k-gram hash occurs
+    * in ≥ 2 distinct docs, merged while overlapping or adjacent (gap ≤ k).
+    * Output: (id, span_id, span_start, span_end), spans disjoint and
+    * non-adjacent within a doc by construction.
+    *
+    * Scale shape: the dup-hash reduction and the hit join both key on `h`,
+    * so the join reuses the groupBy's exchange; the island merge keys on
+    * the doc id with a frame bounded by one doc's hit count. Hash
+    * collisions are not corrected (64-bit poly hash) — the oracle applies
+    * the identical hash, and at k=13 tokens a collision marks a span that
+    * is a duplicate under the fingerprint, exactly as production
+    * suffix-free pipelines behave.
+    */
+  def dupSpans(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    val ph = positionalShingleHashes(df, id, text, k)
+    val dupH = ph.groupBy("h")
+      .agg(countDistinct(col(id)).as("__nd"))
+      .filter(col("__nd") >= 2).select("h")
+    val hits = ph.join(dupH, "h").select(col(id), col("pos"))
+    val w = Window.partitionBy(id).orderBy("pos")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new",
+        when(lag(col("pos"), 1).over(w).isNull, 1)
+          .when(col("pos") - lag(col("pos"), 1).over(w) > k, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("__new")).over(cum).cast("int"))
+      .groupBy(col(id), col("span_id"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("int").as("span_end"))
+  }
+
+  /** Remove every dup-span token from each document (the "apply" of span
+    * dedup): tokens at covered positions drop, the remainder is re-joined
+    * in order. Covered positions explode from the (already disjoint)
+    * spans, so the anti-join key set is exactly the dup region — bounded
+    * by Σ span lengths, never by |doc|². One doc-keyed anti join + one
+    * doc-keyed rebuild.
+    * Output: (id, n_tokens, n_kept, clean_text) — one row per input doc.
+    */
+  def spanClean(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    val covered = dupSpans(df, id, text, k)
+      .select(col(id),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df.select(col(id), posexplode(split(text, " ")))
+      .select(col(id), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("tok"))
+    val rebuilt = toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("clean_text"))
+    df.select(col(id), size(split(text, " ")).cast("int").as("n_tokens"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -20,6 +20,8 @@ object DedupQueries extends QueryPack {
   private val ROWS = 1       //   minhash — sized for the synthetic corpus)
   private val BITS = 32      // simhash width
   private val CHUNK = 16     // chunk-dedup paragraph width (tokens)
+  private val SPAN_K = 13    // span-dedup window (tokens) — the classic
+                             //   exact-substring dedup gram width
 
   // d14's split coin: same affine family as st1/f12b (one definition,
   // both engines), distinct "split|" prefix
@@ -218,6 +220,38 @@ object DedupQueries extends QueryPack {
     "pd1_chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d), col("text"), "doc_id", CHUNK)
         .orderBy("doc_id")),
+
+    // Exact-substring (span-level) dedup, detect tier: the regions of each
+    // doc whose 13-token windows also occur in ≥1 other doc, merged into
+    // maximal spans — the sub-document granularity between chunk dedup
+    // (pd1, fixed 16-token cells) and whole-doc near-dup (d3-d7). One
+    // shingle-hash-keyed shuffle (the dup-hash reduce and the hit join
+    // share the exchange) + one doc-keyed island merge; see Dedup.dupSpans
+    // for the 100 TB shape.
+    "d16_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val agg = Dedup.dupSpans(docs, "doc_id", col("text"), SPAN_K)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1).cast("int")
+            .as("dup_tokens"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("int").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // Span dedup, apply tier: drop every dup-span token, rebuild the rest
+    // in order — the document survives with its boilerplate cut out rather
+    // than being kept/dropped whole.
+    "d17_span_clean" -> ((s, d) =>
+      Dedup.spanClean(Tables.documents(s, d), "doc_id", col("text"), SPAN_K)
+        .orderBy("doc_id")),
   )
 
   // ---- generated oracle SQL ---------------------------------------------
@@ -399,7 +433,74 @@ object DedupQueries extends QueryPack {
     "d13_simhash64_band_pairs" -> simhash64BandPairsSql,
     "pd1_chunk_dedup" -> chunkDedupSql,
     "d12_editdist_pairs" -> editDistPairsSql,
+    "d16_dup_spans" -> dupSpansSql,
+    "d17_span_clean" -> spanCleanSql,
   )
+
+  /** Shared CTE chain for span dedup: positional 13-gram hashes →
+    * cross-doc dup hashes → hit positions → merged spans. Same poly hash,
+    * same merge rule (gap ≤ k) as [[Dedup.dupSpans]].
+    */
+  private def spanCte: String = {
+    val gram = (0 until SPAN_K).map(j => s"ts[pos + $j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        i AS (SELECT doc_id, ts,
+                     unnest(generate_series(1, greatest(len(ts) - ${SPAN_K - 1}, 0))) AS pos
+              FROM t),
+        p AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                     ${StableHash.polyHashSql(s"concat_ws(' ', $gram)")} AS h
+              FROM i),
+        dh AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT p.doc_id, p.pos FROM p JOIN dh ON p.h = dh.h),
+        m AS (SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL THEN 1
+                          WHEN pos - lag(pos) OVER w > $SPAN_K THEN 1
+                          ELSE 0 END AS new_span
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sp AS (SELECT doc_id, pos,
+                      CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+               FROM m),
+        spans AS (SELECT doc_id, span_id,
+                         CAST(min(pos) AS INT) AS span_start,
+                         CAST(max(pos) + ${SPAN_K - 1} AS INT) AS span_end
+                  FROM sp GROUP BY doc_id, span_id)"""
+  }
+
+  private def dupSpansSql: String =
+    s"""$spanCte,
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+                       CAST(sum(span_end - span_start + 1) AS INT) AS dup_tokens
+                FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.dup_tokens, 0) AS dup_tokens,
+               CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+
+  private def spanCleanSql: String =
+    s"""$spanCte,
+        cov AS (SELECT doc_id,
+                       CAST(unnest(generate_series(span_start, span_end)) AS INT) AS pos
+                FROM spans),
+        tok AS (SELECT doc_id, CAST(pos AS INT) AS pos, ts[pos] AS tok
+                FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos
+                      FROM t)),
+        kept AS (SELECT k.doc_id, k.pos, k.tok
+                 FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+                 WHERE c.pos IS NULL),
+        r AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN r USING (doc_id)
+        ORDER BY d.doc_id"""
 
   private def editDistPairsSql: String =
     """WITH corpus AS (

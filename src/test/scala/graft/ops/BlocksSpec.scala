@@ -26,20 +26,27 @@ class BlocksSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
   private def nPersist: Int = spark.sparkContext.getPersistentRDDs.size
+  // growth assertions compare ID SETS, not counts: the registry is
+  // weak-valued and shared across suites, so the async ContextCleaner may
+  // remove UNRELATED earlier suites' entries at any moment — a count
+  // equality would flake on that shrinkage even with zero leaks here
+  private def persistIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   test("triangle family: repeated gt1/gt2 invocations hold one fixed set " +
     "of cached base frames (memoized cache-and-release, no growth)") {
     def consume(name: String): Unit =
       assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
     consume("gt2_triangle_top_nodes") // builds the memoized base
-    val base = nPersist
+    val base = persistIds
     // any interleaving, any repetition: zero additional persistent RDDs
     consume("gt1_triangle_count")
     consume("gt2_triangle_top_nodes")
     consume("gt1_triangle_count")
     consume("gt2_triangle_top_nodes")
-    assert(nPersist == base,
-      s"triangle reruns grew the persistent-RDD registry: $base -> $nPersist")
+    val grown = persistIds -- base
+    assert(grown.isEmpty,
+      s"triangle reruns grew the persistent-RDD registry: +${grown.size} (ids $grown)")
   }
 
   test("connected components: per-round checkpoints are freed inside the " +
@@ -78,13 +85,14 @@ class BlocksSpec extends SparkTestBase {
     def consume(name: String): Unit =
       assert(SparkEntry.queries(name)(spark, sf).count() > 0)
     consume("d7_dup_groups") // builds the memoized dup-labels base
-    val base = nPersist
+    val base = persistIds
     consume("d8_dedup_apply")
     consume("d14_leakage_safe_split")
     consume("d7_dup_groups")
     consume("d8_dedup_apply")
-    assert(nPersist == base,
-      s"dedup-family reruns grew the persistent-RDD registry: $base -> $nPersist")
+    val grown = persistIds -- base
+    assert(grown.isEmpty,
+      s"dedup-family reruns grew the persistent-RDD registry: +${grown.size} (ids $grown)")
   }
 
   test("k-means training: superseded centroid rounds are freed inside the " +
@@ -104,17 +112,18 @@ class BlocksSpec extends SparkTestBase {
     def runOnce(): Unit =
       assert(SparkEntry.queries("gr1_pagerank")(spark, sf).count() > 0)
     runOnce() // absorb first-call session effects
-    val base = nPersist
+    val base = persistIds
     runOnce(); runOnce()
     // each invocation pins its own edge/deg/node frames only while its
     // plan is referenced; once dropped, the weak-valued registry returns
     // to baseline under GC — the backstop Bench's inter-iteration
     // System.gc() exercises
     var tries = 0
-    while (nPersist > base && tries < 20) {
+    while ((persistIds -- base).nonEmpty && tries < 40) {
       System.gc(); Thread.sleep(250); tries += 1
     }
-    assert(nPersist <= base,
-      s"pagerank reruns grew the persistent-RDD registry: $base -> $nPersist")
+    val grown = persistIds -- base
+    assert(grown.isEmpty,
+      s"pagerank reruns grew the persistent-RDD registry: +${grown.size} (ids $grown)")
   }
 }
