@@ -466,6 +466,48 @@ object TextQueries extends QueryPack {
         .select("doc_id", "source", "wt", "skey", "rank")
         .orderBy("doc_id")
     }),
+
+    // Windowed co-occurrence → PMI (collocation mining over the corpus):
+    // unordered token pairs within distance ≤ 2, scored
+    // ln(p(a,b) / (p(a)·p(b))), top 50. Scale shape: the pair stream is
+    // built NARROW (per-doc offset arrays — no positional self-join), is
+    // ≤ 2N rows, and map-side combines into the pair-count shuffle; the
+    // unigram table is |V| rows and broadcasts back onto the pair counts;
+    // the top-50 is TakeOrdered, never a global sort. The pmi double is
+    // pinned to the decimal(18,6) regime (t20 discipline: raw ln drifts a
+    // last ulp across libm builds; it both orders and hashes here).
+    "t21_pmi_pairs" -> ((s, d) => {
+      val ts = col("ts")
+      def pairsAt(o: Int) = when(size(ts) >= o + 1,
+        transform(sequence(lit(1), size(ts) - o), i =>
+          struct(
+            least(element_at(ts, i), element_at(ts, i + o)).as("w1"),
+            greatest(element_at(ts, i), element_at(ts, i + o)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val toks = Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("ts"))
+      val cab = toks
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val uni = toks.select(explode(ts).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c_w"))
+      cab
+        .join(broadcast(uni.select(col("tk").as("w1"), col("c_w").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("tk").as("w2"), col("c_w").as("c_b"))), "w2")
+        .crossJoin(broadcast(cab.agg(sum(col("c_ab")).as("p_total"))))
+        .crossJoin(broadcast(uni.agg(sum(col("c_w")).as("n_total"))))
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi",
+          log((col("c_ab").cast("double") * col("n_total").cast("double")
+              * col("n_total").cast("double")) /
+            (col("p_total").cast("double") * col("c_a").cast("double")
+              * col("c_b").cast("double")))
+            .cast("decimal(18,6)").cast("double"))
+        .select("w1", "w2", "c_ab", "pmi")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
   )
 
   // t20 draw size: well under the sf0.01 corpus (500 docs) so exclusion
@@ -849,6 +891,33 @@ object TextQueries extends QueryPack {
           WHERE d.doc_id % 10 <> 0
             AND d.doc_id NOT IN (SELECT doc_id FROM c)
           ORDER BY d.doc_id""",
+    "t21_pmi_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+          p1 AS (SELECT least(ts[i], ts[i + 1]) AS w1,
+                        greatest(ts[i], ts[i + 1]) AS w2
+                 FROM (SELECT ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                       FROM t)),
+          p2 AS (SELECT least(ts[i], ts[i + 2]) AS w1,
+                        greatest(ts[i], ts[i + 2]) AS w2
+                 FROM (SELECT ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                       FROM t)),
+          pr AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+          cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+                  FROM pr GROUP BY w1, w2),
+          uni AS (SELECT tk, CAST(count(*) AS BIGINT) AS c_w
+                  FROM (SELECT unnest(ts) AS tk FROM t) GROUP BY tk),
+          tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS p_total FROM cab),
+          nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni)
+          SELECT c.w1, c.w2, c.c_ab,
+                 CAST(CAST(ln((CAST(c.c_ab AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+                               * CAST(n.n_total AS DOUBLE)) /
+                              (CAST(tt.p_total AS DOUBLE) * CAST(a.c_w AS DOUBLE)
+                               * CAST(b.c_w AS DOUBLE)))
+                      AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+          FROM cab c JOIN uni a ON c.w1 = a.tk JOIN uni b ON c.w2 = b.tk
+          CROSS JOIN tot tt CROSS JOIN nt n
+          WHERE c.c_ab >= 5
+          ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50""",
   )
 
   private def bm25Sql: String = {

@@ -90,6 +90,26 @@ object WindowQueries extends QueryPack {
           count(lit(1)).over(w).as("n_in_hour"))
         .orderBy("user_id", "event_id")
     }),
+
+    // Truncated EWMA (α = 0.5, adjust=False, last 30 events) over each
+    // user's stream — the monitoring smoother. FP discipline: no pow()
+    // (libm last-ulp differs across engines); the smoother is ONE left
+    // fold acc·½ + x·½ over the frame-ordered window array, identical
+    // arithmetic in any engine and under any partitioning. One user-keyed
+    // exchange; per-row work bounded by the 30-row frame.
+    "w6_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+        .rowsBetween(-29, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"),
+          col("value"))
+        .withColumn("arr", collect_list(col("value")).over(w))
+        .withColumn("ewma",
+          aggregate(slice(col("arr"), 2, 29), element_at(col("arr"), 1),
+            (acc, x) => acc * lit(0.5) + x * lit(0.5)))
+        .select("user_id", "event_id", "value", "ewma")
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +163,15 @@ object WindowQueries extends QueryPack {
          FROM (SELECT user_id, event_id, epoch_us(ts) AS ets, value FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY ets
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "w6_ewma" ->
+      """SELECT user_id, event_id, value,
+                list_reduce(l, (a, b) -> a * 0.5 + b * 0.5) AS ewma
+         FROM (SELECT user_id, event_id, value,
+                      list(value) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS l
+               FROM events)
          ORDER BY user_id, event_id""",
   )
 }
