@@ -315,6 +315,29 @@ object EventQueries extends QueryPack {
             .when(col("t_view").isNotNull, 1).otherwise(0))
         .orderBy("user_id")
     }),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence (path analytics): adjacent (event → next event) pairs via
+    // one user-keyed window lead, counted into a |types|² matrix, with
+    // row-normalized transition probability. One user-keyed exchange for
+    // the lead + one map-side-combined pair aggregate; the per-row totals
+    // table is |types| rows and broadcasts. p = n/n_cur is a single
+    // int÷int double division — IEEE-exact cross-engine, no pin needed.
+    "pa1_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("ets"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val cnt = pairs.groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("cur").agg(sum(col("n")).as("n_cur"))
+      cnt.join(broadcast(tot), "cur")
+        .withColumn("p", col("n").cast("double") / col("n_cur").cast("double"))
+        .select("cur", "nxt", "n", "p")
+        .orderBy("cur", "nxt")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -505,5 +528,17 @@ object EventQueries extends QueryPack {
            FROM events)
          SELECT event_type, CAST(sum(late) AS BIGINT) AS n_late, count(*) AS n
          FROM x GROUP BY event_type ORDER BY event_type""",
+    "pa1_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ets,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id) AS nxt
+          FROM events),
+          c AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+          t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM c GROUP BY cur)
+          SELECT c.cur, c.nxt, c.n,
+                 CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE) AS p
+          FROM c JOIN t USING (cur)
+          ORDER BY c.cur, c.nxt""",
   )
 }

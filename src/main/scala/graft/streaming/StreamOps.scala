@@ -300,6 +300,50 @@ object StreamOps {
       }
   }
 
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double,
+                     ewma: Double)
+  case class EwmaState(window: List[Double], lastTsMs: Long)
+
+  /** Per-key streaming EWMA — the `w6_ewma` twin: each event emits the
+    * 30-row truncated smoother, recomputed as the SAME left fold
+    * (acc·½ + x·½) over the retained window, so on in-order data the
+    * streamed values converge bit-for-bit to the batch query. State per
+    * key is a ≤`window`-element list plus the TTL clock — bounded
+    * regardless of stream length — and idle keys expire via event-time
+    * timeout (the quota op's discipline). Rows are folded in event-time
+    * order within each batch; a cross-batch straggler smooths from the
+    * state as of its arrival (at-watermark finality, the same trade the
+    * funnel makes — batch w6 is the exact retrospective form).
+    */
+  def ewma(spark: SparkSession, events: Dataset[Evt], window: Int = 30,
+           watermarkDelay: String = "1 minute",
+           ttlMs: Long = 2L * 3600 * 1000): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(EwmaState(Nil, Long.MinValue))
+            val out = Seq.newBuilder[EwmaOut]
+            sorted.foreach { e =>
+              val win = (st.window :+ e.value).takeRight(window)
+              val sm = win.tail.foldLeft(win.head)((a, x) => a * 0.5 + x * 0.5)
+              out += EwmaOut(user, e.event_id, e.value, sm)
+              st = st.copy(window = win)
+            }
+            st = st.copy(lastTsMs = math.max(st.lastTsMs,
+              sorted.lastOption.map(_.ts.getTime).getOrElse(st.lastTsMs)))
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

@@ -602,4 +602,45 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch, s"$streamed vs $batch")
     } finally q.stop()
   }
+
+  test("streaming ewma converges bit-for-bit to the batch w6 fold, " +
+    "across batches, with the 30-row truncation biting") {
+    // 2 users × 40 in-order events (past the 30-row window), deterministic
+    // values; fed in TWO batches so the smoother must carry state across a
+    // micro-batch boundary
+    val all = for { u <- 1L to 2L; i <- 0 until 40 } yield
+      StreamOps.Evt(u * 1000 + i, ts(i), u, "view",
+        ((u * 31 + i * 7) % 13).toDouble)
+    val (b1, b2) = all.partition(e => e.ts.getTime < ts(25).getTime)
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    ms.addData(b1: _*)
+    val q = StreamOps.ewma(spark, ms.toDS())
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_twin")
+        .select("user_id", "event_id", "ewma")
+        .as[(Long, Long, Double)].collect().toSet
+      // the independent reference: the batch w6 expression tree (Catalyst
+      // window + higher-order fold) over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ets", "event_id")
+        .rowsBetween(-29, org.apache.spark.sql.expressions.Window.currentRow)
+      val batch = all.toDS()
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ets"), col("value"))
+        .withColumn("arr", collect_list(col("value")).over(w))
+        .withColumn("ewma",
+          aggregate(slice(col("arr"), 2, 29), element_at(col("arr"), 1),
+            (a, x) => a * lit(0.5) + x * lit(0.5)))
+        .select("user_id", "event_id", "ewma")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed.size == 80 && streamed == batch,
+        s"streamed ${streamed.size} rows; diff ${(streamed diff batch).take(3)}")
+    } finally q.stop()
+  }
 }
