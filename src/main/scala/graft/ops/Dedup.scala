@@ -665,20 +665,25 @@ object Dedup {
     * Output: (id, span_id, span_start, span_end), spans disjoint and
     * non-adjacent within a doc by construction.
     *
-    * Scale shape: the dup-hash reduction and the hit join both key on `h`,
-    * so the join reuses the groupBy's exchange; the island merge keys on
-    * the doc id with a frame bounded by one doc's hit count. Hash
-    * collisions are not corrected (64-bit poly hash) — the oracle applies
-    * the identical hash, and at k=13 tokens a collision marks a span that
-    * is a duplicate under the fingerprint, exactly as production
-    * suffix-free pipelines behave.
+    * Scale shape: "occurs in ≥2 distinct docs" is decided per occurrence
+    * as `min(doc) ≠ max(doc)` over a whole-partition window keyed by `h` —
+    * ONE pass over ONE h-keyed exchange, instead of the groupBy-then-
+    * self-join spelling that scans and re-shingles the corpus twice (and
+    * would broadcast an unboundedly large dup-hash set at scale). The
+    * island merge then keys on the doc id with a frame bounded by one
+    * doc's hit count. Hash collisions are not corrected (64-bit poly
+    * hash) — the oracle applies the identical hash, and at k=13 tokens a
+    * collision marks a span that is a duplicate under the fingerprint,
+    * exactly as production suffix-free pipelines behave.
     */
   def dupSpans(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
     val ph = positionalShingleHashes(df, id, text, k)
-    val dupH = ph.groupBy("h")
-      .agg(countDistinct(col(id)).as("__nd"))
-      .filter(col("__nd") >= 2).select("h")
-    val hits = ph.join(dupH, "h").select(col(id), col("pos"))
+    val byH = Window.partitionBy("h")
+    val hits = ph
+      .withColumn("__mn", min(col(id)).over(byH))
+      .withColumn("__mx", max(col(id)).over(byH))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col(id), col("pos"))
     val w = Window.partitionBy(id).orderBy("pos")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hits

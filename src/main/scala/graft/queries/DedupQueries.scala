@@ -225,9 +225,9 @@ object DedupQueries extends QueryPack {
     // doc whose 13-token windows also occur in ≥1 other doc, merged into
     // maximal spans — the sub-document granularity between chunk dedup
     // (pd1, fixed 16-token cells) and whole-doc near-dup (d3-d7). One
-    // shingle-hash-keyed shuffle (the dup-hash reduce and the hit join
-    // share the exchange) + one doc-keyed island merge; see Dedup.dupSpans
-    // for the 100 TB shape.
+    // shingle-hash-keyed shuffle (cross-doc test = min!=max doc over the
+    // h-partition window, single pass, no self-join) + one doc-keyed
+    // island merge; see Dedup.dupSpans for the 100 TB shape.
     "d16_dup_spans" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val agg = Dedup.dupSpans(docs, "doc_id", col("text"), SPAN_K)
@@ -450,8 +450,11 @@ object DedupQueries extends QueryPack {
         p AS (SELECT doc_id, CAST(pos AS INT) AS pos,
                      ${StableHash.polyHashSql(s"concat_ws(' ', $gram)")} AS h
               FROM i),
-        dh AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        hits AS (SELECT p.doc_id, p.pos FROM p JOIN dh ON p.h = dh.h),
+        q AS (SELECT doc_id, pos,
+                     min(doc_id) OVER (PARTITION BY h) AS mn,
+                     max(doc_id) OVER (PARTITION BY h) AS mx
+              FROM p),
+        hits AS (SELECT doc_id, pos FROM q WHERE mn <> mx),
         m AS (SELECT doc_id, pos,
                      CASE WHEN lag(pos) OVER w IS NULL THEN 1
                           WHEN pos - lag(pos) OVER w > $SPAN_K THEN 1
