@@ -642,22 +642,30 @@ object Dedup {
   /** One row per k-gram POSITION (1-based), with the gram's [[StableHash]]
     * poly hash: (doc_id, pos, h). Unlike [[hashedShingles]] this keeps
     * duplicates and positions — the unit of span dedup is the occurrence,
-    * not the distinct shingle. The hash array is built in one projection
-    * (8 bytes per position) and posexploded, so the token array itself
-    * never rides the explode.
+    * not the distinct shingle.
+    *
+    * Shape (measured, sf0.1): explode the POSITIONS first, build the gram
+    * AFTER the explode — `slice` + `array_join` + the codegen
+    * [[StableHash.polyHash]] all run on real columns inside one
+    * whole-stage-codegen pipeline. The tempting inverse (build a
+    * per-doc gram/hash array in a `transform` lambda, then posexplode)
+    * evaluates the lambda INTERPRETED, and a k-wide `element_at` chain in
+    * it cost 20+ s where this spelling costs 0.3 s (~80×). The token
+    * array formally rides the explode, but Generate and the gram
+    * projection fuse into the same codegen stage, so rows stream through
+    * without materializing a per-position copy of `__ts`.
     */
   def positionalShingleHashes(df: DataFrame, id: String, text: Column,
                               k: Int): DataFrame = {
     val first = parallelize(df.select(col(id), split(text, " ").as("__ts")))
-    val grams = when(size(col("__ts")) >= k,
-      transform(sequence(lit(0), size(col("__ts")) - k),
-        i => StableHash.polyHash(concat_ws(" ",
-          (0 until k).map(j => element_at(col("__ts"), i + j + 1)): _*))))
-      .otherwise(array().cast("array<long>"))
-    first.select(col(id), grams.as("__phs"))
-      .select(col(id), posexplode(col("__phs")))
-      .select(col(id), (col("pos") + 1).cast("int").as("pos"),
-        col("col").as("h"))
+    first
+      .select(col(id), col("__ts"),
+        explode(when(size(col("__ts")) >= k,
+          sequence(lit(1), size(col("__ts")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(id), col("pos").cast("int").as("pos"),
+        StableHash.polyHash(
+          array_join(slice(col("__ts"), col("pos"), lit(k)), " ")).as("h"))
   }
 
   /** Maximal cross-doc duplicate spans: positions whose k-gram hash occurs
