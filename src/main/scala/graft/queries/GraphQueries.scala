@@ -201,6 +201,22 @@ object GraphQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Synchronous label propagation, 3 unrolled rounds over the symmetric
+    // co-purchase graph: most-frequent neighbor label, ties to the
+    // smallest — the deterministic LPA variant (async LPA is
+    // order-dependent by design; this one is bit-reproducible on any
+    // engine/partitioning). See ops.LabelProp for the one-edge-shuffle +
+    // one-tail-exchange-per-round scale contract.
+    "gr2_label_prop" -> ((s, d) => {
+      val e = edges(s, d)
+      val sym = e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+      graft.ops.LabelProp.propagate(sym, 3)
+        .select(col("id").as("node_id"), col("lbl").as("label"))
+        .orderBy("node_id")
+    }),
+
     // 2-D Pareto frontier of customers maximizing (order count, spend):
     // keyed aggregate → tiny per-x stats → broadcast back. A row survives
     // iff it holds its x-group's max y AND beats the best y of any
@@ -295,6 +311,25 @@ object GraphQueries extends QueryPack {
           m3 AS (${iterSql("m2")})
           SELECT id AS node_id, mass AS pr_mass FROM m3
           ORDER BY pr_mass DESC, node_id LIMIT 50""",
+    "gr2_label_prop" -> {
+      def round(i: Int, prev: String): String =
+        s"""c$i AS (SELECT s.a, l.lbl, count(*) AS n
+                    FROM sym s JOIN $prev l ON s.b = l.id
+                    GROUP BY s.a, l.lbl),
+            l$i AS (SELECT a AS id, lbl FROM c$i
+                    QUALIFY row_number() OVER (PARTITION BY a
+                      ORDER BY n DESC, lbl) = 1)"""
+      s"""WITH e AS ($edgesSql),
+          sym AS (SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst, src FROM e)),
+          l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM sym),
+          ${round(1, "l0")},
+          ${round(2, "l1")},
+          ${round(3, "l2")}
+          SELECT id AS node_id, lbl AS label FROM l3
+          ORDER BY node_id"""
+    },
     "sky1_pareto_frontier" ->
       s"""WITH base AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
                                ${Num.sqlSum("o_totalprice")} AS spend
