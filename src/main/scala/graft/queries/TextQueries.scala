@@ -222,6 +222,24 @@ object TextQueries extends QueryPack {
     // no single-task global sort; quality reuses t2's exact expression
     // tree (hash-matched cross-engine, so the order — and thus the tile
     // boundaries — is deterministic, with doc_id as the tie-break).
+    // Rank-based quality-score calibration (quantile normalization): raw
+    // per-doc quality scores are incomparable ACROSS sources (each
+    // source's score distribution differs), so the mixing stage wants the
+    // within-source percentile instead. percent_rank over the source
+    // partition — one source-keyed exchange, sort bounded per source,
+    // never global; the rank is (rank-1)/(n-1), an exact int-derived
+    // double both engines compute identically.
+    "t23_quantile_normalize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("q_pct", percent_rank().over(w))
+        .select("doc_id", "source", "quality", "q_pct")
+        .orderBy("doc_id")
+    }),
+
     "t15_curriculum" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
@@ -854,6 +872,24 @@ object TextQueries extends QueryPack {
          SELECT doc_id, source,
                 CAST(ntile(4) OVER (PARTITION BY source
                        ORDER BY quality, doc_id) AS INT) AS phase
+         FROM q ORDER BY doc_id""",
+    "t23_quantile_normalize" ->
+      """WITH x AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                    FROM documents),
+         c AS (SELECT doc_id, source,
+                 CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+                   AS diversity,
+                 CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of'], t)))
+                      AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
+                 CAST(len(ts) AS INT) AS n_tokens
+               FROM x),
+         q AS (SELECT doc_id, source,
+                 diversity * 0.6 + (1.0 - stopword_ratio) * 0.3
+                   + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.1 AS quality
+               FROM c)
+         SELECT doc_id, source, quality,
+                percent_rank() OVER (PARTITION BY source
+                  ORDER BY quality, doc_id) AS q_pct
          FROM q ORDER BY doc_id""",
     "t16_outlier_filter" ->
       """WITH st AS (SELECT source,
