@@ -107,6 +107,22 @@ class BlocksSpec extends SparkTestBase {
         "final centroids only — all superseded rounds freed)")
   }
 
+  test("label propagation: per-invocation persists are dereferenced with " +
+    "the plan and reclaimed under GC (bounded-by-GC contract)") {
+    def runOnce(): Unit =
+      assert(SparkEntry.queries("gr2_label_prop")(spark, sf).count() > 0)
+    runOnce() // absorb first-call session effects
+    val base = persistIds
+    runOnce(); runOnce()
+    var tries = 0
+    while ((persistIds -- base).nonEmpty && tries < 40) {
+      System.gc(); Thread.sleep(250); tries += 1
+    }
+    val grown = persistIds -- base
+    assert(grown.isEmpty,
+      s"LPA reruns grew the persistent-RDD registry: +${grown.size} (ids $grown)")
+  }
+
   test("pagerank: per-invocation persists are dereferenced with the plan " +
     "and reclaimed under GC (bounded-by-GC contract)") {
     def runOnce(): Unit =
