@@ -24,8 +24,13 @@ object LabelProp {
     * tail pays ONE exchange on `a`: hash partitioning by `a` satisfies
     * the (a, lbl) count's clustering (subset rule) AND the argmax
     * window's, so the aggregate and the window ride the same layout.
-    * Persisted frames are dereferenced with the returned plan and
-    * reclaimed under GC (the gr1 bounded-by-GC contract BlocksSpec pins).
+    *
+    * Lifecycle (CC discipline, not gr1's bounded-by-GC): the final label
+    * table is eagerly localCheckpoint'ed (it is O(|V|) — small) and the
+    * O(|E|) edge cache is released INSIDE the call. The first sf1 bench
+    * that carried gr2's lingering edge cache into the triangle family
+    * measured gt2 at 5-6× its usual time: a big persist that waits for GC
+    * is a real memory tax on whatever runs next in the session.
     */
   def propagate(sym: DataFrame, iters: Int): DataFrame = {
     val e = sym.select(col("a"), col("b")).repartition(col("b")).persist()
@@ -41,6 +46,8 @@ object LabelProp {
         .filter(col("__rn") === 1)
         .select(col("a").as("id"), col("lbl"))
     }
-    labels
+    val out = labels.localCheckpoint(true) // sever lineage off the edge cache
+    e.unpersist()
+    out
   }
 }

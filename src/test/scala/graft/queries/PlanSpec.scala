@@ -274,4 +274,47 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("InMemoryTableScan"), p.linesIterator.take(8).mkString("\n"))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("gr2 label propagation: returned plan reads the severed label " +
+    "checkpoint — the O(|E|) edge cache was released inside the call") {
+    val df = SparkEntry.queries("gr2_label_prop")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("InMemoryTableScan") && !p.contains("CartesianProduct"))
+  }
+
+  test("d16 span dedup: position Generate feeds the gram projection; one " +
+    "window pass decides cross-doc, no self-join of the shingle stream") {
+    val p = plan("d16_dup_spans")
+    assert(p.contains("Generate explode"), p.linesIterator.take(8).mkString("\n"))
+    // the cross-doc test is the min/max window — the old spelling's
+    // groupBy-then-join would reappear as a SortMergeJoin/extra aggregate
+    // over h; only the final per-doc rollup join remains
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.linesIterator.count(_.contains("Window [")) >= 2,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n")) // h test + island merge
+  }
+
+  test("t21 PMI: unigram and totals sides broadcast; pair stream never " +
+    "self-joined") {
+    val p = plan("t21_pmi_pairs")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("pa1 transitions: totals broadcast onto the pair counts; no " +
+    "sort-merge join") {
+    val p = plan("pa1_markov_transitions")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("w6 ewma: one user-keyed exchange feeds the window; the only other " +
+    "exchange is the output range sort") {
+    val p = plan("w6_ewma")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      exchanges.mkString("\n"))
+  }
 }
