@@ -196,7 +196,14 @@ object GraphQueries extends QueryPack {
           .select(col("id"),
             (lit(Teleport) + lit(D) * coalesce(col("m_in"), lit(0.0))).as("mass"))
       }
-      mass.select(col("id").as("node_id"), col("mass").as("pr_mass"))
+      // eager checkpoint-and-release (CC/LPA discipline): the O(|V|) mass
+      // table is severed and the |E|-scale caches freed INSIDE the call —
+      // a big persist that waits for GC taxes whatever runs next in the
+      // session (measured: the triangle family's first post-gr iteration
+      // ran 7× its steady state at sf1 before this)
+      val ranked = mass.localCheckpoint(true)
+      e.unpersist(); ed.unpersist(); nodes.unpersist()
+      ranked.select(col("id").as("node_id"), col("mass").as("pr_mass"))
         .orderBy(col("pr_mass").desc, col("node_id"))
         .limit(50)
     }),

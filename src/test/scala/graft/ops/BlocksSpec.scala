@@ -123,17 +123,17 @@ class BlocksSpec extends SparkTestBase {
       s"LPA reruns grew the persistent-RDD registry: +${grown.size} (ids $grown)")
   }
 
-  test("pagerank: per-invocation persists are dereferenced with the plan " +
-    "and reclaimed under GC (bounded-by-GC contract)") {
+  test("pagerank: |E|-scale caches are freed inside the call; only the " +
+    "small mass checkpoint lingers until GC") {
     def runOnce(): Unit =
       assert(SparkEntry.queries("gr1_pagerank")(spark, sf).count() > 0)
     runOnce() // absorb first-call session effects
     val base = persistIds
     runOnce(); runOnce()
-    // each invocation pins its own edge/deg/node frames only while its
-    // plan is referenced; once dropped, the weak-valued registry returns
-    // to baseline under GC — the backstop Bench's inter-iteration
-    // System.gc() exercises
+    // the edge/deg/node persists are unpersisted eagerly (CC/LPA
+    // discipline); each invocation leaves only its O(|V|) checkpointed
+    // mass table, which the weak-valued registry drops under GC once the
+    // plan is dereferenced
     var tries = 0
     while ((persistIds -- base).nonEmpty && tries < 40) {
       System.gc(); Thread.sleep(250); tries += 1
