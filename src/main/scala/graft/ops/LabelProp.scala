@@ -46,8 +46,11 @@ object LabelProp {
         .filter(col("__rn") === 1)
         .select(col("a").as("id"), col("lbl"))
     }
-    val out = labels.localCheckpoint(true) // sever lineage off the edge cache
-    e.unpersist()
-    out
+    // sever lineage off the edge cache; release the cache even when the
+    // eager checkpoint job fails — an exception here would otherwise pin
+    // the O(|E|) blocks for the rest of the session (Bench catches per
+    // query and keeps going)
+    try labels.localCheckpoint(true)
+    finally e.unpersist()
   }
 }

@@ -201,8 +201,9 @@ object GraphQueries extends QueryPack {
       // a big persist that waits for GC taxes whatever runs next in the
       // session (measured: the triangle family's first post-gr iteration
       // ran 7× its steady state at sf1 before this)
-      val ranked = mass.localCheckpoint(true)
-      e.unpersist(); ed.unpersist(); nodes.unpersist()
+      val ranked =
+        try mass.localCheckpoint(true)
+        finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
       ranked.select(col("id").as("node_id"), col("mass").as("pr_mass"))
         .orderBy(col("pr_mass").desc, col("node_id"))
         .limit(50)

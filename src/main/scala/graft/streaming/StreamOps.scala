@@ -326,7 +326,13 @@ object StreamOps {
         (user: Long, rows: Iterator[Evt], state: GroupState[EwmaState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // MICROsecond sort key, not getTime's milliseconds: the fold
+            // is order-sensitive (acc·½ + x·½), and the batch w6 twin
+            // orders by unix micros — a same-millisecond pair folded in
+            // event_id order instead would break bit-for-bit convergence
+            def us(t: Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var st = state.getOption.getOrElse(EwmaState(Nil, Long.MinValue))
             val out = Seq.newBuilder[EwmaOut]
             sorted.foreach { e =>
