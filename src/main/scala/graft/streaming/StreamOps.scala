@@ -167,6 +167,17 @@ object StreamOps {
       .start()
   }
 
+  /** Event-time in unix MICROseconds. State ops sort and difference by
+    * this, matching their batch twins' epoch_us arithmetic — getTime's
+    * milliseconds would truncate sub-ms ordering, and the order-sensitive
+    * ops (ewma's fold, funnel stage decisions, session gaps, quota
+    * admission) would then diverge from the batch definitions on
+    * same-millisecond events. TTL clocks stay in getTime milliseconds
+    * (GroupState timeouts are ms-based).
+    */
+  private def eventMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
                  event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int)
@@ -198,11 +209,11 @@ object StreamOps {
             Iterator(SessionOut(user, st.sessionStart, st.nEvents,
               st.lastTs - st.sessionStart))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
             var st = state.getOption.orNull
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val tUs = e.ts.getTime * 1000
+              val tUs = eventMicros(e.ts)
               if (st == null) st = SessionState(tUs, tUs, 1)
               else if (tUs - st.lastTs > gapUs) {
                 out += SessionOut(user, st.sessionStart, st.nEvents,
@@ -273,12 +284,12 @@ object StreamOps {
         (user: Long, rows: Iterator[Evt], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
             var st = state.getOption
               .getOrElse(FunnelState(-1L, -1L, -1L, 0L))
             val out = Seq.newBuilder[FunnelOut]
             sorted.foreach { e =>
-              val tUs = e.ts.getTime * 1000
+              val tUs = eventMicros(e.ts)
               e.event_type match {
                 case "view" if st.tView < 0 =>
                   st = st.copy(tView = tUs); out += FunnelOut(user, 1, tUs)
@@ -326,13 +337,9 @@ object StreamOps {
         (user: Long, rows: Iterator[Evt], state: GroupState[EwmaState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // MICROsecond sort key, not getTime's milliseconds: the fold
-            // is order-sensitive (acc·½ + x·½), and the batch w6 twin
-            // orders by unix micros — a same-millisecond pair folded in
-            // event_id order instead would break bit-for-bit convergence
-            def us(t: Timestamp): Long =
-              t.getTime / 1000 * 1000000L + t.getNanos / 1000
-            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            // micro-ordered: the fold is order-sensitive (acc·½ + x·½),
+            // and the batch w6 twin orders by unix micros
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(EwmaState(Nil, Long.MinValue))
             val out = Seq.newBuilder[EwmaOut]
             sorted.foreach { e =>
@@ -380,7 +387,7 @@ object StreamOps {
             var lastTs = st.lastTsMs
             val out = Seq.newBuilder[QuotaOut]
             // deterministic admission under intra-batch disorder
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
               lastTs = math.max(lastTs, e.ts.getTime)
               if (n < k) { n += 1; out += QuotaOut(e.event_id, user, n) }
             }
@@ -427,7 +434,7 @@ object StreamOps {
           else {
             var st = state.getOption.getOrElse(RunningState(0, 0L, Long.MinValue))
             val out = Seq.newBuilder[RunningOut]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
               st = RunningState(st.n + 1,
                 st.totalCents + math.round(e.value * 100),
                 math.max(st.lastTsMs, e.ts.getTime))

@@ -643,4 +643,27 @@ class StreamingSpec extends SparkTestBase {
         s"streamed ${streamed.size} rows; diff ${(streamed diff batch).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming ewma folds same-millisecond events in MICRO-time order, " +
+    "not event_id order (the batch window's epoch_us semantics)") {
+    def tsMicro(micros: Int) = {
+      val t = new Timestamp(1704067200000L)
+      t.setNanos(micros * 1000); t
+    }
+    // the LARGER event_id has the EARLIER micro-timestamp — an
+    // event_id-ordered fold would swap them
+    val ms = mkEvents(Seq(
+      StreamOps.Evt(10, tsMicro(900), 1, "view", 4.0),
+      StreamOps.Evt(20, tsMicro(400), 1, "view", 8.0)))
+    val q = StreamOps.ewma(spark, ms.toDS())
+      .writeStream.format("memory").queryName("ewma_micro")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ewma_micro")
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+      // micro order: 20 first (8.0), then 10 (8.0·½ + 4.0·½ = 6.0)
+      assert(got == Map(20L -> 8.0, 10L -> 6.0), got.toString)
+    } finally q.stop()
+  }
 }
