@@ -221,6 +221,18 @@ object DedupQueries extends QueryPack {
       Dedup.chunkDedup(Tables.documents(s, d), col("text"), "doc_id", CHUNK)
         .orderBy("doc_id")),
 
+    // Dedup observability: the group-size histogram over the CC labels —
+    // the report every dedup run ships with ("how much mass sits in
+    // groups of size k"). Two keyed aggregates over the memoized label
+    // base; at scale both ride the component key and the |sizes|-row
+    // histogram is the only driver-visible output.
+    "d18_dup_size_histogram" -> ((s, d) =>
+      dupLabels(s, d)
+        .groupBy("component").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .withColumn("n_docs", (col("group_size") * col("n_groups")).cast("bigint"))
+        .orderBy("group_size")),
+
     // Exact-substring (span-level) dedup, detect tier: the regions of each
     // doc whose 13-token windows also occur in ≥1 other doc, merged into
     // maximal spans — the sub-document granularity between chunk dedup
@@ -435,7 +447,17 @@ object DedupQueries extends QueryPack {
     "d12_editdist_pairs" -> editDistPairsSql,
     "d16_dup_spans" -> dupSpansSql,
     "d17_span_clean" -> spanCleanSql,
+    "d18_dup_size_histogram" -> dupSizeHistogramSql,
   )
+
+  private def dupSizeHistogramSql: String =
+    s"""$componentCte,
+        sz AS (SELECT component, count(*) AS group_size
+               FROM comp GROUP BY component)
+        SELECT group_size, count(*) AS n_groups,
+               CAST(group_size * count(*) AS BIGINT) AS n_docs
+        FROM sz GROUP BY group_size
+        ORDER BY group_size"""
 
   /** Shared CTE chain for span dedup: positional 13-gram hashes →
     * cross-doc dup hashes → hit positions → merged spans. Same poly hash,
