@@ -65,6 +65,55 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Wide fingerprint tier of [[PolyHashExpr]]: the two independent folds
+  * (mod P, mod P2) of [[graft.functions.StableHash.polyHash64]] in ONE
+  * char loop with two accumulators, paired as `h1·2^31 + h2` (< 2^61).
+  * Collisions require a simultaneous root mod P·P2 ≈ 2^60 — the property
+  * span dedup's semantic quality rests on (a colliding gram is MARKED
+  * DUPLICATE; see Dedup.dupSpans).
+  */
+case class PolyHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_polyhash64 requires STRING input, got ${other.sql}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      h1 = (h1 * 31 + s.charAt(i)) % StableHash.P
+      h2 = (h2 * 31 + s.charAt(i)) % StableHash.P2
+      i += 1
+    }
+    h1 * 2147483648L + h2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      String ${ev.value}_s = $c.toString();
+      long ${ev.value}_h1 = 0L;
+      long ${ev.value}_h2 = 0L;
+      for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_s.length(); ${ev.value}_i++) {
+        char ${ev.value}_c = ${ev.value}_s.charAt(${ev.value}_i);
+        ${ev.value}_h1 = (${ev.value}_h1 * 31 + ${ev.value}_c) % ${StableHash.P}L;
+        ${ev.value}_h2 = (${ev.value}_h2 * 31 + ${ev.value}_c) % ${StableHash.P2}L;
+      }
+      ${ev.value} = ${ev.value}_h1 * 2147483648L + ${ev.value}_h2;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64Expr =
+    copy(child = newChild)
+}
+
 case class SeqDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -353,6 +402,7 @@ case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
 object Exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
   def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
+  def polyHash64(c: Column): Column = column(PolyHash64Expr(expression(c)))
   def minHash(c: Column, n: Int): Column = {
     val ps = StableHash.affineParams(n)
     column(MinHashExpr(expression(c), ps.map(_._1).toArray, ps.map(_._2).toArray))

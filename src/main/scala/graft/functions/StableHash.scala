@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
 object StableHash {
   val P: Long = 1000000007L
 
+  /** Second, independent prime for the wide fingerprint tier. */
+  val P2: Long = 998244353L
+
   /** h(s) = fold over chars: (h*31 + codepoint) mod P — evaluated by the
     * codegen'd [[PolyHashExpr]] (identical values to the portable fold
     * below; ~20× faster than the interpreted higher-order version).
@@ -34,10 +37,38 @@ object StableHash {
     aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
 
   /** DuckDB twin of [[polyHash]] — same fold, same constants. */
-  def polyHashSql(e: String): String =
+  def polyHashSql(e: String): String = polyFoldSql(e, P)
+
+  private def polyFoldSql(e: String, m: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, b) -> (a * 31 + b) % $P)"
+      s"(a, b) -> (a * 31 + b) % $m)"
+
+  /** Wide (~60-bit) content fingerprint for dedup tiers whose semantic
+    * quality depends on collision rate at corpus scale (span dedup: a
+    * cross-doc hash collision MARKS TEXT AS DUPLICATE, so the ~2^30 range
+    * of [[polyHash]] starts manufacturing false dup spans around ~50k
+    * distinct grams — birthday bound — far below one shard of a 100-TB
+    * corpus). Two independent folds mod P and mod P2 paired into one
+    * BIGINT: `h_P(s)·2^31 + h_P2(s)` (< 2^61, no overflow). A collision
+    * requires the difference polynomial at base 31 to vanish mod BOTH
+    * primes, i.e. mod P·P2 ≈ 2^60 — the birthday bound moves to ~10^9
+    * distinct grams. Expressible identically in DuckDB (all arithmetic
+    * stays under 2^63), so oracle parity is preserved — evaluated by the
+    * codegen'd [[PolyHash64Expr]] (one char loop, two accumulators).
+    */
+  def polyHash64(s: Column): Column = Exprs.polyHash64(s)
+
+  /** The same pairing via built-in folds — the reference implementation
+    * [[PolyHash64Expr]] is tested against.
+    */
+  def polyHash64Hof(s: Column): Column =
+    polyHashHof(s) * lit(2147483648L) +
+      aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P2)
+
+  /** DuckDB twin of [[polyHash64]] — same two folds, same pairing. */
+  def polyHash64Sql(e: String): String =
+    s"(${polyFoldSql(e, P)} * 2147483648 + ${polyFoldSql(e, P2)})"
 
   /** Affine re-hash family h_i(x) = (a_i·x + b_i) mod P for minhash; fixed
     * deterministic parameters (Knuth multiplicative constants), identical

@@ -640,7 +640,8 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** One row per k-gram POSITION (1-based), with the gram's [[StableHash]]
-    * poly hash: (doc_id, pos, h). Unlike [[hashedShingles]] this keeps
+    * WIDE (~60-bit, `polyHash64`) fingerprint: (doc_id, pos, h). Unlike
+    * [[hashedShingles]] this keeps
     * duplicates and positions — the unit of span dedup is the occurrence,
     * not the distinct shingle.
     *
@@ -664,7 +665,7 @@ object Dedup {
           sequence(lit(1), size(col("__ts")) - (k - 1)))
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col(id), col("pos").cast("int").as("pos"),
-        StableHash.polyHash(
+        StableHash.polyHash64(
           array_join(slice(col("__ts"), col("pos"), lit(k)), " ")).as("h"))
   }
 
@@ -679,10 +680,14 @@ object Dedup {
     * self-join spelling that scans and re-shingles the corpus twice (and
     * would broadcast an unboundedly large dup-hash set at scale). The
     * island merge then keys on the doc id with a frame bounded by one
-    * doc's hit count. Hash collisions are not corrected (64-bit poly
-    * hash) — the oracle applies the identical hash, and at k=13 tokens a
-    * collision marks a span that is a duplicate under the fingerprint,
-    * exactly as production suffix-free pipelines behave.
+    * doc's hit count. Hash collisions are not corrected — a colliding
+    * gram is marked duplicate under the fingerprint, exactly as
+    * production suffix-free pipelines behave — which is why the
+    * fingerprint must be WIDE: [[StableHash.polyHash64]]'s ~2^60 range
+    * puts the cross-doc birthday bound near 10^9 distinct grams (the
+    * single-prime ~2^30 tier starts manufacturing false dup spans, and
+    * d17 deleting non-duplicate text, around only ~50k grams). The oracle
+    * applies the identical paired fold, so parity is bit-exact.
     */
   def dupSpans(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
     val ph = positionalShingleHashes(df, id, text, k)

@@ -17,9 +17,21 @@ import org.apache.spark.sql.SparkSession
   * stopped (its blocks died with the context). Keyed by session identity
   * so suites with independent sessions never cross-release each other's
   * blocks.
+  *
+  * Build-cost transparency (bench protocol, PLANS.md): when the
+  * `graft.bench.timeBuilds` system property is set (Bench sets it), the
+  * build — plus `materialize`, which forces any lazily-checkpointed
+  * frames so the clock covers the real jobs, not just plan construction —
+  * is timed and recorded in [[SharedBase.buildSeconds]] under `name`.
+  * Bench emits these as the `builds` dict on its JSON line, so the warm
+  * per-query medians the memo enables are never the only number an
+  * artifact carries. Outside bench runs nothing is forced: explain-only
+  * flows (a plan dump) still run zero jobs (round-5 ADVICE finding).
   */
-private[graft] final class SharedBase[V](build: (SparkSession, String) => V,
-                                         release: V => Unit) {
+private[graft] final class SharedBase[V](name: String,
+                                         build: (SparkSession, String) => V,
+                                         release: V => Unit,
+                                         materialize: V => Unit = (_: V) => ()) {
   private var cache: Option[((SparkSession, String), V)] = None
 
   def get(s: SparkSession, d: String): V = synchronized {
@@ -29,9 +41,23 @@ private[graft] final class SharedBase[V](build: (SparkSession, String) => V,
       case prev =>
         prev.foreach { case ((ps, _), v) =>
           if (!ps.sparkContext.isStopped) release(v) }
+        val t0 = System.nanoTime()
         val v = build(s, d)
+        if (SharedBase.timing) {
+          materialize(v)
+          SharedBase.buildSeconds.update(name, (System.nanoTime() - t0) / 1e9)
+        }
         cache = Some((key, v))
         v
     }
   }
+}
+
+private[graft] object SharedBase {
+  /** Wall-clock seconds of each memoized base's most recent build, keyed
+    * by base name. Populated only under `graft.bench.timeBuilds`.
+    */
+  val buildSeconds = new scala.collection.concurrent.TrieMap[String, Double]
+
+  private[ops] def timing: Boolean = sys.props.contains("graft.bench.timeBuilds")
 }

@@ -32,10 +32,18 @@ object Triangles {
     val e = edges.select(col(u).as("u"), col(v).as("v"))
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    // deg is |V| rows — broadcast here; at 100 TB this becomes two keyed
-    // joins (u then v) riding the edge table's existing partitioning
-    e.join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
-      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+    // deg is |V| rows — NO broadcast hint: a static hint would pin a plan
+    // that dies at 100 TB, where the node table is billions of rows and
+    // exceeds any broadcast threshold at plan time. Unhinted, AQE
+    // size-switches at runtime from the REAL shuffle stats: below
+    // spark.sql.adaptive.autoBroadcastJoinThreshold the join converts to
+    // broadcast-hash (with a local shuffle read on the edge side — no
+    // repartitioned exchange), above it the same plan executes as two
+    // keyed joins riding the edge shuffle. GraphPlanSpec pins the
+    // node-scale tier: with the threshold off, no BroadcastExchange
+    // appears and results are unchanged.
+    e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("s"), col("v").as("t")))

@@ -130,6 +130,52 @@ object DomainQueries extends QueryPack {
           col("flags")(2).as("reconstruction"))
         .orderBy("pair_id")
     }),
+
+    // U13 surface reconstruction, INDIVIDUALLY hash-gated (r6 verdict #5;
+    // u12's sweep only ever fires dissociation): a Pt–Pt slab bond at
+    // 2.5 Å (tight-bonded, bound 2.72) whose final-frame length sweeps
+    // 2.5 + 0.2·i — hysteresis says BROKEN only past the LOOSE bound
+    // 1.5·2.72 = 4.08 Å, so the flag flips exactly at i = 8 (4.1 Å;
+    // i = 7 is 3.9). Margins ≥ 0.02 Å — three decimal orders above
+    // double noise on this arithmetic.
+    "u13_surface_change" -> ((s, _) => {
+      import s.implicits._
+      val lat = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+      def slab(x2: Double) = Structure(lat, Seq(
+        Site("Pt", Seq(0.50, 0.5, 0.4), "a"),
+        Site("Pt", Seq(x2, 0.5, 0.4), "a")))
+      val rows = (0 until 10).map { i =>
+        (i.toLong, slab(0.75), slab(0.75 + i * 0.02))
+      }
+      s.createDataset(rows).toDF("pair_id", "initial", "final")
+        .withColumn("surface_changed",
+          udf((a: Structure, b: Structure) =>
+            Anomaly.hasSurfaceChanged(a, b, Seq(0, 1)))
+            .apply(col("initial"), col("final")))
+        .select("pair_id", "surface_changed")
+        .orderBy("pair_id")
+    }),
+
+    // U14 desorption, individually hash-gated: a Pt–H bond (radii sum
+    // 1.67, cushion 1.5 → bound 2.505 Å) whose final length sweeps
+    // 1.5 + 0.15·i — desorbed (no adsorbate–slab bond left) flips exactly
+    // at i = 7 (2.55 Å; i = 6 is 2.40). Margin 0.045 Å.
+    "u14_desorbed" -> ((s, _) => {
+      import s.implicits._
+      val lat = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+      def pair(zH: Double) = Structure(lat, Seq(
+        Site("Pt", Seq(0.5, 0.5, 0.40), "a"),
+        Site("H", Seq(0.5, 0.5, zH), "a")))
+      val rows = (0 until 10).map { i =>
+        (i.toLong, pair(0.40 + (1.5 + i * 0.15) / 10.0))
+      }
+      s.createDataset(rows).toDF("pair_id", "final")
+        .withColumn("desorbed",
+          udf((b: Structure) => Anomaly.isDesorbed(b, Seq(1)))
+            .apply(col("final")))
+        .select("pair_id", "desorbed")
+        .orderBy("pair_id")
+    }),
   )
 
   /** Literal expected-value oracles: these queries run the fixture-driven
@@ -256,6 +302,32 @@ object DomainQueries extends QueryPack {
           (CAST(18 AS BIGINT), true, false, false),
           (CAST(19 AS BIGINT), true, false, false))
           AS t(pair_id, dissociation, desorption, reconstruction)""",
+    "u13_surface_change" ->
+      """SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), false),
+          (CAST(1 AS BIGINT), false),
+          (CAST(2 AS BIGINT), false),
+          (CAST(3 AS BIGINT), false),
+          (CAST(4 AS BIGINT), false),
+          (CAST(5 AS BIGINT), false),
+          (CAST(6 AS BIGINT), false),
+          (CAST(7 AS BIGINT), false),
+          (CAST(8 AS BIGINT), true),
+          (CAST(9 AS BIGINT), true))
+          AS t(pair_id, surface_changed)""",
+    "u14_desorbed" ->
+      """SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), false),
+          (CAST(1 AS BIGINT), false),
+          (CAST(2 AS BIGINT), false),
+          (CAST(3 AS BIGINT), false),
+          (CAST(4 AS BIGINT), false),
+          (CAST(5 AS BIGINT), false),
+          (CAST(6 AS BIGINT), false),
+          (CAST(7 AS BIGINT), true),
+          (CAST(8 AS BIGINT), true),
+          (CAST(9 AS BIGINT), true))
+          AS t(pair_id, desorbed)""",
     "u16_invertibility" ->
       """SELECT * FROM (VALUES
           ('mp-126', '1,0,0', CAST('0.0' AS DOUBLE), true, true, true),

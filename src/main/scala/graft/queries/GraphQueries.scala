@@ -89,6 +89,7 @@ object GraphQueries extends QueryPack {
   // (full-partition) action, so constructing the plan — a plan dump, an
   // explain — runs no jobs (ADVICE round-5 finding).
   private val triBaseCache = new graft.ops.SharedBase[TriBase](
+    name = "tri_base",
     build = (s, d) => {
       val oriented = graft.ops.Triangles.orient(coEdges(s, d), "u", "v")
         .localCheckpoint(eager = false)
@@ -99,7 +100,12 @@ object GraphQueries extends QueryPack {
     release = tb => {
       graft.ops.Blocks.unpersist(tb.oriented)
       graft.ops.Blocks.unpersist(tb.adj)
-    })
+    },
+    // bench-only (graft.bench.timeBuilds): both frames are lazy
+    // checkpoints, so the honest build cost — the lineitem self-join,
+    // orientation, adjacency aggregation — only exists under an action;
+    // count() forces the blocks inside the timed build window
+    materialize = tb => { tb.oriented.count(); tb.adj.count(); () })
 
   private def triBase(s: SparkSession, d: String): TriBase =
     triBaseCache.get(s, d)
@@ -157,8 +163,12 @@ object GraphQueries extends QueryPack {
     // family base: the oriented edge list IS the co-purchase edge set
     // (1:1), so the expensive lineitem self-join never re-runs. Per
     // round: one count aggregate + two semi-joins over a shrinking edge
-    // set — the keep set is |V'| rows and broadcasts; at 100 TB the
-    // semi-joins ride the edge table's keyed partitioning instead.
+    // set. The keep set is |V'| rows — deliberately UNHINTED (Triangles
+    // .orient discipline): AQE broadcasts it at runtime while it fits
+    // under spark.sql.adaptive.autoBroadcastJoinThreshold and otherwise
+    // runs the same semi-joins keyed on the edge partitioning, so the
+    // committed plan survives a node table too big to broadcast.
+    // GraphPlanSpec pins the no-broadcast tier.
     "gt3_kcore_peel" -> ((s, d) => {
       var edges = triBase(s, d).oriented
         .select(col("src").as("u"), col("dst").as("v"))
@@ -167,8 +177,8 @@ object GraphQueries extends QueryPack {
           .groupBy("n").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= CoreK).select("n")
         edges = edges
-          .join(broadcast(keep.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
+          .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
       }
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg_in_core"))

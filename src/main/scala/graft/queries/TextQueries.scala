@@ -510,10 +510,17 @@ object TextQueries extends QueryPack {
         .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       val uni = toks.select(explode(ts).as("tk"))
         .groupBy("tk").agg(count(lit(1)).as("c_w"))
+      // p_total = Σ c_ab, derived ARITHMETICALLY from per-doc lengths (a
+      // doc of n tokens emits max(n−1,0) distance-1 + max(n−2,0)
+      // distance-2 pairs) — summing cab itself would re-run the pair
+      // explode + shuffle a second time, cab being unpersisted lineage
+      val pTotal = toks.select(
+        sum(greatest(size(ts) - 1, lit(0)).cast("long")
+          + greatest(size(ts) - 2, lit(0)).cast("long")).as("p_total"))
       cab
         .join(broadcast(uni.select(col("tk").as("w1"), col("c_w").as("c_a"))), "w1")
         .join(broadcast(uni.select(col("tk").as("w2"), col("c_w").as("c_b"))), "w2")
-        .crossJoin(broadcast(cab.agg(sum(col("c_ab")).as("p_total"))))
+        .crossJoin(broadcast(pTotal))
         .crossJoin(broadcast(uni.agg(sum(col("c_w")).as("n_total"))))
         .filter(col("c_ab") >= 5)
         .withColumn("pmi",

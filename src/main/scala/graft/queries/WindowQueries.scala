@@ -101,6 +101,13 @@ object WindowQueries extends QueryPack {
       val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
         .rowsBetween(-29, Window.currentRow)
       Tables.events(s, d)
+        // NULL discipline, pinned on BOTH engines: Spark's collect_list
+        // silently DROPS nulls while DuckDB's list() keeps them, so a
+        // null value would shift the fold cross-engine (and diverge from
+        // StreamOps.ewma, whose Dataset[Evt] value is a primitive Double).
+        // The explicit filter makes the non-null frame part of the
+        // operator's contract rather than a fixture accident.
+        .filter(col("value").isNotNull)
         .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"),
           col("value"))
         .withColumn("arr", collect_list(col("value")).over(w))
@@ -171,7 +178,8 @@ object WindowQueries extends QueryPack {
                       list(value) OVER (PARTITION BY user_id
                         ORDER BY epoch_us(ts), event_id
                         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS l
-               FROM events)
+               FROM events
+               WHERE value IS NOT NULL)
          ORDER BY user_id, event_id""",
   )
 }

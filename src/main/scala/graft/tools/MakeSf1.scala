@@ -24,14 +24,27 @@ import org.apache.spark.sql.functions._
   *    exactly its sf0.1 selectivity at 10× rows. nation/region stay
   *    as-is (bounded real-world dims — scaling them would be dishonest).
   *
-  * Usage: MakeSf1 [outDir]  (default /tmp/sf1), then:
+  * Usage: MakeSf1 [outDir [baseDir [textKeyOffset]]]  (default /tmp/sf1
+  * from /root/testdata/sf0.1, offset 0), then:
   *   SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_BENCH_OUT=BENCH_sf1.json \
   *     sbt "runMain graft.Bench"
+  *
+  * Second decade (sf10 = 100× sf0.1): compose two levels —
+  *   runMain graft.tools.MakeSf1 /tmp/sf1
+  *   runMain graft.tools.MakeSf1 /tmp/sf10 /tmp/sf1 10
+  * The nonzero offset keys the level-2 text permutations 10..19, so every
+  * (level-1, level-2) combination composes a distinct letter permutation
+  * and the 100 copies stay mutually shingle-disjoint (see
+  * [[ScaleTransforms]] on why caesar rotations could not compose). Key
+  * strides re-derive from the level-1 max, so TPC-H join selectivities
+  * hold at 100× too. Embeddings carry the rotation-composition caveat
+  * noted in [[ScaleTransforms]] — the sf10 spot list never reads them.
   */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
-    val base = "/root/testdata/sf0.1"
+    val base = if (args.length >= 2) args(1) else "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/sf1")
+    val textKeyOffset = if (args.length >= 3) args(2).toInt else 0
     val copies = 10
     val spark = graft.Sessions.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,7 +101,9 @@ object MakeSf1 {
     replicate("events", Map("event_id" -> evS, "user_id" -> userS))
 
     replicate("documents", Map("doc_id" -> docS), (c, df) =>
-      df.withColumn("text", ScaleTransforms.remapText(col("text"), c)))
+      df.withColumn("text",
+        ScaleTransforms.remapText(col("text"),
+          if (c == 0) 0 else textKeyOffset + c)))
     replicate("embeddings", Map("vec_id" -> vecS), (c, df) =>
       df.withColumn("embedding",
         ScaleTransforms.rotateEmbedding(col("embedding"), c,

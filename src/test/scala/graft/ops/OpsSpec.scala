@@ -393,6 +393,16 @@ class CustomExprSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("PolyHash64Expr equals the portable paired higher-order fold") {
+    val df = Seq("", "a", "spark", "the quick brown fox 123 !?",
+      "w1 w2 w3 w4").toDF("s")
+    val diff = df.select(
+      StableHash.polyHash64(col("s")).as("fast"),
+      StableHash.polyHash64Hof(col("s")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("MinHashExpr equals the n-pass array_min reference, incl. empty") {
     val df = Seq(
       Seq(5L, 999999999L, 0L, 123456789L),
@@ -479,6 +489,37 @@ class StableHashSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+  test("polyHash64 separates single-prime collisions (the span-dedup bound)") {
+    // The failure mode the wide tier exists for: distinct grams colliding
+    // mod P (~2^30 range — birthday kicks in around ~50k distinct strings)
+    // would be MARKED DUPLICATE by span dedup. Brute-force a real mod-P
+    // collision (deterministic seed), then pin that the paired ~2^60
+    // fingerprint still tells the two strings apart.
+    def refP(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % StableHash.P)
+    def ref64(s: String) =
+      refP(s) * 2147483648L +
+        s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % StableHash.P2)
+    val rnd = new scala.util.Random(20260814L)
+    def gram() = Seq.fill(9)(('a' + rnd.nextInt(26)).toChar).mkString
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    val collision = Iterator.continually(gram())
+      .take(400000)
+      .flatMap { s =>
+        val h = refP(s)
+        seen.get(h) match {
+          case Some(prev) if prev != s => Some((prev, s))
+          case _ => seen.update(h, s); None
+        }
+      }
+      .buffered.headOption
+    assert(collision.isDefined,
+      "expected a mod-P birthday collision within 400k distinct 9-grams")
+    val (s1, s2) = collision.get
+    assert(refP(s1) == refP(s2) && s1 != s2)
+    assert(ref64(s1) != ref64(s2),
+      s"paired fingerprint must separate '$s1' / '$s2'")
+  }
+
   test("affine params are stable and nonzero") {
     val p = StableHash.affineParams(16)
     assert(p == StableHash.affineParams(16))

@@ -666,4 +666,44 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Map(20L -> 8.0, 10L -> 6.0), got.toString)
     } finally q.stop()
   }
+
+  test("funnel state is rows = f(keys), not f(events): a 100-event user " +
+    "holds exactly one state row") {
+    // the interval-join bound test's discipline applied to the funnel op
+    // (r6 verdict #6): the O(1)-state claim — three timestamps per user —
+    // must be pinned from StateOperatorProgress, not inferred from the
+    // case class. 5 users × 100 events each; views past the first are
+    // no-ops but MUST NOT accumulate state.
+    val evts = for (u <- 1 to 5; i <- 0 until 100)
+      yield StreamOps.Evt(u * 1000L + i, ts(i), u.toLong, "view", 1.0)
+    val ms = mkEvents(evts)
+    val q = StreamOps.funnel(spark, ms.toDS())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 5L,
+        s"funnel state must be one row per user (5), not per event: $stateRows")
+    } finally q.stop()
+  }
+
+  test("ewma state is rows = f(keys): a 200-event user holds one bounded " +
+    "window row") {
+    // same pin for the smoother: state per key is ONE row (≤30-element
+    // window + TTL clock) regardless of stream length — 4 users × 200
+    // events must leave exactly 4 state rows.
+    val evts = for (u <- 1 to 4; i <- 0 until 200)
+      yield StreamOps.Evt(u * 10000L + i, ts(i), u.toLong, "metric", i.toDouble)
+    val ms = mkEvents(evts)
+    val q = StreamOps.ewma(spark, ms.toDS())
+      .writeStream.format("memory").queryName("ewma_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 4L,
+        s"ewma state must be one row per user (4), not per event: $stateRows")
+    } finally q.stop()
+  }
 }
