@@ -115,6 +115,33 @@ object EventQueries extends QueryPack {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Rolling engagement (DAU + trailing-7-day WAU per day). The rolling
+    // DISTINCT is the trap: count(DISTINCT user) OVER (RANGE 7 days) has
+    // no scalable window form, and per-day user sets don't merge under a
+    // rolling sum (a user active twice in the window must count once).
+    // Spelling: distinct (user, day) → explode each row to the ≤7 target
+    // days it keeps the user "weekly active" for → re-distinct (user,
+    // target) → count per target. Two keyed exchanges on user-scale data,
+    // both map-side combined; the 7× fan-out is a narrow int explode.
+    // The calendar semi-join (targets must be observed days, not phantom
+    // days past the corpus end) broadcasts the DAY domain — bounded by
+    // time (O(years) rows), not by data size, so it stays broadcastable
+    // at 100 TB, unlike a user- or node-scale frame.
+    "e14_rolling_active" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS").as("day"))
+        .distinct()
+      val cal = days.select(col("day").as("target")).distinct()
+      val dau = days.groupBy("day").agg(count(lit(1)).as("n_dau"))
+      val wau = days
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("target"))
+        .join(broadcast(cal), "target", "left_semi")
+        .distinct()
+        .groupBy(col("target").as("day")).agg(count(lit(1)).as("n_wau"))
+      dau.join(wau, "day").orderBy("day")
+    }),
+
     // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
     // errors with no click in [ets - lag, ets] still emit with a null
     // click — same binnable-range plan as e6, plus the null row per
@@ -338,6 +365,29 @@ object EventQueries extends QueryPack {
         .select("cur", "nxt", "n", "p")
         .orderBy("cur", "nxt")
     }),
+
+    // Sequence mining tier above pa1: top-20 event-type TRIGRAMS (the
+    // "what do users do next next" question funnels can't answer). Two
+    // leads share pa1's single user-keyed window exchange; the trigram
+    // aggregate re-keys on the ≤|types|³ domain, map-side combined; the
+    // final top-k is orderBy+limit ⇒ TakeOrdered (per-partition heaps +
+    // driver merge of 20-row heads — no global sort materializes, the s1
+    // discipline). The tiebreak on (t1,t2,t3) makes the 20-row cut
+    // deterministic cross-engine: trigram keys are unique in `c`, so no
+    // two rows compare equal under (n DESC, t1, t2, t3).
+    "pa2_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("ets"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+      tri.groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +439,21 @@ object EventQueries extends QueryPack {
                  count(*) AS n_users
           FROM days d JOIN cohort c USING (user_id)
           GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    "e14_rolling_active" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // ${DAY_NS / 1000} AS day
+                        FROM events),
+          cal AS (SELECT DISTINCT day FROM days),
+          dau AS (SELECT day, count(*) AS n_dau FROM days GROUP BY day),
+          act AS (SELECT DISTINCT d.user_id, t.target
+                  FROM days d,
+                       unnest(generate_series(d.day, d.day + 6)) AS t(target)
+                  WHERE t.target IN (SELECT day FROM cal)),
+          wau AS (SELECT target AS day, count(*) AS n_wau
+                  FROM act GROUP BY target)
+          SELECT day, n_dau, n_wau
+          FROM dau JOIN wau USING (day)
+          ORDER BY day""",
     "fa1_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
          v AS (SELECT user_id,
@@ -540,5 +605,15 @@ object EventQueries extends QueryPack {
                  CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE) AS p
           FROM c JOIN t USING (cur)
           ORDER BY c.cur, c.nxt""",
+    "pa2_top_paths" ->
+      """WITH s AS (SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE t3 IS NOT NULL GROUP BY t1, t2, t3)
+          SELECT t1, t2, t3, n FROM c
+          ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
   )
 }

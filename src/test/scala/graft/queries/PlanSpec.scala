@@ -305,6 +305,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("e14 rolling actives: 7-day fan-out is a narrow Generate; the " +
+    "calendar semi-join broadcasts the day domain, never a user-scale frame") {
+    val p = plan("e14_rolling_active")
+    assert(p.contains("Generate explode"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("pa2 top paths: the 20-row cut is TakeOrdered (per-partition heaps), " +
+    "not a global sort") {
+    val p = plan("pa2_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("Window"))
+    // the lead pair rides ONE user-keyed exchange; the trigram aggregate
+    // re-keys on the tiny type³ domain — nothing else may shuffle
+    val n = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+  }
+
   test("w6 ewma: one user-keyed exchange feeds the window; the only other " +
     "exchange is the output range sort") {
     val p = plan("w6_ewma")
