@@ -142,6 +142,38 @@ object EventQueries extends QueryPack {
       dau.join(wau, "day").orderBy("day")
     }),
 
+    // Daily-volume spike detection — the ingest-monitoring query (a
+    // crawler burst, a dup-bomb, a broken source all surface as one
+    // day's count jumping off its own trailing baseline). Per (type,
+    // day) counts, then a trailing-7-day RANGE window (value-based, so a
+    // missing calendar day can never slide a stale count into the
+    // baseline) and an integer-only spike test: n·7 > 2·trailing_total —
+    // i.e. a day above 2× its trailing mean — gated on a FULL 7-day
+    // baseline. Everything stays integer: no doubles anywhere, so the
+    // flag is trivially hash-exact. Seeding (t7/mm4 precedent: the
+    // uniform synthetic corpus would never spike and the flag would pass
+    // vacuously): error events on days ≡ 3 (mod 7) count 3× — a
+    // deterministic row-local weight, so the spike provably fires and
+    // the window provably absorbs it back into the baseline. Scale: one
+    // map-side-combined aggregate to O(types × days) rows, then a
+    // type-keyed window over O(days) rows each.
+    "e15_spike_days" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-7, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), expr(s"ts DIV $DAY_NS").as("day"))
+        .withColumn("wt",
+          when(col("event_type") === "error" && col("day") % 7 === 3, 3L)
+            .otherwise(1L))
+        .groupBy("event_type", "day").agg(sum(col("wt")).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("trail_total"),
+          count(lit(1)).over(w).as("trail_days"))
+        .withColumn("is_spike",
+          col("trail_days") === 7 && col("n") * 7 > col("trail_total") * 2)
+        .orderBy("event_type", "day")
+    }),
+
     // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
     // errors with no click in [ets - lag, ets] still emit with a null
     // click — same binnable-range plan as e6, plus the null row per
@@ -454,6 +486,22 @@ object EventQueries extends QueryPack {
           SELECT day, n_dau, n_wau
           FROM dau JOIN wau USING (day)
           ORDER BY day""",
+    "e15_spike_days" ->
+      s"""WITH daily AS (
+            SELECT event_type, epoch_us(ts) // ${DAY_NS / 1000} AS day,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                                  AND (epoch_us(ts) // ${DAY_NS / 1000}) % 7 = 3
+                                 THEN 3 ELSE 1 END) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+          SELECT event_type, day, n,
+                 CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_total,
+                 CAST(count(*) OVER w AS BIGINT) AS trail_days,
+                 (count(*) OVER w = 7
+                  AND n * 7 > coalesce(sum(n) OVER w, 0) * 2) AS is_spike
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+          ORDER BY event_type, day""",
     "fa1_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
          v AS (SELECT user_id,

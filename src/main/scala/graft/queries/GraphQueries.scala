@@ -38,6 +38,10 @@ object GraphQueries extends QueryPack {
   // oracle's HAVING
   private val CoreK = 80
 
+  // gr4's seed nation — one definition feeds the Spark filter and the
+  // oracle's WHERE
+  private val BfsNation = 3
+
   /** Directed edges: customer→supplier for every (order, lineitem) pair,
     * plus supplier→customer back-edges on returned lines ('R') so the
     * graph has cycles and iteration is non-trivial. Node ids are bipartite
@@ -235,6 +239,68 @@ object GraphQueries extends QueryPack {
         .orderBy("node_id")
     }),
 
+    // Entity-linking connected components — the identity-resolution shape
+    // (link accounts that share an attribute; emit one canonical id per
+    // linked group). Graph: the "suspicious returns" bipartite subgraph —
+    // customer—supplier edges from URGENT orders whose lines came back
+    // returned at near-max quantity. The filter is the point at 100 TB:
+    // CC runs on the O(suspicious-activity) subpopulation the predicate
+    // carves out of the fact table (153 edges / 67 components at sf0.01),
+    // never on the full customer×supplier graph. Rides the SAME
+    // pointer-jumping O(log diameter) CC as the dedup family
+    // ([[graft.ops.Dedup.connectedComponents]]) — one operator, two
+    // deployments. Component = min reachable node id; the DuckDB oracle
+    // computes it as a recursive transitive closure (safe at gate scale
+    // BECAUSE the subgraph is small; the Spark side never materializes
+    // closures). Lifecycle: result is O(touched nodes) — eagerly severed,
+    // CC's internal label cache released inside the call (gr1 discipline).
+    "gr3_components" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_returnflag") === "R" && col("l_quantity") >= 49)
+            .select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val cc = graft.ops.Dedup.connectedComponents(nodes, e, "id", "src", "dst")
+      val out =
+        try cc.localCheckpoint(true)
+        finally graft.ops.Blocks.unpersist(cc)
+      out.select(col("id").as("node_id"), col("component"))
+        .orderBy("node_id")
+    }),
+
+    // Multi-source BFS reach (3 unrolled hops) — the blast-radius /
+    // contamination-propagation query: starting from every customer in
+    // one nation, how far does influence travel along the directed
+    // purchase graph (cust→supp, supp→cust only on returned lines)?
+    // Emits (node, min hops ≤ 3) via [[graft.ops.Bfs.reach]] — see there
+    // for the per-round join shape and the unhinted node-scale-frame
+    // discipline (GraphPlanSpec pins the no-broadcast tier). Deployment
+    // lifecycle here: edges shuffle once (persisted, src-partitioned) for
+    // all three rounds and are released inside the call behind an eager
+    // checkpoint of the O(reached) result (gr1 discipline).
+    "gr4_bfs_hops" -> ((s, d) => {
+      val e = edges(s, d).repartition(col("src")).persist()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === BfsNation)
+        .select((col("c_custkey") * 2).as("id"))
+        .join(nodes, Seq("id"), "left_semi")
+      val visited = graft.ops.Bfs.reach(e, seeds, 3)
+      val out =
+        try visited.localCheckpoint(true)
+        finally { e.unpersist(); nodes.unpersist() }
+      out.select(col("id").as("node_id"), col("hops").cast("int").as("hops"))
+        .orderBy("node_id")
+    }),
+
     // 2-D Pareto frontier of customers maximizing (order count, spend):
     // keyed aggregate → tiny per-x stats → broadcast back. A row survives
     // iff it holds its x-group's max y AND beats the best y of any
@@ -348,6 +414,48 @@ object GraphQueries extends QueryPack {
           SELECT id AS node_id, lbl AS label FROM l3
           ORDER BY node_id"""
     },
+    // Min-reachable-id via transitive closure: exact at gate scale
+    // because the filtered subgraph is tiny (the Spark side never builds
+    // a closure — hash-matching the pointer-jumping CC against it proves
+    // the iterative algorithm exact).
+    "gr3_components" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderpriority = '1-URGENT'
+             AND l_returnflag = 'R' AND l_quantity >= 49),
+         sym AS (SELECT src AS a, dst AS b FROM e0
+                 UNION SELECT dst, src FROM e0),
+         reach AS (
+           SELECT a AS id, b AS r FROM sym
+           UNION
+           SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         SELECT id AS node_id, least(id, min(r)) AS component
+         FROM reach GROUP BY id ORDER BY node_id""",
+    "gr4_bfs_hops" ->
+      s"""WITH e AS ($edgesSql),
+          n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          h0 AS (SELECT c_custkey * 2 AS id FROM customer
+                 WHERE c_nationkey = $BfsNation
+                   AND c_custkey * 2 IN (SELECT id FROM n)),
+          f1 AS (SELECT DISTINCT dst AS id FROM e
+                 WHERE src IN (SELECT id FROM h0)
+                   AND dst NOT IN (SELECT id FROM h0)),
+          f2 AS (SELECT DISTINCT dst AS id FROM e
+                 WHERE src IN (SELECT id FROM f1)
+                   AND dst NOT IN (SELECT id FROM h0
+                                   UNION ALL SELECT id FROM f1)),
+          f3 AS (SELECT DISTINCT dst AS id FROM e
+                 WHERE src IN (SELECT id FROM f2)
+                   AND dst NOT IN (SELECT id FROM h0
+                                   UNION ALL SELECT id FROM f1
+                                   UNION ALL SELECT id FROM f2))
+          SELECT node_id, CAST(hops AS INT) AS hops FROM (
+            SELECT id AS node_id, 0 AS hops FROM h0
+            UNION ALL SELECT id, 1 FROM f1
+            UNION ALL SELECT id, 2 FROM f2
+            UNION ALL SELECT id, 3 FROM f3)
+          ORDER BY node_id""",
     "sky1_pareto_frontier" ->
       s"""WITH base AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
                                ${Num.sqlSum("o_totalprice")} AS spend

@@ -65,6 +65,32 @@ object MultimodalQueries extends QueryPack {
         .select("media_id", "content_sha", "n_copies")
         .orderBy("media_id")
     }),
+    // Shard packing for training export (the webdataset/tar-shard
+    // manifest): assign each asset, per modality, to a fixed-byte-budget
+    // shard by running payload size, and emit the per-shard manifest
+    // (asset count, bytes, id range) the downstream loader reads. t6's
+    // running-sum packing discipline applied to BYTES of opaque payloads
+    // — but aggregated to the shard manifest, which is what an export
+    // coordinator actually schedules on. Scale: one kind-keyed window
+    // (running sum over the asset stream, no global sort) + one
+    // map-side-combined aggregate to O(shards) rows; payload bytes never
+    // shuffle — only (id, kind, length) rides the exchange, the mm4
+    // projection discipline.
+    "mm5_shard_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("kind").orderBy("media_id")
+      MediaOps.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          length(col("payload")).as("n_bytes"))
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard_id", expr("(cum - n_bytes) DIV 8192"))
+        .groupBy("kind", "shard_id")
+        .agg(count(lit(1)).cast("int").as("n_assets"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("media_id")).as("first_asset"),
+          max(col("media_id")).as("last_asset"))
+        .orderBy("kind", "shard_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +128,22 @@ object MultimodalQueries extends QueryPack {
          SELECT min(doc_id) AS media_id, sha256(payload) AS content_sha,
                 CAST(count(*) AS INT) AS n_copies
          FROM p GROUP BY sha256(payload) ORDER BY media_id""",
+    // payload bytes = UTF-8 of text (ASCII corpus), so length(text) is
+    // the byte size on both engines — the mm1 byte-fold precedent.
+    "mm5_shard_pack" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                           length(text) AS n_bytes
+                    FROM documents),
+         c AS (SELECT media_id, kind, n_bytes,
+                      sum(n_bytes) OVER (PARTITION BY kind
+                                         ORDER BY media_id) AS cum
+               FROM m)
+         SELECT kind, CAST((cum - n_bytes) // 8192 AS BIGINT) AS shard_id,
+                CAST(count(*) AS INT) AS n_assets,
+                CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+                min(media_id) AS first_asset, max(media_id) AS last_asset
+         FROM c GROUP BY kind, shard_id
+         ORDER BY kind, shard_id""",
   )
 }

@@ -240,6 +240,40 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Top-3 TF-IDF keywords per document — the per-doc topical-signature
+    // extractor (dataset cards, topic quotas, retrieval labels all want
+    // "what is this doc about" as a cheap keyed column). Scale shape: tf
+    // is one (doc, term)-keyed map-side-combined aggregate over the token
+    // stream; df reduces it to a |vocab|-row table that joins back
+    // UNHINTED (vocab is corpus-bounded but can outgrow a broadcast at
+    // 100 TB — AQE size-switches, the graph-tier discipline applied to
+    // text); the per-doc top-3 is a doc-keyed window over ≤|doc vocab|
+    // rows, never a global sort. FP discipline: score = tf·ln(N/df) is
+    // ONE fixed double expression over exact integers (t18/t19
+    // precedent), quantized through DECIMAL(18,6) on BOTH engines so the
+    // RANKING key itself — not just the emitted value — is identical
+    // cross-engine; ties broken by term for a total order.
+    "t24_tfidf_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          (col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")))
+            .cast("decimal(18,6)").cast("double"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     "t15_curriculum" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
@@ -880,6 +914,24 @@ object TextQueries extends QueryPack {
                 CAST(ntile(4) OVER (PARTITION BY source
                        ORDER BY quality, doc_id) AS INT) AS phase
          FROM q ORDER BY doc_id""",
+    "t24_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+          e AS (SELECT doc_id, unnest(ts) AS term FROM t),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM e GROUP BY doc_id, term),
+          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY term),
+          sc AS (SELECT doc_id, term, tf,
+                        CAST(CAST(CAST(tf AS DOUBLE) *
+                                  ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                             AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+                 FROM tf JOIN df USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rnk FROM sc)
+          WHERE rnk <= 3
+          ORDER BY doc_id, rnk""",
     "t23_quantile_normalize" ->
       """WITH x AS (SELECT doc_id, source, string_split(text, ' ') AS ts
                     FROM documents),

@@ -117,6 +117,36 @@ object WindowQueries extends QueryPack {
         .select("user_id", "event_id", "value", "ewma")
         .orderBy("user_id", "event_id")
     }),
+    // One-sided CUSUM drift detector per user stream: s_i = max(0,
+    // s_{i-1} + (x_i - target)) over the time-ordered value sequence —
+    // the classic change-point statistic (a persistent upward shift in a
+    // metric accumulates; noise around the target resets to 0). Target
+    // 50 sits at the corpus value mean, so the statistic genuinely
+    // fluctuates instead of degenerating to 0 or to Σx − n·target.
+    // Unlike the w6 frame smoother this is a PER-KEY fold, not per-row:
+    // one user-keyed aggregate collects the (ts, id, value) sequence
+    // (state bounded by per-user history, the same bound every
+    // sessionization op already carries), sort_array pins the exact
+    // event-time order, and ONE left fold — identical lambda both
+    // engines, init 0.0 prepended on the DuckDB side since list_reduce
+    // seeds from the head — produces the final statistic. No window, no
+    // per-row arrays, one exchange.
+    "w7_cusum" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull) // w6 NULL discipline
+        .select(col("user_id"), expr("ts DIV 1000").as("ets"),
+          col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(
+            struct(col("ets"), col("event_id"), col("value")))).as("seq"))
+        .withColumn("cusum",
+          aggregate(col("seq"), lit(0.0),
+            (acc, x) => greatest(acc + x.getField("value") - lit(50.0),
+              lit(0.0))))
+        .select(col("user_id"), col("n_events"),
+          col("cusum").cast("decimal(18,6)").cast("double").as("cusum"))
+        .orderBy("user_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +211,18 @@ object WindowQueries extends QueryPack {
                FROM events
                WHERE value IS NOT NULL)
          ORDER BY user_id, event_id""",
+    // list_reduce seeds from the list head, so the 0.0 init is prepended;
+    // the fold body is then applied once per value — the identical
+    // sequence of IEEE ops as Spark's aggregate(seq, 0.0, f).
+    "w7_cusum" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(CAST(list_reduce(
+                       list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+                       (a, b) -> greatest(a + b - 50.0, 0.0))
+                     AS DECIMAL(18,6)) AS DOUBLE) AS cusum
+         FROM events
+         WHERE value IS NOT NULL
+         GROUP BY user_id
+         ORDER BY user_id""",
   )
 }

@@ -85,6 +85,30 @@ class GraphPlanSpec extends SparkTestBase {
     }
   }
 
+  test("BFS reach at node scale: frontier/visited joins ride the edge " +
+    "partitioning — no broadcast of a node-scale frame — identical reach") {
+    import spark.implicits._
+    // directed path 0→1→2→3→4 plus a side branch 1→5: hop structure is
+    // known exactly and hop 3 must NOT include 4 (it is 4 hops out)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val expected = Set((0L, 0), (1L, 1), (2L, 2), (5L, 2), (3L, 3))
+    def reach(): Set[(Long, Int)] =
+      graft.ops.Bfs.reach(e, seeds, 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(reach() == expected, "fixture sanity (small tier)")
+    withNoBroadcast {
+      val df = graft.ops.Bfs.reach(e, seeds, 3)
+      val p = finalPlan(df)
+      assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
+          && !p.contains("BroadcastNestedLoop"),
+        "node-scale tier must not broadcast:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      assert(reach() == expected)
+    }
+  }
+
   test("small tier still broadcasts: AQE converts the degree joins at " +
     "runtime when the frame fits the threshold") {
     val p = finalPlan(Triangles.of(edgeDf, "u", "v"))

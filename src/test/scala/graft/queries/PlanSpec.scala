@@ -333,4 +333,38 @@ class PlanSpec extends SparkTestBase {
       exchanges.count(_.contains("rangepartitioning")) == 1,
       exchanges.mkString("\n"))
   }
+
+  test("t24 tf-idf top-k: the per-doc cut is a WindowGroupLimit (partial " +
+    "group-limit before the exchange), never a global sort") {
+    val p = plan("t24_tfidf_topk")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e15 spike days: one aggregate exchange + one window re-key, " +
+    "nothing else shuffles") {
+    val p = plan("e15_spike_days")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 2 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      exchanges.mkString("\n"))
+  }
+
+  test("w7 cusum: ONE user-keyed exchange (the per-key fold never " +
+    "re-shuffles) plus the output range sort") {
+    val p = plan("w7_cusum")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      exchanges.mkString("\n"))
+  }
+
+  test("mm5 shard pack: the shard aggregate reuses the window's " +
+    "kind-partitioning (subset rule) — one hash exchange total") {
+    val p = plan("mm5_shard_pack")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      exchanges.mkString("\n"))
+  }
 }
