@@ -237,6 +237,28 @@ object DedupQueries extends QueryPack {
         .withColumn("n_docs", (col("group_size") * col("n_groups")).cast("bigint"))
         .orderBy("group_size")),
 
+    // Per-source duplication report — the corpus-curation readout ("which
+    // ingest source is flooding the corpus with near-copies"), the d18
+    // histogram's sibling keyed by provenance instead of group size. Pure
+    // tail on the memoized label base: one component-keyed size aggregate,
+    // one component-keyed join back, one source-keyed roll-up — the doc
+    // table's source column rides in via a doc_id-keyed join (dupLabels
+    // carries only (doc_id, component)). Rate in integer ppm (`div`):
+    // exact on both engines, nothing float anywhere.
+    "d19_dup_rate_by_source" -> ((s, d) => {
+      val lbl = dupLabels(s, d)
+      val sizes = lbl.groupBy("component")
+        .agg(count(lit(1)).as("group_size"))
+      lbl.join(sizes, Seq("component"))
+        .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("group_size") > 1, 1L).otherwise(0L))
+            .as("n_dup_docs"))
+        .withColumn("dup_ppm", expr("(1000000 * n_dup_docs) div n_docs"))
+        .orderBy("source")
+    }),
+
     // Exact-substring (span-level) dedup, detect tier: the regions of each
     // doc whose 13-token windows also occur in ≥1 other doc, merged into
     // maximal spans — the sub-document granularity between chunk dedup
@@ -452,7 +474,23 @@ object DedupQueries extends QueryPack {
     "d16_dup_spans" -> dupSpansSql,
     "d17_span_clean" -> spanCleanSql,
     "d18_dup_size_histogram" -> dupSizeHistogramSql,
+    "d19_dup_rate_by_source" -> dupRateBySourceSql,
   )
+
+  private def dupRateBySourceSql: String =
+    s"""$componentCte,
+        sz AS (SELECT component, count(*) AS gs FROM comp GROUP BY component)
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN sz.gs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST((1000000 * CAST(sum(CASE WHEN sz.gs > 1 THEN 1 ELSE 0 END)
+                                    AS BIGINT))
+                    // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_ppm
+        FROM comp c
+        JOIN sz USING (component)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source"""
 
   private def dupSizeHistogramSql: String =
     s"""$componentCte,

@@ -156,6 +156,33 @@ object GraphQueries extends QueryPack {
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)),
 
+    // Per-node local clustering coefficient — the classic graph-quality
+    // readout (what fraction of each node's neighbor pairs are themselves
+    // connected). Pure tail on the memoized family base: per-node triangle
+    // participation (gt2's explode) left-joined to per-node degree (one
+    // explode over the cached oriented list — each oriented row is exactly
+    // one undirected edge, so endpoints count degree directly). The
+    // coefficient 2·tri/(deg·(deg−1)) is emitted in INTEGER parts-per-
+    // million (`div`): exact on both engines by construction, no
+    // cross-engine float rounding to pin. deg==1 nodes have no neighbor
+    // pair — coefficient defined as 0.
+    "gt4_clustering_coeff" -> ((s, d) => {
+      val tri = triangles(s, d)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      triBase(s, d).oriented
+        .select(explode(array(col("src"), col("dst"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+        .join(tri, Seq("part"), "left")
+        .select(col("part"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("cc_ppm",
+          when(col("deg") >= 2,
+            expr("(2000000 * n_tri) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+        .orderBy("part")
+    }),
+
     // 3 unrolled peel rounds toward the 80-core (gr1's unrolled-iteration
     // discipline applied to subgraph decomposition): each round drops
     // nodes whose degree in the CURRENT induced subgraph is < 80 and
@@ -365,6 +392,26 @@ object GraphQueries extends QueryPack {
           SELECT part, count(*) AS n_tri
           FROM (SELECT unnest([a, b, c]) AS part FROM tri)
           GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""",
+    // Degrees from the same edge CTE (each edge row contributes one to
+    // both endpoints); integer ppm arithmetic mirrors the Spark `div`
+    // exactly — // on BIGINT is floor division, all operands positive.
+    "gt4_clustering_coeff" ->
+      s"""WITH $triSql,
+          degs AS (SELECT nd AS part, count(*) AS deg
+                   FROM (SELECT unnest([u, v]) AS nd FROM edges)
+                   GROUP BY nd),
+          tpc AS (SELECT nd AS part, count(*) AS n_tri
+                  FROM (SELECT unnest([a, b, c]) AS nd FROM tri)
+                  GROUP BY nd)
+          SELECT dg.part, dg.deg,
+                 CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+                 CAST(CASE WHEN dg.deg >= 2
+                   THEN (2000000 * coalesce(t.n_tri, 0))
+                        // (dg.deg * (dg.deg - 1))
+                   ELSE 0 END AS BIGINT) AS cc_ppm
+          FROM degs dg LEFT JOIN tpc t USING (part)
+          ORDER BY part""",
+
     "gt3_kcore_peel" -> {
       def round(prev: String, n: Int): String =
         s"""k$n AS (SELECT nd FROM (SELECT u AS nd FROM $prev

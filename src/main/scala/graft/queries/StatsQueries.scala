@@ -81,6 +81,67 @@ object StatsQueries extends QueryPack {
           ((countDistinct(col("seg")) - 1) * (countDistinct(col("prio")) - 1))
             .as("dof"))
     }),
+
+    // Two-sample Kolmogorov–Smirnov statistic (click vs purchase value
+    // distributions): D = max_x |F1(x) − F2(x)|. The scalable spelling
+    // quantizes values to a bounded grid FIRST (integer cents — exact for
+    // this corpus's 2-decimal values), so the only data-scale work is one
+    // keyed aggregate to per-cell counts; the ECDF window then runs over
+    // the REDUCED cell table, whose size is bounded by the grid resolution
+    // (≤ value-range × 100 rows), not by the data — the sky1/e14
+    // bounded-domain discipline for the otherwise-unpartitionable global
+    // order. Cross-engine exactness: counts are integers, the max is taken
+    // over |f1·n2 − f2·n1| (integers), and only the final single-row
+    // statistic divides — exact-integer doubles divide identically on both
+    // engines.
+    "st3_ks_test" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("cents")
+        .agg(sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val ecdf = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("f1", sum(col("c1")).over(ecdf))
+        .withColumn("f2", sum(col("c2")).over(ecdf))
+        .withColumn("n1", sum(col("c1")).over(Window.partitionBy()))
+        .withColumn("n2", sum(col("c2")).over(Window.partitionBy()))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("dmax"))
+        .select(col("n1"), col("n2"),
+          (col("dmax").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+            .as("ks_stat"))
+    }),
+
+    // Weighted median (quantity-weighted l_extendedprice per returnflag):
+    // the order-statistic robust aggregate. One keyed aggregate collapses
+    // the fact table to per-(group, value) weight cells; the cumulative
+    // window runs per group (partitioned — scalable), and the median is
+    // the smallest value whose doubled cumulative weight reaches the group
+    // total. All-integer weights ⇒ no float accumulation anywhere; the
+    // 2·cumw ≥ tot comparison sidesteps the /2 rounding question entirely.
+    "a13_weighted_median" -> ((s, d) => {
+      val cells = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("bigint").as("w"))
+        .groupBy("flag", "v").agg(sum(col("w")).as("w"))
+      cells
+        .withColumn("cumw", sum(col("w")).over(
+          Window.partitionBy("flag").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("w")).over(Window.partitionBy("flag")))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("flag")
+        .agg(min(col("v")).as("w_median"),
+          max(col("totw")).as("total_weight"))
+        .orderBy("flag")
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -124,5 +185,43 @@ object StatsQueries extends QueryPack {
                  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1)
                       AS BIGINT) AS dof
           FROM t""",
+    // Sums CAST to BIGINT at every step: DuckDB's integer sum() returns
+    // HUGEINT, which would diverge from Spark's bigint schema.
+    "st3_ks_test" ->
+      """WITH cells AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         cum AS (
+           SELECT CAST(sum(c1) OVER (ORDER BY cents ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+                  CAST(sum(c2) OVER (ORDER BY cents ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+                  CAST(sum(c1) OVER () AS BIGINT) AS n1,
+                  CAST(sum(c2) OVER () AS BIGINT) AS n2
+           FROM cells)
+         SELECT n1, n2,
+                CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+         FROM cum GROUP BY n1, n2""",
+    "a13_weighted_median" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS flag, l_extendedprice AS v,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT flag, v,
+                  CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+           FROM cells)
+         SELECT flag, min(v) AS w_median, max(totw) AS total_weight
+         FROM cum WHERE cumw * 2 >= totw
+         GROUP BY flag ORDER BY flag""",
   )
 }

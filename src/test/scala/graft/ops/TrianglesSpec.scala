@@ -64,4 +64,28 @@ class TrianglesSpec extends SparkTestBase {
     val maxAdj = adj.select(max(size(col("nbrs")))).as[Int].head()
     assert(maxAdj <= 2, s"orientation failed to bound the hub: $maxAdj")
   }
+
+  test("clustering coefficient tail (gt4's ppm formula): pure-clique nodes " +
+    "hit exactly 1.0, overlap nodes 40/72") {
+    // two K6 cliques sharing nodes {4, 5}: a non-overlap node has deg 5 and
+    // C(5,2)=10 closed neighbor pairs (cc = 1); an overlap node has deg 9
+    // and 20 closed pairs (cc = 40/72 → 555555 ppm under integer division)
+    val clique = (lo: Long, hi: Long) =>
+      for (u <- lo until hi; v <- u + 1 until hi) yield (u, v)
+    val es = (clique(0L, 6L) ++ clique(4L, 10L)).distinct.toDF("u", "v")
+    val o = Triangles.orient(es, "u", "v")
+    val tri = Triangles.enumerate(o, Triangles.adjacency(o))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    val cc = o.select(explode(array(col("src"), col("dst"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .join(tri, Seq("n"), "left")
+      .select(col("n"), expr(
+        "(2000000 * coalesce(n_tri, 0L)) div (deg * (deg - 1))").as("ppm"))
+      .as[(Long, Long)].collect().toMap
+    for (n <- Seq(0L, 1L, 2L, 3L, 6L, 7L, 8L, 9L))
+      assert(cc(n) == 1000000L, s"node $n: ${cc(n)}")
+    for (n <- Seq(4L, 5L))
+      assert(cc(n) == 555555L, s"node $n: ${cc(n)}")
+  }
 }

@@ -367,4 +367,33 @@ class PlanSpec extends SparkTestBase {
       exchanges.count(_.contains("rangepartitioning")) == 1,
       exchanges.mkString("\n"))
   }
+
+  test("a13 weighted median: the cumulative window is PARTITIONED by group " +
+    "(never a single-task global sort); <=2 hash exchanges on the fact path") {
+    val p = plan("a13_weighted_median")
+    // both window passes must carry the flag partition key
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("flag")), specs.mkString("\n"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 2 &&
+      !p.contains("CartesianProduct"), exchanges.mkString("\n"))
+  }
+
+  test("st3 ks test: ONE data-scale hash exchange (the cents aggregate); " +
+    "the single-partition ECDF window runs over the reduced cell table only") {
+    val p = plan("st3_ks_test")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    // data-scale side: exactly one keyed exchange, on the quantized grid
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 2,
+      exchanges.mkString("\n"))
+    assert(exchanges.exists(_.contains("cents")), exchanges.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("d19 dup rate by source: pure keyed tail on the label base — no " +
+    "nested loop, no cartesian anywhere") {
+    val p = plan("d19_dup_rate_by_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
 }
