@@ -237,6 +237,46 @@ object DedupQueries extends QueryPack {
         .withColumn("n_docs", (col("group_size") * col("n_groups")).cast("bigint"))
         .orderBy("group_size")),
 
+    // Sketch-calibration report — how good is the MinHash estimate the LSH
+    // tier actually acts on? For every d4 candidate pair: the signature-
+    // agreement estimate (agreeing positions / SIG) next to the EXACT
+    // shingle-set Jaccard, plus the signed error, all in integer ppm.
+    // This is the operator a curation pipeline runs before trusting a
+    // near-dup threshold at scale. Cost: the pair set is the LSH-blocked
+    // candidate list (never all-pairs); each side joins its signature row
+    // and shingle-hash array back by doc id, and the exact Jaccard is
+    // array_intersect/array_union on already-co-located arrays — bounded
+    // by doc length, no explode, no extra shuffle beyond the two keyed
+    // joins.
+    "d20_minhash_jaccard_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hashed = Dedup.hashedShingles(docs, col("text"), K, Seq(col("doc_id")))
+        .select(col("doc_id"), col("__hs"))
+      val sigs = Dedup.withMinhashSigs(hashed, col("__hs"), SIG)
+      val left = sigs.select(col("doc_id").as("id1") +:
+        col("__hs").as("hs1") +:
+        (0 until SIG).map(i => col(s"sig$i").as(s"a$i")): _*)
+      val right = sigs.select(col("doc_id").as("id2") +:
+        col("__hs").as("hs2") +:
+        (0 until SIG).map(i => col(s"sig$i").as(s"b$i")): _*)
+      val agree = (0 until SIG)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+        .join(left, Seq("id1")).join(right, Seq("id2"))
+        .withColumn("n_agree", agree)
+        .withColumn("n_inter", size(array_intersect(
+          array_distinct(col("hs1")), array_distinct(col("hs2"))))
+          .cast("bigint"))
+        .withColumn("n_union",
+          size(array_union(col("hs1"), col("hs2"))).cast("bigint"))
+        .select(col("id1"), col("id2"),
+          expr(s"(1000000 * n_agree) div $SIG").as("est_ppm"),
+          expr("(1000000 * n_inter) div n_union").as("exact_ppm"))
+        .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+        .orderBy("id1", "id2")
+    }),
+
     // Per-source duplication report — the corpus-curation readout ("which
     // ingest source is flooding the corpus with near-copies"), the d18
     // histogram's sibling keyed by provenance instead of group size. Pure
@@ -475,7 +515,48 @@ object DedupQueries extends QueryPack {
     "d17_span_clean" -> spanCleanSql,
     "d18_dup_size_histogram" -> dupSizeHistogramSql,
     "d19_dup_rate_by_source" -> dupRateBySourceSql,
+    "d20_minhash_jaccard_estimate" -> minhashEstimateSql,
   )
+
+  /** d20: same band-key pair generation as d4, then per pair the
+    * signature-agreement estimate vs the exact distinct-shingle Jaccard,
+    * in integer ppm ('//' floor division mirrors Spark's `div`).
+    */
+  private def minhashEstimateSql: String = {
+    val keys = (0 until BANDS).map { b =>
+      StableHash.bandKeySql((0 until ROWS).map(r => s"sig${b * ROWS + r}"))
+    }.mkString("[", ", ", "]")
+    val bandIdx = (0 until BANDS).map(b => b.toString).mkString("[", ", ", "]")
+    val agreeSum = (0 until SIG)
+      .map(i => s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""$hashCte,
+        sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
+        bk AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($keys) AS key FROM sig),
+        pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                                     AND l.doc_id < r.doc_id),
+        est AS (SELECT p.id1, p.id2, CAST($agreeSum AS BIGINT) AS n_agree
+                FROM pairs p
+                JOIN sig a ON a.doc_id = p.id1
+                JOIN sig b ON b.doc_id = p.id2),
+        ex AS (SELECT p.id1, p.id2,
+                      CAST(len(list_intersect(list_distinct(ha.hs),
+                                              list_distinct(hb.hs)))
+                           AS BIGINT) AS n_inter,
+                      CAST(len(list_distinct(list_concat(ha.hs, hb.hs)))
+                           AS BIGINT) AS n_union
+               FROM pairs p
+               JOIN h ha ON ha.doc_id = p.id1
+               JOIN h hb ON hb.doc_id = p.id2)
+        SELECT est.id1, est.id2,
+               CAST((1000000 * n_agree) // $SIG AS BIGINT) AS est_ppm,
+               CAST((1000000 * n_inter) // n_union AS BIGINT) AS exact_ppm,
+               CAST((1000000 * n_agree) // $SIG
+                    - (1000000 * n_inter) // n_union AS BIGINT) AS err_ppm
+        FROM est JOIN ex ON est.id1 = ex.id1 AND est.id2 = ex.id2
+        ORDER BY est.id1, est.id2"""
+  }
 
   private def dupRateBySourceSql: String =
     s"""$componentCte,

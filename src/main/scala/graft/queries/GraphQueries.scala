@@ -42,6 +42,11 @@ object GraphQueries extends QueryPack {
   // oracle's WHERE
   private val BfsNation = 3
 
+  // gt5's per-center neighborhood cap (smallest ids win — deterministic on
+  // both engines); bounds wedge-pair work per center at C(cap, 2) under
+  // any degree skew
+  private val MaxNbrs = 64
+
   /** Directed edges: customer→supplier for every (order, lineitem) pair,
     * plus supplier→customer back-edges on returned lines ('R') so the
     * graph has cycles and iteration is non-trivial. Node ids are bipartite
@@ -214,6 +219,37 @@ object GraphQueries extends QueryPack {
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
         .orderBy("node")
+    }),
+
+    // Common-neighbors link prediction — rank the strongest NON-edges of
+    // the co-purchase graph ("parts never bought together despite sharing
+    // many co-purchase partners" = recommendation candidates). Wedge pairs
+    // need each center's FULL neighborhood (triangle-style degree
+    // orientation undercounts: it only sees the center's out-wedges), so
+    // the hub blow-up is bounded the d6 way: each center's neighbor list
+    // is capped at its MaxNbrs smallest neighbor ids — deterministic,
+    // oracle-replicable, and the per-center pair work is ≤ C(64,2)
+    // regardless of skew. One center-keyed aggregate + one pair-keyed
+    // count + an anti-join against the (normalized) edge set + TakeOrdered.
+    "gt5_link_prediction" -> ((s, d) => {
+      val tb = triBase(s, d)
+      val sym = tb.oriented.select(
+          explode(array(
+            struct(col("src").as("c"), col("dst").as("n")),
+            struct(col("dst").as("c"), col("src").as("n")))).as("e"))
+        .select(col("e.c").as("c"), col("e.n").as("n"))
+      val capped = sym.groupBy("c")
+        .agg(slice(sort_array(collect_list(col("n"))), 1, MaxNbrs).as("ns"))
+      val cand = capped
+        .select(posexplode(col("ns")).as(Seq("i", "u")), col("ns"))
+        .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+      val edges = tb.oriented.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      cand.join(edges, Seq("u", "v"), "left_anti")
+        .orderBy(col("n_common").desc, col("u"), col("v"))
+        .limit(20)
     }),
 
     // 3 unrolled PageRank iterations (mass form: avg node mass = 1, so
@@ -430,6 +466,24 @@ object GraphQueries extends QueryPack {
           FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
           GROUP BY node ORDER BY node"""
     },
+
+    // Same id-normalized edge set as triSql; the 64-cap is row_number
+    // over neighbor id — identical to Spark's sorted-slice cap.
+    "gt5_link_prediction" ->
+      s"""WITH $triSql,
+          sym AS (SELECT u AS c, v AS n FROM edges
+                  UNION ALL SELECT v, u FROM edges),
+          rk AS (SELECT c, n, row_number() OVER (PARTITION BY c ORDER BY n)
+                   AS rn FROM sym),
+          cap AS (SELECT c, n FROM rk WHERE rn <= $MaxNbrs),
+          w AS (SELECT l.n AS u, r.n AS v
+                FROM cap l JOIN cap r ON l.c = r.c AND l.n < r.n),
+          cnt AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+                  FROM w GROUP BY u, v)
+          SELECT cnt.u, cnt.v, cnt.n_common
+          FROM cnt LEFT JOIN edges e ON cnt.u = e.u AND cnt.v = e.v
+          WHERE e.u IS NULL
+          ORDER BY n_common DESC, cnt.u, cnt.v LIMIT 20""",
 
     "gr1_pagerank" ->
       s"""WITH edges AS ($edgesSql),

@@ -137,6 +137,66 @@ object JoinQueries extends QueryPack {
         .orderBy("c_custkey", "version")
     }),
 
+    // Snapshot diff — the CDC companion to cdc1: given two versions of a
+    // table, emit only the delta rows (added / removed / changed). Both
+    // snapshots derive deterministically from the dim itself (old = keys
+    // % 11 ≠ 1, new = keys % 13 ≠ 2 with % 5 = 0 balances bumped +50) so
+    // the oracle reproduces them. Plan: ONE keyed full-outer join — both
+    // sides are table-scale at 100 TB so nothing broadcasts, and the
+    // added/removed/changed classification is a row-local CASE after the
+    // join (unchanged rows drop without any second pass). +50.0 is one
+    // IEEE add — bit-identical cross-engine, cdc1's discipline.
+    "cdc2_snapshot_diff" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val old_ = dim.filter(col("c_custkey") % 11 =!= 1)
+        .select(col("c_custkey"), col("c_acctbal").as("old_bal"))
+      val neu = dim.filter(col("c_custkey") % 13 =!= 2)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(50.0))
+            .otherwise(col("c_acctbal")).as("new_bal"))
+      old_.join(neu, Seq("c_custkey"), "full_outer")
+        .withColumn("status",
+          when(col("old_bal").isNull, "added")
+            .when(col("new_bal").isNull, "removed")
+            .when(col("old_bal") =!= col("new_bal"), "changed"))
+        .filter(col("status").isNotNull)
+        .orderBy("c_custkey")
+    }),
+
+    // Referential-integrity audit — the warehouse-health operator: for
+    // each FK relationship, how many child rows point at a missing parent
+    // (orphans) and how many parents are never referenced. Orphans are a
+    // keyed LEFT ANTI join riding the child's partitioning; unreferenced
+    // parents anti-join against the DISTINCT child keys (pre-aggregated so
+    // the anti-join probe is parent-scale, not fact-scale). The three
+    // 1-row audit results join by broadcast — bounded by the number of
+    // relationships, never by data.
+    "dq3_referential_integrity" -> ((s, d) => {
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child
+          .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val unref = parent
+          .join(child.select(col(ck).as(pk)).distinct(), Seq(pk), "left_anti")
+          .agg(count(lit(1)).as("n_unreferenced"))
+        child.agg(count(lit(1)).as("n_child_rows"))
+          .join(broadcast(orphans)).join(broadcast(unref)) // 1-row sides
+          .select(lit(name).as("relationship"), col("n_child_rows"),
+            col("n_orphans"), col("n_unreferenced"))
+      }
+      rel("lineitem.partkey->part",
+          Tables.lineitem(s, d).select("l_partkey"), "l_partkey",
+          Tables.part(s, d), "p_partkey")
+        .unionByName(rel("lineitem.suppkey->supplier",
+          Tables.lineitem(s, d).select("l_suppkey"), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(rel("orders.custkey->customer",
+          Tables.orders(s, d).select("o_custkey"), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("relationship")
+    }),
+
     // TPC-H Q3 shape (shipping priority): the classic fact⋈fact⋈dim
     // multi-join — lineitem⋈orders shuffles on the orderkey, the filtered
     // customer dim broadcasts, and all three filters reach their scans
@@ -356,6 +416,48 @@ object JoinQueries extends QueryPack {
          SELECT c_custkey, c_acctbal + 100.0, CAST(2 AS INT), true
          FROM customer WHERE c_custkey % 7 = 0
          ORDER BY c_custkey, version""",
+    "cdc2_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey, c_acctbal AS old_bal
+                    FROM customer WHERE c_custkey % 11 <> 1),
+          b AS (SELECT c_custkey,
+                       CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+                            ELSE c_acctbal END AS new_bal
+                FROM customer WHERE c_custkey % 13 <> 2)
+         SELECT c_custkey, old_bal, new_bal,
+                CASE WHEN old_bal IS NULL THEN 'added'
+                     WHEN new_bal IS NULL THEN 'removed'
+                     WHEN old_bal <> new_bal THEN 'changed' END AS status
+         FROM a FULL OUTER JOIN b USING (c_custkey)
+         WHERE old_bal IS NULL OR new_bal IS NULL OR old_bal <> new_bal
+         ORDER BY c_custkey""",
+    "dq3_referential_integrity" ->
+      """SELECT 'lineitem.partkey->part' AS relationship,
+                CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+                CAST((SELECT count(*) FROM lineitem
+                      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+                     AS BIGINT) AS n_orphans,
+                CAST((SELECT count(*) FROM part
+                      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+                     AS BIGINT) AS n_unreferenced
+         UNION ALL
+         SELECT 'lineitem.suppkey->supplier',
+                CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                CAST((SELECT count(*) FROM lineitem
+                      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+                     AS BIGINT),
+                CAST((SELECT count(*) FROM supplier
+                      WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+                     AS BIGINT)
+         UNION ALL
+         SELECT 'orders.custkey->customer',
+                CAST((SELECT count(*) FROM orders) AS BIGINT),
+                CAST((SELECT count(*) FROM orders
+                      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                     AS BIGINT),
+                CAST((SELECT count(*) FROM customer
+                      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                     AS BIGINT)
+         ORDER BY relationship""",
     "j1_cross_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name
          FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
@@ -567,6 +567,49 @@ object TextQueries extends QueryPack {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)
     }),
+
+    // Bigram language-model cross-entropy per source — the quality scorer
+    // a curation pipeline trains on one corpus half and applies to the
+    // rest (the in-engine form of the CCNet-style "perplexity bucket"
+    // signal). Train = even doc_ids, score = odd: add-one-smoothed
+    // p(w2|w1) = (c12+1)/(c1+V), per-source mean −ln p. Scale shape: the
+    // bigram pair stream is built narrow (t21's offset-array discipline —
+    // no positional self-join); the bigram COUNT table is vocab²-scale so
+    // its join back is keyed and deliberately unhinted (t24's df rule);
+    // only the 1-row vocab size broadcasts. ln of exact rationals is
+    // IEEE-identical cross-engine (t19 precedent); accumulation decimal.
+    "t25_bigram_crossent" -> ((s, d) => {
+      def bigrams(c: Column) = when(size(c) >= 2,
+        transform(sequence(lit(1), size(c) - 1), i =>
+          struct(element_at(c, i).as("w1"), element_at(c, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("ts"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val big = train.select(explode(bigrams(col("ts"))).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = train.select(explode(col("ts")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          explode(bigrams(col("ts"))).as("pr"))
+        .select(col("source"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .join(big, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp",
+          log((coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)).cast("double")
+              + col("v").cast("double"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"), Num.dsum(col("lp")).as("lp_sum"))
+        .withColumn("mean_ce",
+          -(col("lp_sum") / col("n_pairs").cast("double")))
+        .orderBy("source")
+    }),
   )
 
   // t20 draw size: well under the sf0.01 corpus (500 docs) so exclusion
@@ -1013,6 +1056,34 @@ object TextQueries extends QueryPack {
           CROSS JOIN tot tt CROSS JOIN nt n
           WHERE c.c_ab >= 5
           ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50""",
+    "t25_bigram_crossent" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                     FROM documents),
+          bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+                 FROM (SELECT ts, unnest(generate_series(1,
+                         greatest(len(ts) - 1, 0))) AS i
+                       FROM t WHERE doc_id % 2 = 0)),
+          big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                  FROM bg GROUP BY w1, w2),
+          uni AS (SELECT tk AS w1, CAST(count(*) AS BIGINT) AS c1
+                  FROM (SELECT unnest(ts) AS tk FROM t WHERE doc_id % 2 = 0)
+                  GROUP BY tk),
+          vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+          sp AS (SELECT source, ts[i] AS w1, ts[i + 1] AS w2
+                 FROM (SELECT source, ts, unnest(generate_series(1,
+                         greatest(len(ts) - 1, 0))) AS i
+                       FROM t WHERE doc_id % 2 = 1)),
+          j AS (SELECT sp.source,
+                       ln((CAST(coalesce(big.c12, 0) AS DOUBLE) + 1.0) /
+                          (CAST(coalesce(uni.c1, 0) AS DOUBLE)
+                           + CAST(vs.v AS DOUBLE))) AS lp
+                FROM sp LEFT JOIN big USING (w1, w2)
+                        LEFT JOIN uni USING (w1)
+                        CROSS JOIN vs)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                 ${Num.sqlSum("lp")} AS lp_sum,
+                 -(${Num.sqlSum("lp")} / CAST(count(*) AS DOUBLE)) AS mean_ce
+          FROM j GROUP BY source ORDER BY source""",
   )
 
   private def bm25Sql: String = {

@@ -396,4 +396,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.linesIterator.take(8).mkString("\n"))
   }
+
+  test("cdc2 snapshot diff: ONE keyed full-outer join — table-scale sides, " +
+    "never broadcast, never nested-loop") {
+    val p = plan("cdc2_snapshot_diff")
+    assert(p.contains("FullOuter"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("dq3 referential integrity: six keyed anti-joins (3 rels x " +
+    "orphans + unreferenced); only the 1-row audit results cross-join") {
+    val p = plan("dq3_referential_integrity")
+    assert(p.linesIterator.count(_.contains("LeftAnti")) >= 6,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d20 minhash calibration: candidate pairs join their signatures by " +
+    "key — no cartesian, no nested loop anywhere") {
+    val p = plan("d20_minhash_jaccard_estimate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("gt5 link prediction: capped wedge fan-out is a Generate; the 20-row " +
+    "cut is TakeOrdered; no cartesian anywhere") {
+    val p = plan("gt5_link_prediction")
+    assert(p.contains("Generate"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t25 bigram cross-entropy: no cartesian; the scoring stream reaches " +
+    "the bigram counts through an equi join (unhinted — t24 vocab rule)") {
+    val p = plan("t25_bigram_crossent")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join") && p.contains("w1"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
 }
