@@ -94,6 +94,17 @@ object TextOps {
       least(comps("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.1)
   }
 
+  /** DuckDB twin of [[qualityScore]] over a pre-split token-list column
+    * `ts` — the same left-associated double tree (t2's oracle spells the
+    * identical math through its component CTE; d21 selects ON the score,
+    * so it shares this single-expression form).
+    */
+  def qualityScoreSql(ts: String): String =
+    s"(CAST(len(list_distinct($ts)) AS DOUBLE) / CAST(len($ts) AS DOUBLE) * 0.6" +
+      s" + (1.0 - CAST(len(list_filter($ts, t -> list_contains(['the','a','and','of'], t))) AS DOUBLE)" +
+      s" / CAST(len($ts) AS DOUBLE)) * 0.3" +
+      s" + least(CAST(len($ts) AS DOUBLE) / 100.0, 1.0) * 0.1)"
+
   // ---- PII redaction -----------------------------------------------------
 
   /** PII patterns restricted to the Java-regex ∩ RE2 common subset so the

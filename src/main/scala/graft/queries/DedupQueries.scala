@@ -1,10 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextOps}
 
 /** Deduplication pack (builder-prompt extension) over `documents`:
   * exact, keep-first, MinHash signatures, LSH candidate pairs, SimHash,
@@ -277,6 +278,32 @@ object DedupQueries extends QueryPack {
         .orderBy("id1", "id2")
     }),
 
+    // Quality-aware canonical selection — production near-dedup does NOT
+    // keep the minimum id (d8's convention): it keeps each group's BEST
+    // member (highest quality score, t2's definition) so dedup improves
+    // the corpus instead of sampling it arbitrarily. Pure tail on the
+    // memoized dup-label base: one doc-keyed quality join, then ONE
+    // component-keyed exchange serving both the row_number pick and the
+    // group-size count (same partitioning — the window subset rule).
+    // quality is t2's bit-stable double, so the DESC order and the
+    // emitted column hash identically cross-engine; doc_id breaks ties.
+    "d21_quality_canonical" -> ((s, d) => {
+      val q = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val labeled = dupLabels(s, d).select("doc_id", "component")
+        .join(q, Seq("doc_id"))
+      val wOrd = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wAll = Window.partitionBy(col("component"))
+      labeled
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("group_size", count(lit(1)).over(wAll).cast("int"))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id"), col("group_size"),
+          col("quality"))
+        .orderBy("component")
+    }),
+
     // Per-source duplication report — the corpus-curation readout ("which
     // ingest source is flooding the corpus with near-copies"), the d18
     // histogram's sibling keyed by provenance instead of group size. Pure
@@ -516,7 +543,28 @@ object DedupQueries extends QueryPack {
     "d18_dup_size_histogram" -> dupSizeHistogramSql,
     "d19_dup_rate_by_source" -> dupRateBySourceSql,
     "d20_minhash_jaccard_estimate" -> minhashEstimateSql,
+    "d21_quality_canonical" -> qualityCanonicalSql,
   )
+
+  /** d21: componentCte's labels joined to the shared quality-score twin
+    * ([[TextOps.qualityScoreSql]]); the same single window pass picks the
+    * best member and sizes the group.
+    */
+  private def qualityCanonicalSql: String =
+    s"""$componentCte,
+        qx AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        qq AS (SELECT doc_id, ${TextOps.qualityScoreSql("ts")} AS quality
+               FROM qx),
+        lj AS (SELECT c.doc_id, c.component, qq.quality
+               FROM comp c JOIN qq ON qq.doc_id = c.doc_id),
+        rk AS (SELECT *,
+                 row_number() OVER (PARTITION BY component
+                   ORDER BY quality DESC, doc_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY component) AS INT)
+                   AS group_size
+               FROM lj)
+        SELECT component, doc_id, group_size, quality FROM rk WHERE rn = 1
+        ORDER BY component"""
 
   /** d20: same band-key pair generation as d4, then per pair the
     * signature-agreement estimate vs the exact distinct-shingle Jaccard,

@@ -170,6 +170,34 @@ object SimilarityQueries extends QueryPack {
         DIM, nSub = NSUB, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
+
+    // ANN calibration report — the d20 discipline applied to the vector
+    // tier: per-query recall@k of the production IVF path (sim5's exact
+    // config) against the exhaustive baseline (sim1's), in integer ppm so
+    // there is no float to round cross-engine. This is the readout a
+    // pipeline checks before trusting an nprobe setting at scale; the
+    // AnnRecallSpec assertions become a user-visible table. Cost shape:
+    // the exhaustive side is Q·N by definition — the calibration tier
+    // runs on the SAMPLED query set (vec_id % QMOD), so the bound is the
+    // sample size, not the corpus; the overlap count is one (query_id,
+    // neighbor_id)-keyed semi-join + one query-keyed aggregate.
+    "sim10_recall_report" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
+          col("vec_id") % QMOD === 0, nprobe = 2, k = TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $TOPK"))
+        .orderBy("query_id")
+    }),
   )
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
@@ -439,6 +467,58 @@ object SimilarityQueries extends QueryPack {
                    ORDER BY adist, neighbor_id) AS INT) AS rank FROM a)
           SELECT query_id, neighbor_id, rank, adist FROM r
           WHERE rank <= $TOPK ORDER BY query_id, rank"""
+    },
+    // sim1's exhaustive CTE ∩ sim5's IVF CTE, counted per query; '//'
+    // floor division mirrors Spark's `div` (n_hits >= 0, so they agree).
+    "sim10_recall_report" -> {
+      val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      s"""WITH bscored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0),
+          branked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored),
+          exact AS (SELECT query_id, neighbor_id FROM branked
+                    WHERE rank <= $TOPK),
+          cent AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 7 AND vec_id < $CENT_CAP),
+          iranked AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $ccos DESC, c.cid) AS crn
+            FROM embeddings e CROSS JOIN cent c),
+          iassign AS (
+            SELECT vec_id AS neighbor_id, embedding AS nv, cid
+            FROM iranked WHERE crn = 1),
+          iprobes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cid
+            FROM iranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+          icands AS (
+            SELECT p.query_id, a.neighbor_id,
+                   ${Similarity.cosineSql("p.qv", "a.nv", DIM)} AS cos
+            FROM iprobes p JOIN iassign a ON p.cid = a.cid
+            WHERE p.query_id <> a.neighbor_id),
+          irr AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+            FROM icands),
+          approx AS (SELECT query_id, neighbor_id FROM irr
+                     WHERE rank <= $TOPK),
+          hits AS (
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM approx a JOIN exact e
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY a.query_id)
+          SELECT q.query_id,
+                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST((1000000 * coalesce(h.n_hits, 0)) // $TOPK AS BIGINT)
+                   AS recall_ppm
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN hits h ON q.query_id = h.query_id
+          ORDER BY q.query_id"""
     },
   )
 }

@@ -118,6 +118,41 @@ object StatsQueries extends QueryPack {
             .as("ks_stat"))
     }),
 
+    // Mann–Whitney U (rank-sum) — the nonparametric two-sample location
+    // test beside st3's distribution test, ties handled by midranks. Same
+    // bounded-domain discipline: quantize to integer cents FIRST, so the
+    // only data-scale work is one keyed aggregate to per-cell counts; the
+    // rank window runs over the REDUCED cell table (grid-bounded rows).
+    // Exactness: midranks are half-integers, so everything is carried
+    // DOUBLED (2·midrank = 2·cumcount − cellsize + 1 — an integer);
+    // only the final 1-row U and AUC divide, and exact-int doubles divide
+    // identically cross-engine.
+    "st4_mannwhitney" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("cents")
+        .agg(sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val ecdf = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("m", col("c1") + col("c2"))
+        .withColumn("cumt", sum(col("m")).over(ecdf))
+        .withColumn("rx2", col("cumt") * 2 - col("m") + 1)
+        .withColumn("n1", sum(col("c1")).over(Window.partitionBy()))
+        .withColumn("n2", sum(col("c2")).over(Window.partitionBy()))
+        .groupBy("n1", "n2")
+        .agg(sum(col("c1") * col("rx2")).as("r1x2"))
+        .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1))
+        .select(col("n1"), col("n2"),
+          (col("u1x2").cast("double") / lit(2.0)).as("u1"),
+          (col("u1x2").cast("double") /
+            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+            .as("auc"))
+    }),
+
     // Weighted median (quantity-weighted l_extendedprice per returnflag):
     // the order-statistic robust aggregate. One keyed aggregate collapses
     // the fact table to per-(group, value) weight cells; the cumulative
@@ -208,6 +243,33 @@ object StatsQueries extends QueryPack {
                 CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
          FROM cum GROUP BY n1, n2""",
+    // Doubled-midrank algebra mirrored exactly; sums CAST to BIGINT at
+    // every step (DuckDB integer sum() returns HUGEINT — st3's rule).
+    "st4_mannwhitney" ->
+      """WITH cells AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         cum AS (
+           SELECT c1, c2, c1 + c2 AS m,
+                  CAST(sum(c1 + c2) OVER (ORDER BY cents ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumt,
+                  CAST(sum(c1) OVER () AS BIGINT) AS n1,
+                  CAST(sum(c2) OVER () AS BIGINT) AS n2
+           FROM cells),
+         agg AS (
+           SELECT n1, n2,
+                  CAST(sum(c1 * (cumt * 2 - m + 1)) AS BIGINT) AS r1x2
+           FROM cum GROUP BY n1, n2)
+         SELECT n1, n2,
+                CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+                  (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+         FROM agg""",
     "a13_weighted_median" ->
       """WITH cells AS (
            SELECT l_returnflag AS flag, l_extendedprice AS v,

@@ -568,6 +568,37 @@ object TextQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Per-doc n-gram novelty — the memorization-potential readout: what
+    // fraction of a doc's distinct 8-grams has no earlier (smaller-id)
+    // occurrence anywhere in the corpus. Low novelty = boilerplate /
+    // near-copy even when no single pair crosses a dedup threshold. Same
+    // gram spelling as t8 (one 8-gram definition across the
+    // decontaminate/novelty family). Shape: explode distinct grams, ONE
+    // gram-keyed min aggregate (the first-seer), join-back riding the
+    // same gram partitioning, one doc-keyed roll-up; integer ppm, so
+    // nothing floats. At 100 TB the gram strings would be fingerprinted
+    // first (d9's knob) — the plan shape is unchanged.
+    "t26_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromTokens(col("__ts"), 8)).as("g"))
+      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val per = grams.join(firstSeen, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("novelty_ppm",
+          when(col("n_grams") > 0, expr("(1000000 * n_novel) div n_grams")))
+        .orderBy("doc_id")
+    }),
+
     // Bigram language-model cross-entropy per source — the quality scorer
     // a curation pipeline trains on one corpus half and applies to the
     // rest (the in-engine form of the CCNet-style "perplexity bucket"
@@ -1056,6 +1087,28 @@ object TextQueries extends QueryPack {
           CROSS JOIN tot tt CROSS JOIN nt n
           WHERE c.c_ab >= 5
           ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50""",
+    "t26_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          i AS (SELECT doc_id, ts,
+                       unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+                FROM t),
+          n AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                FROM i),
+          fs AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+                 FROM n GROUP BY g),
+          per AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(sum(CASE WHEN fs.first_doc = n.doc_id
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                  FROM n JOIN fs USING (g) GROUP BY n.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                 CASE WHEN coalesce(p.n_grams, 0) > 0
+                      THEN CAST((1000000 * p.n_novel) // p.n_grams AS BIGINT)
+                 END AS novelty_ppm
+          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+          ORDER BY d.doc_id""",
     "t25_bigram_crossent" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
                      FROM documents),

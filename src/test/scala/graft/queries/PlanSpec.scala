@@ -434,4 +434,37 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join") && p.contains("w1"),
       p.linesIterator.take(8).mkString("\n"))
   }
+
+  test("sim10 recall report: the exact∩approx overlap is a keyed semi-join " +
+    "(the exhaustive tier is the sampled-query baseline by design)") {
+    val p = plan("sim10_recall_report")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d21 canonical pick: ONE component-keyed hash exchange serves both " +
+    "the row_number pick and the group-size count (window subset rule)") {
+    val p = plan("d21_quality_canonical")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("component")) == 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("st4 mann-whitney: ONE data-scale hash exchange (the cents " +
+    "aggregate); the rank window runs over the reduced cell table only") {
+    val p = plan("st4_mannwhitney")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 2,
+      exchanges.mkString("\n"))
+    assert(exchanges.exists(_.contains("cents")), exchanges.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t26 novelty: gram-keyed first-seer aggregate + join-back — no " +
+    "cartesian, no nested loop anywhere") {
+    val p = plan("t26_ngram_novelty")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
