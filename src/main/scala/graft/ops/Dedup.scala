@@ -467,15 +467,21 @@ object Dedup {
       // checkpoint does NOT pay off here — AQE re-plans the per-round
       // joins anyway and the extra up-front exchange is pure cost)
       .localCheckpoint()
+    // severStats on EVERY checkpoint in this loop: the carried origin
+    // stats multiply through the per-round joins (bit-length compounding
+    // per round) until driver planning drowns in BigInteger arithmetic —
+    // the sf10-caught failure documented at GraftSqlBridge.severStats
+    val symS = org.apache.spark.sql.GraftSqlBridge.severStats(sym)
     // iterate ONLY over nodes that touch an edge: everything else is its
     // own singleton component and never changes — at dedup scale that is
     // the overwhelming majority of the corpus, so the loop tables shrink
     // from |nodes| to |dup-cluster members|. Seeding with the first hop
     // (component = min(id, direct neighbors)) also saves one full round.
-    var labels = sym.groupBy(col("a"))
-      .agg(min(col("b")).as("mb"))
-      .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
-      .localCheckpoint()
+    var labels = org.apache.spark.sql.GraftSqlBridge.severStats(
+      symS.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
+        .localCheckpoint())
     var iter = 0
     var done = false
     // exception safety: a mid-loop failure (task error, non-convergence)
@@ -483,7 +489,7 @@ object Dedup {
     // free the live label table on ANY abnormal exit, sym on every exit
     try {
       while (!done && iter < maxIter) {
-        val nbrMin = sym
+        val nbrMin = symS
           .join(labels.select(col("id").as("b"), col("component").as("nc")), Seq("b"))
           .groupBy(col("a")).agg(min(col("nc")).as("min_nbr"))
           .withColumnRenamed("a", "id")
@@ -505,15 +511,16 @@ object Dedup {
           .select(col("id"), col("__old"),
             coalesce(col("__jump"), col("component")).as("component"))
           .localCheckpoint()
+        val nextS = org.apache.spark.sql.GraftSqlBridge.severStats(next)
         // convergence check as a direct scan of the just-materialized
         // checkpoint blocks — a milliseconds job. The previous form rode
         // the materialization as an observe() metric, but Observation.get
         // waits on the listener BUS, and in a long session (Bench: 100+
         // queries of task events) bus backlog turned that wait into
         // multi-second stalls (measured: d8 5.5s → 20.6s outliers)
-        done = next.filter(col("component") < col("__old")).isEmpty
+        done = nextS.filter(col("component") < col("__old")).isEmpty
         Blocks.unpersist(labels) // superseded by `next`
-        labels = next.drop("__old")
+        labels = nextS.drop("__old")
         iter += 1
       }
       require(done, s"connectedComponents did not converge in $maxIter rounds")

@@ -17,8 +17,20 @@ object DedupQueries extends QueryPack {
 
   private val K = 3          // shingle width (words)
   private val SIG = 16       // minhash signature width
-  private val BANDS = 2      // LSH bands (rows = 1: collide on any shared
-  private val ROWS = 1       //   minhash — sized for the synthetic corpus)
+  // LSH banding geometry. rows = 2: a candidate pair must agree on BOTH
+  // minhashes of a band (collision prob per band = J², not J). rows = 1
+  // was "sized for the synthetic corpus" and died at the sf10 scale
+  // probe: a single min-statistic is heavily concentrated (every doc
+  // containing the corpus's lowest-hashing common shingle shares it), so
+  // one-minhash buckets chain random docs — measured at sf10: 1.62M
+  // candidate pairs whose union-find forms a 332,914-doc GIANT COMPONENT
+  // (66% of the corpus in one "dup group", CC needs >30 rounds). With
+  // rows = 2 the same corpus yields 559k pairs, largest component 30,
+  // and sf0.01 keeps 85 pairs / 59 groups — still provably non-vacuous.
+  // The standard web-scale tuning (r grows with corpus) — recorded in
+  // PLANS.md.
+  private val BANDS = 2
+  private val ROWS = 2
   private val BITS = 32      // simhash width
   private val CHUNK = 16     // chunk-dedup paragraph width (tokens)
   private val SPAN_K = 13    // span-dedup window (tokens) — the classic
@@ -275,6 +287,40 @@ object DedupQueries extends QueryPack {
           expr(s"(1000000 * n_agree) div $SIG").as("est_ppm"),
           expr("(1000000 * n_inter) div n_union").as("exact_ppm"))
         .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Shingle containment — the asymmetric near-dup measure Jaccard
+    // misses: a short doc fully embedded in a longer one (quote farms,
+    // page-with-boilerplate wrappers) has |A∩B|/|A| ≈ 1 while
+    // |A∩B|/|A∪B| stays small, so a Jaccard-thresholded pipeline keeps
+    // both copies. Same LSH-blocked pair set as d4/d20 (never all
+    // pairs), both directional containments + Jaccard on the co-located
+    // distinct-shingle arrays, integer ppm; `is_contained` flags either
+    // direction ≥ 0.9. Zero-shingle guards emit NULL rather than divide
+    // (docs shorter than the shingle width).
+    "d22_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hashed = Dedup.hashedShingles(docs, col("text"), K, Seq(col("doc_id")))
+        .select(col("doc_id"), array_distinct(col("__hs")).as("hs"))
+      Dedup.lshPairs(docs, "doc_id", col("text"), K, BANDS, ROWS)
+        .join(hashed.select(col("doc_id").as("id1"), col("hs").as("hs1")),
+          Seq("id1"))
+        .join(hashed.select(col("doc_id").as("id2"), col("hs").as("hs2")),
+          Seq("id2"))
+        .withColumn("n_inter",
+          size(array_intersect(col("hs1"), col("hs2"))).cast("bigint"))
+        .withColumn("n1", size(col("hs1")).cast("bigint"))
+        .withColumn("n2", size(col("hs2")).cast("bigint"))
+        .select(col("id1"), col("id2"),
+          when(col("n1") > 0, expr("(1000000 * n_inter) div n1")).as("c1_ppm"),
+          when(col("n2") > 0, expr("(1000000 * n_inter) div n2")).as("c2_ppm"),
+          when(col("n1") + col("n2") - col("n_inter") > 0,
+            expr("(1000000 * n_inter) div (n1 + n2 - n_inter)"))
+            .as("jaccard_ppm"))
+        .withColumn("is_contained",
+          greatest(coalesce(col("c1_ppm"), lit(0L)),
+            coalesce(col("c2_ppm"), lit(0L))) >= 900000L)
         .orderBy("id1", "id2")
     }),
 
@@ -544,7 +590,47 @@ object DedupQueries extends QueryPack {
     "d19_dup_rate_by_source" -> dupRateBySourceSql,
     "d20_minhash_jaccard_estimate" -> minhashEstimateSql,
     "d21_quality_canonical" -> qualityCanonicalSql,
+    "d22_containment" -> containmentSql,
   )
+
+  /** d22: d4's band-key pair CTE, then both directional containments on
+    * the distinct-shingle lists ('//' floor division mirrors `div`;
+    * zero-shingle sides emit NULL on both engines).
+    */
+  private def containmentSql: String = {
+    val keys = (0 until BANDS).map { b =>
+      StableHash.bandKeySql((0 until ROWS).map(r => s"sig${b * ROWS + r}"))
+    }.mkString("[", ", ", "]")
+    val bandIdx = (0 until BANDS).map(b => b.toString).mkString("[", ", ", "]")
+    s"""$hashCte,
+        sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
+        bk AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($keys) AS key
+               FROM sig),
+        pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                                     AND l.doc_id < r.doc_id),
+        hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+        m AS (SELECT p.id1, p.id2,
+                     CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+                     CAST(len(a.hs) AS BIGINT) AS n1,
+                     CAST(len(b.hs) AS BIGINT) AS n2
+              FROM pairs p JOIN hd a ON a.doc_id = p.id1
+                           JOIN hd b ON b.doc_id = p.id2)
+        SELECT id1, id2,
+               CASE WHEN n1 > 0
+                    THEN CAST((1000000 * n_inter) // n1 AS BIGINT) END AS c1_ppm,
+               CASE WHEN n2 > 0
+                    THEN CAST((1000000 * n_inter) // n2 AS BIGINT) END AS c2_ppm,
+               CASE WHEN n1 + n2 - n_inter > 0
+                    THEN CAST((1000000 * n_inter) // (n1 + n2 - n_inter)
+                         AS BIGINT) END AS jaccard_ppm,
+               greatest(coalesce(CASE WHEN n1 > 0
+                          THEN (1000000 * n_inter) // n1 END, 0),
+                        coalesce(CASE WHEN n2 > 0
+                          THEN (1000000 * n_inter) // n2 END, 0)) >= 900000
+                 AS is_contained
+        FROM m ORDER BY id1, id2"""
+  }
 
   /** d21: componentCte's labels joined to the shared quality-score twin
     * ([[TextOps.qualityScoreSql]]); the same single window pass picks the

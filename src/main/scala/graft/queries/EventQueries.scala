@@ -174,6 +174,31 @@ object EventQueries extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // Day-of-week seasonal baseline — e15's complement: e15's trailing
+    // window flags ANY local surge, including a perfectly normal Monday
+    // after a quiet weekend; this one compares each day against its own
+    // weekday class mean, so weekly seasonality is absorbed (e15's seeded
+    // 3× error days land on ONE dow class and are its baseline — they
+    // flag there, not here; that contrast is the query's point).
+    // Integer-only test (n·dow_days·4 > dow_total·5 ⟺ n > 1.25·mean) plus
+    // the deviation itself in ppm. The daily aggregate is the only
+    // data-scale work; the dow window runs over the time-bounded day
+    // table (st3/e14 discipline).
+    "e16_dow_baseline" -> ((s, d) => {
+      val w = Window.partitionBy("event_type", "dow")
+      Tables.events(s, d)
+        .select(col("event_type"), expr(s"ts DIV $DAY_NS").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        .withColumn("dow", col("day") % 7)
+        .withColumn("dow_total", sum(col("n")).over(w))
+        .withColumn("dow_days", count(lit(1)).over(w))
+        .withColumn("dev_ppm", expr("(1000000 * n * dow_days) div dow_total"))
+        .withColumn("is_high",
+          col("n") * col("dow_days") * 4 > col("dow_total") * 5)
+        .select("event_type", "day", "dow", "n", "dev_ppm", "is_high")
+        .orderBy("event_type", "day")
+    }),
+
     // LEFT OUTER interval join (batch twin of StreamOps.intervalJoinOuter):
     // errors with no click in [ets - lag, ets] still emit with a null
     // click — same binnable-range plan as e6, plus the null row per
@@ -501,6 +526,20 @@ object EventQueries extends QueryPack {
           FROM daily
           WINDOW w AS (PARTITION BY event_type ORDER BY day
                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+          ORDER BY event_type, day""",
+    "e16_dow_baseline" ->
+      s"""WITH daily AS (
+            SELECT event_type, epoch_us(ts) // ${DAY_NS / 1000} AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          d2 AS (SELECT *, day % 7 AS dow FROM daily)
+          SELECT event_type, day, dow, n,
+                 CAST((1000000 * n * CAST(count(*) OVER win AS BIGINT))
+                      // CAST(sum(n) OVER win AS BIGINT) AS BIGINT) AS dev_ppm,
+                 n * CAST(count(*) OVER win AS BIGINT) * 4
+                   > CAST(sum(n) OVER win AS BIGINT) * 5 AS is_high
+          FROM d2
+          WINDOW win AS (PARTITION BY event_type, dow)
           ORDER BY event_type, day""",
     "fa1_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

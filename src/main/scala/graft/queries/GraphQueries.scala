@@ -387,6 +387,34 @@ object GraphQueries extends QueryPack {
         .select("c_custkey", "n_orders", "spend")
         .orderBy("n_orders", "c_custkey")
     }),
+
+    // HITS hubs/authorities (2 unrolled rounds, UNNORMALIZED): the
+    // directed-graph companion to gr1 — authority = incoming hub mass,
+    // hub = outgoing authority mass. Dropping the per-round L2
+    // normalization keeps every score an INTEGER (a1 = indegree,
+    // h1 = Σ a1 over out-edges, a2 = Σ h1 over in-edges — directed-path
+    // counts), so there is no float to drift and the ranking is identical
+    // to the normalized iterate's (normalization is a positive scalar).
+    // Scale contract = gr1's: the edge table is shuffled once per key
+    // orientation it serves (a-steps aggregate on dst, the h-step on src),
+    // each round joins only the O(|V|) score frame back — UNHINTED, so
+    // AQE size-switches instead of pinning a |V|-row broadcast (the
+    // Triangles.orient discipline). Lifecycle: O(|V|) result eagerly
+    // checkpointed, the |E| cache released inside the call.
+    "gr5_hits" -> ((s, d) => {
+      val e = edges(s, d).repartition(col("src")).persist()
+      val a1 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, col("dst") === col("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, col("src") === col("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h1")).as("a2"))
+      val scored = a2.join(h1.select(col("id"), col("h1")), Seq("id"), "left")
+        .select(col("id").as("node_id"), col("a2").as("auth_score"),
+          coalesce(col("h1"), lit(0L)).as("hub_score"))
+        .orderBy(col("auth_score").desc, col("node_id"))
+        .limit(40)
+      try scored.localCheckpoint(true) finally e.unpersist()
+    }),
   )
 
   private def edgesSql: String =
@@ -567,5 +595,20 @@ object GraphQueries extends QueryPack {
             WHERE a.n_orders >= b.n_orders AND a.spend >= b.spend
               AND (a.n_orders > b.n_orders OR a.spend > b.spend))
           ORDER BY n_orders, c_custkey""",
+    // unnormalized HITS: every score is an integer path count, so the
+    // CTEs are plain integer aggregates (DuckDB sum() returns HUGEINT —
+    // CAST back to BIGINT at each step, the st3 rule)
+    "gr5_hits" ->
+      s"""WITH e AS ($edgesSql),
+          a1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS a1
+                 FROM e GROUP BY dst),
+          h1 AS (SELECT e.src AS id, CAST(sum(a1.a1) AS BIGINT) AS h1
+                 FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+          a2 AS (SELECT e.dst AS id, CAST(sum(h1.h1) AS BIGINT) AS a2
+                 FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst)
+          SELECT a2.id AS node_id, a2.a2 AS auth_score,
+                 CAST(coalesce(h1.h1, 0) AS BIGINT) AS hub_score
+          FROM a2 LEFT JOIN h1 ON a2.id = h1.id
+          ORDER BY auth_score DESC, node_id LIMIT 40""",
   )
 }

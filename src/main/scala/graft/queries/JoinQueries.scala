@@ -197,6 +197,51 @@ object JoinQueries extends QueryPack {
         .orderBy("relationship")
     }),
 
+    // Column-profile drift between cdc2's two snapshot versions — the
+    // schema-health companion to the row-level diff: per column, null
+    // count and distinct count in each version plus the null-rate drift
+    // in ppm (v2 nulls out mktsegment for custkey % 7 = 3, so the drift
+    // readout provably fires on exactly one column). Shape: the profile
+    // is declared as one shared aggregate referenced per column; Catalyst
+    // prunes each long-form branch to a SINGLE-COLUMN aggregate — on
+    // columnar parquet each branch therefore reads exactly its own column
+    // once (the per-column union of one-column scans IS the efficient
+    // plan; a fused all-columns pass would read the same bytes). The
+    // pivot and the v1⋈v2 join run broadcast on O(columns) rows.
+    "dq4_profile_drift" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val v1 = dim.filter(col("c_custkey") % 11 =!= 1)
+      val v2 = dim.filter(col("c_custkey") % 13 =!= 2)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(50.0))
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 3, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+      val cols = Seq("c_nationkey", "c_acctbal", "c_mktsegment")
+      def profile(df: DataFrame): DataFrame = {
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")))
+        val a = df.agg(aggs.head, aggs.tail: _*)
+        cols.map(c => a.select(lit(c).as("col_name"), col("n_rows"),
+            col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct")))
+          .reduce(_ unionByName _)
+      }
+      profile(v1)
+        .select(col("col_name"), col("n_rows").as("v1_rows"),
+          col("n_nulls").as("v1_nulls"), col("n_distinct").as("v1_distinct"))
+        .join(profile(v2).select(col("col_name"),
+          col("n_rows").as("v2_rows"), col("n_nulls").as("v2_nulls"),
+          col("n_distinct").as("v2_distinct")), Seq("col_name"))
+        .withColumn("v1_null_ppm", expr("(1000000 * v1_nulls) div v1_rows"))
+        .withColumn("v2_null_ppm", expr("(1000000 * v2_nulls) div v2_rows"))
+        .withColumn("null_drift_ppm", col("v2_null_ppm") - col("v1_null_ppm"))
+        .orderBy("col_name")
+    }),
+
     // TPC-H Q3 shape (shipping priority): the classic fact⋈fact⋈dim
     // multi-join — lineitem⋈orders shuffles on the orderkey, the filtered
     // customer dim broadcasts, and all three filters reach their scans
@@ -458,6 +503,7 @@ object JoinQueries extends QueryPack {
                       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
                      AS BIGINT)
          ORDER BY relationship""",
+    "dq4_profile_drift" -> profileDriftSql,
     "j1_cross_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name
          FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""",
@@ -518,4 +564,46 @@ object JoinQueries extends QueryPack {
                               AND o_orderdate >= TIMESTAMP '2000-01-01')
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
+
+  /** dq4: cdc2's version CTEs, one all-columns aggregate per version,
+    * long-form via UNION ALL over the same column list the Spark side
+    * iterates ('//' floor division mirrors `div`).
+    */
+  private def profileDriftSql: String = {
+    val cols = Seq("c_nationkey", "c_acctbal", "c_mktsegment")
+    val aggSel = cols.map(c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c""").mkString(",\n                 ")
+    def longForm(p: String) = cols.map(c =>
+      s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, nd_$c AS n_distinct FROM $p")
+      .mkString("\n               UNION ALL ")
+    s"""WITH v1 AS (SELECT c_nationkey, c_acctbal, c_mktsegment
+                    FROM customer WHERE c_custkey % 11 <> 1),
+          v2 AS (SELECT c_nationkey,
+                        CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+                             ELSE c_acctbal END AS c_acctbal,
+                        CASE WHEN c_custkey % 7 = 3 THEN NULL
+                             ELSE c_mktsegment END AS c_mktsegment
+                 FROM customer WHERE c_custkey % 13 <> 2),
+          p1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 $aggSel FROM v1),
+          p2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 $aggSel FROM v2),
+          l1 AS (${longForm("p1")}),
+          l2 AS (${longForm("p2")})
+          SELECT l1.col_name,
+                 l1.n_rows AS v1_rows, l1.n_nulls AS v1_nulls,
+                 l1.n_distinct AS v1_distinct,
+                 l2.n_rows AS v2_rows, l2.n_nulls AS v2_nulls,
+                 l2.n_distinct AS v2_distinct,
+                 CAST((1000000 * l1.n_nulls) // l1.n_rows AS BIGINT)
+                   AS v1_null_ppm,
+                 CAST((1000000 * l2.n_nulls) // l2.n_rows AS BIGINT)
+                   AS v2_null_ppm,
+                 CAST((1000000 * l2.n_nulls) // l2.n_rows
+                      - (1000000 * l1.n_nulls) // l1.n_rows AS BIGINT)
+                   AS null_drift_ppm
+          FROM l1 JOIN l2 USING (col_name)
+          ORDER BY col_name"""
+  }
 }

@@ -153,6 +153,39 @@ object StatsQueries extends QueryPack {
             .as("auc"))
     }),
 
+    // Population Stability Index — the score-drift metric every ML
+    // serving pipeline monitors: PSI = Σ (p−q)·ln(p/q) between the click
+    // and purchase value distributions over $25-wide bins. Same
+    // bounded-domain discipline as st3/st4: ONE data-scale keyed
+    // aggregate to per-bin counts; everything after runs on the
+    // grid-bounded cell table. Laplace (+1) smoothing keeps empty-side
+    // bins finite and deterministic (no epsilon constant to disagree
+    // on); p/q are exact rationals cast once, the per-bin term is a
+    // fixed IEEE tree (ln correctly rounded — t19's rule), and the sum
+    // is Num-pinned so partitioning can't reorder it.
+    "st5_psi" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(col("event_type").as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("bin", expr("cents div 2500"))
+        .groupBy("bin")
+        .agg(sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("nb"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("p", (col("c1") + lit(1)).cast("double") /
+          (col("n1") + col("nb")).cast("double"))
+        .withColumn("q", (col("c2") + lit(1)).cast("double") /
+          (col("n2") + col("nb")).cast("double"))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        .groupBy("n1", "n2", "nb")
+        .agg(Num.dsum(col("term")).as("psi"))
+        .select(col("n1"), col("n2"), col("nb").as("n_bins"), col("psi"))
+    }),
+
     // Weighted median (quantity-weighted l_extendedprice per returnflag):
     // the order-statistic robust aggregate. One keyed aggregate collapses
     // the fact table to per-(group, value) weight cells; the cumulative
@@ -270,6 +303,27 @@ object StatsQueries extends QueryPack {
                 CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
                   (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
          FROM agg""",
+    // same +1-smoothed rationals, same fixed term tree, Num-pinned sum
+    "st5_psi" ->
+      s"""WITH cells AS (
+            SELECT CAST(round(value * 100) AS BIGINT) // 2500 AS bin,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM events
+            WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+            GROUP BY 1),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2,
+                         CAST(count(*) AS BIGINT) AS nb FROM cells),
+          term AS (SELECT n1, n2, nb,
+                          CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE) AS p,
+                          CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE) AS q
+                   FROM cells CROSS JOIN tot)
+          SELECT n1, n2, nb AS n_bins,
+                 ${Num.sqlSum("(p - q) * ln(p / q)")} AS psi
+          FROM term GROUP BY n1, n2, nb""",
     "a13_weighted_median" ->
       """WITH cells AS (
            SELECT l_returnflag AS flag, l_extendedprice AS v,

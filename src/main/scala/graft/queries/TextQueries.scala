@@ -14,6 +14,11 @@ import graft.ops.{Bloom, Dedup, Num, TextOps}
   */
 object TextQueries extends QueryPack {
 
+  // hh2's count-min geometry — one definition feeds the Spark cells and
+  // the generated oracle (with StableHash.affineParams(CmD) hash family)
+  private val CmW = 1024
+  private val CmD = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
@@ -599,6 +604,76 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Zipf slope per source — the corpus-health fingerprint: natural text
+    // follows freq ∝ rank^s with s ≈ −1; machine-generated or template
+    // floods bend the rank-frequency line. OLS of ln(freq) on ln(rank)
+    // over each source's top-100 tokens. One token-keyed aggregate is the
+    // only data-scale work; the rank cut is a per-source WindowGroupLimit
+    // over the |vocab|-bounded count table; the regression inputs are ln
+    // of exact integers (IEEE-identical cross-engine, t19's rule) summed
+    // under the Num decimal pin, and the slope is one fixed double tree
+    // quantized before it hashes.
+    "t27_zipf_slope" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("freq").desc, col("token"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 100)
+        .select(col("source"), log(col("rnk").cast("double")).as("lx"),
+          log(col("freq").cast("double")).as("ly"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_ranks"),
+          Num.dsum(col("lx")).as("sx"), Num.dsum(col("ly")).as("sy"),
+          Num.dsum(col("lx") * col("ly")).as("sxy"),
+          Num.dsum(col("lx") * col("lx")).as("sxx"))
+        .select(col("source"), col("n_ranks"),
+          ((col("n_ranks").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_ranks").cast("double") * col("sxx") - col("sx") * col("sx")))
+            .cast("decimal(18,6)").cast("double").as("zipf_slope"))
+        .orderBy("source")
+    }),
+
+    // Count-min sketch calibration — the d20/sim10 discipline applied to
+    // the frequency tier: CM(W=1024, D=4) estimates vs exact counts for
+    // the top-20 tokens, signed error in ppm (CM only overestimates, so
+    // err ≥ 0; a loaded sketch reads honestly high — that's the report's
+    // point). Distributed shape: the sketch IS a (row, cell)-keyed
+    // aggregate — D·N narrow rows map-side combined into ≤ W·D = 4096
+    // cells, so the exchange is bounded by the sketch, not the vocab
+    // (hh1's MG bound, by different means). Probes join the 4096-row cell
+    // table keyed; estimates = min over the D rows. Hashes are the
+    // affine-rehashed polyHash family (minhash's), identical in the
+    // generated oracle.
+    "hh2_countmin_calibration" -> ((s, d) => {
+      val params = StableHash.affineParams(CmD)
+      def cellsOf(h: Column) = array(params.zipWithIndex.map {
+        case ((a, b), i) =>
+          struct(lit(i).as("r"),
+            (((h * a + b) % StableHash.P) % CmW).as("cell"))
+      }: _*)
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cells = toks
+        .select(explode(cellsOf(StableHash.polyHash(col("token")))).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+      exact
+        .select(col("token"), col("exact_n"),
+          explode(cellsOf(StableHash.polyHash(col("token")))).as("rc"))
+        .select(col("token"), col("exact_n"),
+          col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .join(cells, Seq("r", "cell"))
+        .groupBy("token", "exact_n")
+        .agg(min(col("cnt")).as("cm_est"))
+        .withColumn("err_ppm",
+          expr("(1000000 * (cm_est - exact_n)) div exact_n"))
+        .orderBy("token")
+    }),
+
     // Bigram language-model cross-entropy per source — the quality scorer
     // a curation pipeline trains on one corpus half and applies to the
     // rest (the in-engine form of the CCNet-style "perplexity bucket"
@@ -1109,6 +1184,56 @@ object TextQueries extends QueryPack {
                  END AS novelty_ppm
           FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
           ORDER BY d.doc_id""",
+    "t27_zipf_slope" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+          c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+                FROM tok GROUP BY source, token),
+          r AS (SELECT source, freq,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY freq DESC, token) AS rnk
+                FROM c),
+          l AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS lx,
+                       ln(CAST(freq AS DOUBLE)) AS ly
+                FROM r WHERE rnk <= 100),
+          a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+                       ${Num.sqlSum("lx")} AS sx, ${Num.sqlSum("ly")} AS sy,
+                       ${Num.sqlSum("lx * ly")} AS sxy,
+                       ${Num.sqlSum("lx * lx")} AS sxx
+                FROM l GROUP BY source)
+          SELECT source, n_ranks,
+                 CAST(CAST((CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+                           (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                      AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope
+          FROM a ORDER BY source""",
+    "hh2_countmin_calibration" -> {
+      val params = StableHash.affineParams(CmD)
+      val ph = StableHash.polyHashSql("token")
+      def cellRows(src: String, extra: String) =
+        params.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT $extra$i AS r, ((h * $a + $b) % ${StableHash.P}) % $CmW " +
+            s"AS cell FROM $src"
+        }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+          th AS (SELECT $ph AS h FROM tok),
+          rc AS (${cellRows("th", "")}),
+          cells AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+                    FROM rc GROUP BY r, cell),
+          exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+                    FROM tok GROUP BY token
+                    ORDER BY exact_n DESC, token LIMIT 20),
+          eh AS (SELECT token, exact_n, $ph AS h FROM exact),
+          pe AS (${cellRows("eh", "token, exact_n, ")}),
+          est AS (SELECT pe.token, pe.exact_n,
+                         CAST(min(c.cnt) AS BIGINT) AS cm_est
+                  FROM pe JOIN cells c ON pe.r = c.r AND pe.cell = c.cell
+                  GROUP BY pe.token, pe.exact_n)
+          SELECT token, exact_n, cm_est,
+                 CAST((1000000 * (cm_est - exact_n)) // exact_n AS BIGINT)
+                   AS err_ppm
+          FROM est ORDER BY token"""
+    },
     "t25_bigram_crossent" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
                      FROM documents),

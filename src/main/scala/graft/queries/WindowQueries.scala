@@ -147,6 +147,45 @@ object WindowQueries extends QueryPack {
         .select(col("user_id"), col("n_events"),
           col("cusum").cast("decimal(18,6)").cast("double").as("cusum"))
         .orderBy("user_id")),
+
+    // Trailing-7-day Pearson correlation between the click and purchase
+    // daily revenue series — the metric-coupling drift readout (two KPIs
+    // that normally move together decoupling is an incident signal). The
+    // unpartitionable global-order window is made scalable the st3/e14
+    // way: ONE data-scale keyed aggregate reduces events to the per-DAY
+    // series first, so the ordered window runs over a table bounded by
+    // the time domain, never by data. Exactness: cents are integers, all
+    // window sums (Σx, Σx², Σxy…) are integer and order-independent; the
+    // correlation is one fixed double tree over them (sqrt is correctly
+    // rounded — ab1's rule). The variance-product factors are cast to
+    // double BEFORE multiplying: their bigint product could overflow,
+    // their doubles cannot. Full-window gate (nw = 7), e15's discipline.
+    "w8_rolling_corr" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(expr(s"ts DIV $dayNs").as("day"), col("event_type").as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("day")
+        .agg(sum(when(col("t") === "click", col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("t") === "purchase", col("cents")).otherwise(0L)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .select(col("day"), col("x"), col("y"),
+          count(lit(1)).over(w).as("nw"),
+          sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"),
+          sum(col("x") * col("y")).over(w).as("sxy"))
+        .filter(col("nw") === 7)
+        .select(col("day"), col("x"), col("y"),
+          ((col("nw") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("nw") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("nw") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("corr7"))
+        .orderBy("day")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +263,37 @@ object WindowQueries extends QueryPack {
          WHERE value IS NOT NULL
          GROUP BY user_id
          ORDER BY user_id""",
+    // same integer window sums (DuckDB sum() → HUGEINT, CAST back at
+    // every step — st3's rule), same double tree with the variance
+    // factors cast before multiplying
+    "w8_rolling_corr" ->
+      """WITH daily AS (
+           SELECT day,
+                  CAST(sum(CASE WHEN t = 'click' THEN cents ELSE 0 END)
+                       AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN t = 'purchase' THEN cents ELSE 0 END)
+                       AS BIGINT) AS y
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL)
+           GROUP BY day),
+         w AS (
+           SELECT day, x, y,
+                  CAST(count(*) OVER win AS BIGINT) AS nw,
+                  CAST(sum(x) OVER win AS BIGINT) AS sx,
+                  CAST(sum(y) OVER win AS BIGINT) AS sy,
+                  CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+                  CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+                  CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+           FROM daily
+           WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                          AND CURRENT ROW))
+         SELECT day, x, y,
+                CAST(nw * sxy - sx * sy AS DOUBLE) /
+                  sqrt(CAST(nw * sxx - sx * sx AS DOUBLE) *
+                       CAST(nw * syy - sy * sy AS DOUBLE)) AS corr7
+         FROM w WHERE nw = 7 ORDER BY day""",
   )
 }

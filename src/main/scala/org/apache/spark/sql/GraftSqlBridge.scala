@@ -22,6 +22,37 @@ object GraftSqlBridge {
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Re-wrap a just-`localCheckpoint`'d frame over the SAME cached RDD,
+    * dropping the `originStats` the checkpoint inherited from its source
+    * plan.
+    *
+    * Why this exists (sf10-caught): `Dataset.localCheckpoint` carries the
+    * pre-checkpoint plan's `Statistics` into the `LogicalRDD`, and the
+    * size-only estimator's join visitor multiplies child sizes. In an
+    * iterative operator that checkpoints per round and joins the previous
+    * round's frame more than once (connected components: hook + pointer
+    * jump), the carried sizeInBytes therefore grows as a PRODUCT of
+    * products — bit-length multiplying every round — until driver-side
+    * planning spends minutes in BigInteger multiplies and finally throws
+    * `BigInteger would overflow supported range` (observed at sf10 in the
+    * d7 dup-labels build; sf1 converged in fewer rounds and stayed under
+    * the radar). Severing the origin stats resets each round to the
+    * default size estimate; join strategy for these loop frames is AQE's
+    * runtime call either way (the no-pinned-broadcast discipline), so
+    * plans and results are unchanged — only the pathological estimate
+    * arithmetic disappears.
+    */
+  def severStats(df: Dataset[_]): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    analyzed(df) match {
+      case lr: execution.LogicalRDD =>
+        classic.Dataset.ofRows(cs,
+          execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(cs))
+      case _ => df.toDF()
+    }
+  }
+
   /** Idempotently register an extra planner strategy on a live session —
     * lets custom-plan operators work on sessions built without
     * `withExtensions` (Verify/Bench/driver sessions).

@@ -467,4 +467,60 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("w8 rolling corr: the ordered window runs over the reduced day " +
+    "table — exactly one data-scale hash exchange (the daily aggregate)") {
+    val p = plan("w8_rolling_corr")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 1,
+      exchanges.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("st5 psi: one data-scale keyed aggregate to bin cells; the 1-row " +
+    "totals broadcast back (no shuffled join on the cell table)") {
+    val p = plan("st5_psi")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(8).mkString("\n")) // 1-row cross join is broadcast
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(_.contains("bin")) <= 2, exchanges.mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e16 dow baseline: daily aggregate is the only data-scale exchange; " +
+    "the dow window partitions the bounded day table") {
+    val p = plan("e16_dow_baseline")
+    assert(p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("hh2 count-min: cells are a keyed aggregate (sketch-bounded), " +
+    "probes join keyed — no cartesian, no nested loop") {
+    val p = plan("hh2_countmin_calibration")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t27 zipf: per-source rank cut is a window group limit over the " +
+    "vocab-bounded count table") {
+    val p = plan("t27_zipf_slope")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("d22 containment: pair set stays LSH-blocked (keyed joins back to " +
+    "the shingle arrays, no all-pairs anywhere)") {
+    val p = plan("d22_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("dq4 profile drift: per-column pruned aggregates (each union branch " +
+    "scans exactly one column), the v1-v2 join broadcast on O(columns) rows") {
+    val p = plan("dq4_profile_drift")
+    assert(p.contains("HashAggregate") && p.contains("Union"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), // O(columns)-row join, never shuffled
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
