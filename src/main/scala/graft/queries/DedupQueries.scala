@@ -285,8 +285,14 @@ object DedupQueries extends QueryPack {
           size(array_union(col("hs1"), col("hs2"))).cast("bigint"))
         .select(col("id1"), col("id2"),
           expr(s"(1000000 * n_agree) div $SIG").as("est_ppm"),
-          expr("(1000000 * n_inter) div n_union").as("exact_ppm"))
-        .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+          // zero-union guard (d22's rule): unreachable today only because
+          // MinHashExpr NULLs empty shingle arrays out of the LSH pair set
+          // — guard locally instead of leaning on that non-local invariant
+          // (ANSI div would throw on a zero-shingle pair otherwise)
+          when(col("n_union") > 0,
+            expr("(1000000 * n_inter) div n_union")).as("exact_ppm"))
+        .withColumn("err_ppm",
+          when(col("exact_ppm").isNotNull, col("est_ppm") - col("exact_ppm")))
         .orderBy("id1", "id2")
     }),
 
@@ -685,9 +691,13 @@ object DedupQueries extends QueryPack {
                JOIN h hb ON hb.doc_id = p.id2)
         SELECT est.id1, est.id2,
                CAST((1000000 * n_agree) // $SIG AS BIGINT) AS est_ppm,
-               CAST((1000000 * n_inter) // n_union AS BIGINT) AS exact_ppm,
-               CAST((1000000 * n_agree) // $SIG
-                    - (1000000 * n_inter) // n_union AS BIGINT) AS err_ppm
+               CAST(CASE WHEN n_union > 0
+                         THEN (1000000 * n_inter) // n_union END
+                    AS BIGINT) AS exact_ppm,
+               CAST(CASE WHEN n_union > 0
+                         THEN (1000000 * n_agree) // $SIG
+                              - (1000000 * n_inter) // n_union END
+                    AS BIGINT) AS err_ppm
         FROM est JOIN ex ON est.id1 = ex.id1 AND est.id2 = ex.id2
         ORDER BY est.id1, est.id2"""
   }

@@ -238,8 +238,16 @@ object GraphQueries extends QueryPack {
             struct(col("src").as("c"), col("dst").as("n")),
             struct(col("dst").as("c"), col("src").as("n")))).as("e"))
         .select(col("e.c").as("c"), col("e.n").as("n"))
-      val capped = sym.groupBy("c")
-        .agg(slice(sort_array(collect_list(col("n"))), 1, MaxNbrs).as("ns"))
+      // cap BEFORE collecting (the oracle's row_number form): a window
+      // rank spills by sort, so per-center memory stays bounded on hubs —
+      // the earlier collect_list-then-slice held the FULL neighborhood in
+      // the aggregation buffer before slicing, O(degree) on hot centers
+      val capped = sym
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("n"))))
+        .filter(col("rn") <= MaxNbrs)
+        .groupBy("c")
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
       val cand = capped
         .select(posexplode(col("ns")).as(Seq("i", "u")), col("ns"))
         .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))

@@ -96,7 +96,8 @@ object StatsQueries extends QueryPack {
     // engines.
     "st3_ks_test" -> ((s, d) => {
       val cells = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
         .select(col("event_type").as("t"),
           round(col("value") * 100).cast("bigint").as("cents"))
         .groupBy("cents")
@@ -129,7 +130,8 @@ object StatsQueries extends QueryPack {
     // identically cross-engine.
     "st4_mannwhitney" -> ((s, d) => {
       val cells = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
         .select(col("event_type").as("t"),
           round(col("value") * 100).cast("bigint").as("cents"))
         .groupBy("cents")
@@ -262,7 +264,8 @@ object StatsQueries extends QueryPack {
                            THEN 1 ELSE 0 END) AS BIGINT) AS c1,
                   CAST(sum(CASE WHEN event_type = 'purchase'
                            THEN 1 ELSE 0 END) AS BIGINT) AS c2
-           FROM events WHERE event_type IN ('click', 'purchase')
+           FROM events
+           WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
            GROUP BY 1),
          cum AS (
            SELECT CAST(sum(c1) OVER (ORDER BY cents ROWS BETWEEN
@@ -285,7 +288,8 @@ object StatsQueries extends QueryPack {
                            THEN 1 ELSE 0 END) AS BIGINT) AS c1,
                   CAST(sum(CASE WHEN event_type = 'purchase'
                            THEN 1 ELSE 0 END) AS BIGINT) AS c2
-           FROM events WHERE event_type IN ('click', 'purchase')
+           FROM events
+           WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
            GROUP BY 1),
          cum AS (
            SELECT c1, c2, c1 + c2 AS m,

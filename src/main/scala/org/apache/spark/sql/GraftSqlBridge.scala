@@ -41,14 +41,22 @@ object GraftSqlBridge {
     * runtime call either way (the no-pinned-broadcast discipline), so
     * plans and results are unchanged — only the pathological estimate
     * arithmetic disappears.
+    *
+    * Spark-version pin: written against Spark 4.1.2's
+    * `LogicalRDD(output, rdd, outputPartitioning, outputOrdering,
+    * isStreaming, stream)(session, originStats, originConstraints)`.
+    * `copy()(cs, None, None)` keeps every first-list field verbatim and
+    * resets ONLY the curried origin pair (stats AND constraints — both
+    * are origin-plan inheritances the fresh checkpoint must not carry);
+    * the explicit second argument list means any upstream signature
+    * change fails loudly at compile time instead of silently dropping a
+    * new field the way the old positional-constructor spelling would.
     */
   def severStats(df: Dataset[_]): DataFrame = {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
     analyzed(df) match {
       case lr: execution.LogicalRDD =>
-        classic.Dataset.ofRows(cs,
-          execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
-            lr.outputOrdering, lr.isStreaming, lr.stream)(cs))
+        classic.Dataset.ofRows(cs, lr.copy()(cs, None, None))
       case _ => df.toDF()
     }
   }
