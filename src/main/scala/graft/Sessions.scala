@@ -19,12 +19,25 @@ import org.apache.spark.sql.SparkSession
   *     nanos-epoch BIGINT to match DuckDB's epoch_ns oracle arithmetic.
   *   - shuffle.partitions sized to the local core count, not the 200
   *     default (local[n] has no cluster to absorb 200 tiny tasks).
+  *   - AQE `initialPartitionNum` at 8× the core count: reduce-side
+  *     parallelism must scale with DATA, not stay pinned to the core
+  *     count — the sf10 probe (100× sf0.1) OOM'd the 16 GiB heap inside
+  *     the triangle family's sort-merge join because 32 fixed reduce
+  *     partitions each swallowed 1/32nd of a 100×-scale shuffle. With a
+  *     high initial number, AQE plans every shuffle wide and COALESCES
+  *     down when the runtime sizes are small, so sf0.01 queries keep
+  *     their 32-ish tasks while the same binary survives 100× without
+  *     retuning — exactly the knob a 1000-executor cluster job sets
+  *     (initialPartitionNum ≈ 2-4× total cores) instead of hand-sizing
+  *     shuffle.partitions per dataset.
   */
 object Sessions {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -40,4 +40,39 @@ object TopKAggregator {
     def outputEncoder: Encoder[Seq[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
+
+  /** Smallest-k distinct longs per group (gt5's neighborhood cap): the
+    * buffer is an ascending list hard-capped at k, so per-group state is
+    * O(k) on ANY hub degree and map-side combine ships ≤k values per
+    * (group, partition) into the exchange — strictly bounded where both
+    * the collect_list-then-slice spelling (O(degree) buffer) and the
+    * row_number window (full per-partition sort of the edge list) are
+    * not. Inputs are already distinct in gt5 (the oriented edge list is
+    * deduped), so no distinctness bookkeeping is needed; values past a
+    * full buffer's max are rejected in O(1).
+    */
+  class SmallestLongs(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def ins(buf: List[Long], v: Long): List[Long] = {
+      var n = 0
+      var last = Long.MinValue
+      var it = buf
+      while (it.nonEmpty) { n += 1; last = it.head; it = it.tail }
+      if (n >= k && v >= last) buf
+      else {
+        val (lo, hi) = buf.span(_ < v)
+        (lo ::: v :: hi).take(k)
+      }
+    }
+
+    def zero: List[Long] = Nil
+    def reduce(buf: List[Long], a: Long): List[Long] = ins(buf, a)
+    def merge(b1: List[Long], b2: List[Long]): List[Long] =
+      b2.foldLeft(b1)(ins)
+    def finish(buf: List[Long]): Seq[Long] = buf
+
+    def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

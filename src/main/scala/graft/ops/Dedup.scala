@@ -704,6 +704,15 @@ object Dedup {
       .withColumn("__mx", max(col(id)).over(byH))
       .filter(col("__mn") =!= col("__mx"))
       .select(col(id), col("pos"))
+    mergeSpans(hits, id, k)
+  }
+
+  /** Island merge shared by the span-dedup tiers: hit positions →
+    * (id, span_id, span_start, span_end), spans disjoint and non-adjacent
+    * within a doc (gap ≤ k merges). Doc-keyed window, frame bounded by
+    * one doc's hit count.
+    */
+  private def mergeSpans(hits: DataFrame, id: String, k: Int): DataFrame = {
     val w = Window.partitionBy(id).orderBy("pos")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hits
@@ -716,6 +725,50 @@ object Dedup {
       .agg(min(col("pos")).cast("int").as("span_start"),
         (max(col("pos")) + (k - 1)).cast("int").as("span_end"))
   }
+
+  /** Incremental span dedup — the per-ingest form of [[dupSpans]] (d15's
+    * anti-join discipline lifted from doc fingerprints to positional
+    * span hashes): a NEW BATCH's dup spans are computed against the
+    * persisted gram-hash STORE of the historical corpus, never by
+    * re-shingling history. A batch gram position is a hit iff its wide
+    * fingerprint exists in the store (h-keyed semi-probe — at scale the
+    * store parquet is bucketed on h, so the probe rides the batch's own
+    * h-exchange and history bytes never move) OR the gram occurs in ≥ 2
+    * distinct docs WITHIN the batch (same min≠max window as the batch
+    * form). Equivalence (pinned by SpanDedupSpec): because "duplicate" is
+    * symmetric and history is exactly the non-batch corpus, this equals
+    * the full-corpus [[dupSpans]] restricted to batch docs — the
+    * incremental path loses nothing.
+    *
+    * `store` must be a 1-column frame of distinct gram hashes named `h`
+    * (the output of [[spanHashStore]], typically read back from parquet).
+    * Only batch-scale rows ride the window exchange; the store
+    * contributes one build side of one keyed join.
+    */
+  def incrementalDupSpans(batch: DataFrame, store: DataFrame, id: String,
+                          text: Column, k: Int): DataFrame = {
+    val ph = positionalShingleHashes(batch, id, text, k)
+    val byH = Window.partitionBy("h")
+    val hits = ph
+      .withColumn("__mn", min(col(id)).over(byH))
+      .withColumn("__mx", max(col(id)).over(byH))
+      .join(store.select(col("h").as("__sh")).distinct(),
+        col("h") === col("__sh"), "left")
+      .filter(col("__mn") =!= col("__mx") || col("__sh").isNotNull)
+      .select(col(id), col("pos"))
+    mergeSpans(hits, id, k)
+  }
+
+  /** The compact persisted state [[incrementalDupSpans]] probes: distinct
+    * positional-gram fingerprints of a corpus — one h-keyed aggregate,
+    * O(distinct grams) rows regardless of corpus bytes. A production
+    * pipeline writes this bucketed by h and refreshes it per ingest by
+    * unioning the batch's own store rows (append-only, no history
+    * re-scan — the d15 maintenance rule).
+    */
+  def spanHashStore(df: DataFrame, id: String, text: Column,
+                    k: Int): DataFrame =
+    positionalShingleHashes(df, id, text, k).select("h").distinct()
 
   /** Remove every dup-span token from each document (the "apply" of span
     * dedup): tokens at covered positions drop, the remainder is re-joined

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+
+/** Cross-SESSION persistence for expensive shared bases — the tier above
+  * [[SharedBase]]'s in-session memo. SharedBase makes the second query of
+  * a family free within one session; a NEW session still pays the full
+  * build (measured: dup_labels ≈ 4.2 s, tri_base ≈ 4.2 s at sf0.1 —
+  * every cold session, forever). This store writes the built base to
+  * parquet keyed by a CONTENT HASH of the inputs it derives from, so any
+  * later session serves the family warm after one cheap key probe.
+  *
+  * Invalidation rule: the key is an order-independent fingerprint of the
+  * source table's identifying columns (count + sum + xor of a per-row
+  * [[StableHash.polyHash64]]), computed in ONE aggregate pass over only
+  * those columns — a column-pruned scan, no payload bytes beyond the
+  * named columns. Any insert, delete, or key-column update changes the
+  * fingerprint and the store entry is rebuilt; entries for superseded
+  * keys are just dead files (bounded housekeeping, deleted lazily). At
+  * 100 TB even the pruned scan is worth skipping: a production
+  * deployment keys on the table's snapshot/version id (Delta/Iceberg
+  * commit, partition manifest) — zero-scan — and refreshes APPENDS via
+  * the d15 anti-join discipline instead of rebuilding; the content hash
+  * is the engine-portable fallback this sandbox can actually exercise.
+  *
+  * Write protocol: build → write to a `.tmp` sibling → atomic rename into
+  * the keyed path, so a killed session never leaves a half-written entry
+  * that a later session would trust (the rename either lands whole or
+  * not at all; a stale `.tmp` is overwritten by the next builder).
+  */
+private[graft] object PersistedBase {
+
+  /** Store root: `GRAFT_STORE_DIR` env, else `<java.io.tmpdir>/graft-store`. */
+  private def root: String =
+    sys.env.getOrElse("GRAFT_STORE_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-store")
+
+  /** Order-independent content fingerprint of `df`'s `keyCols`: one
+    * aggregate pass → (row count, wrapping sum, xor) of the row hash,
+    * rendered as a hex string. Commutative accumulators make the key
+    * independent of partitioning and row order. The sum rides a
+    * decimal(38,0): ~2^60 per-row hashes overflow an ANSI long sum after
+    * a handful of rows; decimal holds ~1e18 rows before it would.
+    */
+  def corpusKey(df: DataFrame, keyCols: Column*): String = {
+    val h = StableHash.polyHash64(concat_ws("\u0001",
+      keyCols.map(_.cast("string")): _*))
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      (sum(h.cast("decimal(38,0)")) % lit(Long.MaxValue)).cast("long").as("s"),
+      call_function("bit_xor", h).as("x")).first()
+    f"${r.getLong(0)}%x-${r.getLong(1)}%x-${r.getLong(2)}%x"
+  }
+
+  /** Serve `name` for content key `key` from the store, building and
+    * persisting it first if absent. The returned frame is always the
+    * parquet read-back (cold and warm paths yield byte-identical data).
+    */
+  def getOrBuild(s: SparkSession, name: String, key: String)
+                (build: => DataFrame): DataFrame = {
+    val dir = new Path(s"$root/$name-$key")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // _SUCCESS guards against a pre-rename-protocol partial write
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      val tmp = new Path(s"$root/$name-$key.tmp")
+      fs.delete(tmp, true)
+      build.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      if (!fs.rename(tmp, dir))
+        throw new IllegalStateException(s"[store] rename failed: $tmp -> $dir")
+    }
+    s.read.parquet(dir.toString)
+  }
+}

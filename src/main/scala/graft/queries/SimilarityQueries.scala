@@ -36,6 +36,12 @@ object SimilarityQueries extends QueryPack {
   // opposite knob — C ∝ N keeps within-cluster pair work N²/C linear.
   private val CENT_CAP = 2000
 
+  // sim10's absolute query-sample cap (CENT_CAP's rationale applied to the
+  // calibration tier): covers every gate corpus's full id range — the gate
+  // results are bit-identical with or without it — while pinning |Q| at
+  // scale so the exhaustive recall baseline stays linear in the corpus
+  private val Q_CAP = 2000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -177,18 +183,23 @@ object SimilarityQueries extends QueryPack {
     // there is no float to round cross-engine. This is the readout a
     // pipeline checks before trusting an nprobe setting at scale; the
     // AnnRecallSpec assertions become a user-visible table. Cost shape:
-    // the exhaustive side is Q·N by definition — the calibration tier
-    // runs on the SAMPLED query set (vec_id % QMOD), so the bound is the
-    // sample size, not the corpus; the overlap count is one (query_id,
-    // neighbor_id)-keyed semi-join + one query-keyed aggregate.
+    // the exhaustive side is Q·N by definition, so Q must be an ABSOLUTE
+    // sample (vec_id % QMOD, capped at Q_CAP like the centroid seeds) —
+    // the sf10 probe measured the fixed-FRACTION spelling at 14.7× per
+    // 10× data (Q ∝ N makes the baseline N²/QMOD); a recall estimate's
+    // precision depends on |Q|, not on the sampled fraction, so the cap
+    // costs nothing statistically and makes the report linear in N. The
+    // overlap count is one (query_id, neighbor_id)-keyed semi-join + one
+    // query-keyed aggregate.
     "sim10_recall_report" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val qPred = col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP
       val exact = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+          emb.filter(qPred), "vec_id", "embedding", TOPK)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
           col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
-          col("vec_id") % QMOD === 0, nprobe = 2, k = TOPK)
+          qPred, nprobe = 2, k = TOPK)
         .select(col("query_id"), col("neighbor_id"))
       val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -475,7 +486,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH bscored AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos
             FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-            WHERE q.vec_id % $QMOD = 0),
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
           branked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id) AS rank
@@ -495,7 +506,8 @@ object SimilarityQueries extends QueryPack {
             FROM iranked WHERE crn = 1),
           iprobes AS (
             SELECT vec_id AS query_id, embedding AS qv, cid
-            FROM iranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+            FROM iranked
+            WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP AND crn <= 2),
           icands AS (
             SELECT p.query_id, a.neighbor_id,
                    ${Similarity.cosineSql("p.qv", "a.nv", DIM)} AS cos

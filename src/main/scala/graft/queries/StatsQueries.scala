@@ -212,6 +212,99 @@ object StatsQueries extends QueryPack {
           max(col("totw")).as("total_weight"))
         .orderBy("flag")
     }),
+
+    // Benford first-digit audit of order totals — the classic
+    // fabricated-numbers screen a finance/DQ pipeline runs. ONE data-scale
+    // keyed aggregate to 9 digit cells; everything after is 9-row algebra.
+    // The first significant digit comes from the DECIMAL STRING of the
+    // integer cents (both engines render a positive bigint identically) —
+    // never from log10, whose engine rounding at exact powers of ten
+    // would misclassify boundary values. Expected shares are the fixed
+    // IEEE tree 1e6·ln(1+1/d)/ln(10) (ln of exact rationals — t19's
+    // cross-engine rule); observed shares are integer ppm.
+    "st6_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      digits
+        .withColumn("total", sum(col("n_obs")).over(Window.partitionBy()))
+        .select(col("digit"), col("n_obs"),
+          expr("(1000000 * n_obs) div total").as("obs_ppm"),
+          (lit(1e6) * log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0))).as("exp_ppm"))
+        .orderBy("digit")
+    }),
+
+    // Two-sided 10% trimmed mean of order totals per priority — the
+    // robust location estimate between a plain mean (outlier-hostage) and
+    // a13's median (discards too much). Same cell discipline: ONE keyed
+    // aggregate to per-(prio, cents) integer weight cells, the cumulative
+    // runs per-priority over the grid-bounded cell table, and each cell
+    // keeps weight clamp(min(cum, N−k) − max(cum−w, k), ≥0) with
+    // k = N div 10 — all integers; the mean divides ONCE at the end
+    // (exact-int doubles divide identically cross-engine).
+    "st7_trimmed_mean" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("prio", "cents").agg(count(lit(1)).as("w"))
+      val byP = Window.partitionBy("prio")
+      cells
+        .withColumn("cumw", sum(col("w")).over(
+          byP.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("w")).over(byP))
+        .withColumn("k", expr("n div 10"))
+        .withColumn("kept",
+          greatest(least(col("cumw"), col("n") - col("k"))
+            - greatest(col("cumw") - col("w"), col("k")), lit(0L)))
+        .groupBy("prio")
+        .agg(max(col("n")).as("n"), max(col("k")).as("n_trimmed_each_side"),
+          sum(col("cents") * col("kept")).as("s"), sum(col("kept")).as("m"))
+        .select(col("prio"), col("n"), col("n_trimmed_each_side"),
+          (col("s").cast("double") / col("m").cast("double") / lit(100.0))
+            .as("trimmed_mean"))
+        .orderBy("prio")
+    }),
+
+    // Median absolute deviation of order totals per priority — the robust
+    // SCALE estimate beside st7's location (together they replace
+    // mean/stddev for outlier-heavy monitoring). Two rounds of the a13
+    // weighted-median cell discipline: median over (prio, cents) cells,
+    // then a prio-keyed join-back and a second weighted median over the
+    // |cents − median| deviation cells — both windows partitioned, both
+    // cell tables grid-bounded, zero float accumulation (cents stay
+    // integers until the final /100).
+    "st8_mad" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("prio", "cents").agg(count(lit(1)).as("w"))
+      def wmedian(df: DataFrame, valueCol: String): DataFrame = {
+        val byP = Window.partitionBy("prio")
+        df.withColumn("cumw", sum(col("w")).over(
+            byP.orderBy(valueCol)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("totw", sum(col("w")).over(byP))
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("prio")
+          .agg(min(col(valueCol)).as("med"), max(col("totw")).as("n"))
+      }
+      val med = wmedian(cells, "cents")
+      val dev = cells.join(med, Seq("prio"))
+        .select(col("prio"), abs(col("cents") - col("med")).as("dev"), col("w"))
+        .groupBy("prio", "dev").agg(sum(col("w")).as("w"))
+      wmedian(dev, "dev")
+        .select(col("prio"), col("n"),
+          (col("med").cast("double") / lit(100.0)).as("mad_price"))
+        .join(med.select(col("prio"),
+          (col("med").cast("double") / lit(100.0)).as("median_price")), Seq("prio"))
+        .select("prio", "n", "median_price", "mad_price")
+        .orderBy("prio")
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -343,5 +436,80 @@ object StatsQueries extends QueryPack {
          SELECT flag, min(v) AS w_median, max(totw) AS total_weight
          FROM cum WHERE cumw * 2 >= totw
          GROUP BY flag ORDER BY flag""",
+
+    // first digit from the integer-cents decimal string (never log10);
+    // expected = the same fixed IEEE tree Spark evaluates
+    "st6_benford" ->
+      """WITH digits AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n_obs
+           FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+           GROUP BY 1)
+         SELECT digit, n_obs,
+                CAST((1000000 * n_obs)
+                     // CAST(sum(n_obs) OVER () AS BIGINT) AS BIGINT) AS obs_ppm,
+                1e6 * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS exp_ppm
+         FROM digits ORDER BY digit""",
+
+    // doubled nothing here — all-integer kept weights, one final divide
+    "st7_trimmed_mean" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT prio, cents, w,
+                  CAST(sum(w) OVER (PARTITION BY prio ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER (PARTITION BY prio) AS BIGINT) AS n
+           FROM cells),
+         kept AS (
+           SELECT prio, cents, n, n // 10 AS k,
+                  greatest(least(cumw, n - n // 10)
+                           - greatest(cumw - w, n // 10), 0) AS kept
+           FROM cum)
+         SELECT prio, max(n) AS n, max(k) AS n_trimmed_each_side,
+                CAST(CAST(sum(cents * kept) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE) / 100.0
+                  AS trimmed_mean
+         FROM kept GROUP BY prio ORDER BY prio""",
+
+    // two rounds of the a13 weighted-median cell form; cents stay
+    // integers until the final /100
+    "st8_mad" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM orders GROUP BY 1, 2),
+         cum1 AS (
+           SELECT prio, cents, w,
+                  CAST(sum(w) OVER (PARTITION BY prio ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER (PARTITION BY prio) AS BIGINT) AS totw
+           FROM cells),
+         med AS (SELECT prio, min(cents) AS med, max(totw) AS n
+                 FROM cum1 WHERE cumw * 2 >= totw GROUP BY prio),
+         dev AS (SELECT c.prio, abs(c.cents - m.med) AS dev,
+                        CAST(sum(c.w) AS BIGINT) AS w
+                 FROM cells c JOIN med m USING (prio)
+                 GROUP BY 1, 2),
+         cum2 AS (
+           SELECT prio, dev, w,
+                  CAST(sum(w) OVER (PARTITION BY prio ORDER BY dev
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER (PARTITION BY prio) AS BIGINT) AS totw
+           FROM dev),
+         mad AS (SELECT prio, min(dev) AS mad, max(totw) AS n
+                 FROM cum2 WHERE cumw * 2 >= totw GROUP BY prio)
+         SELECT mad.prio, mad.n,
+                CAST(med.med AS DOUBLE) / 100.0 AS median_price,
+                CAST(mad.mad AS DOUBLE) / 100.0 AS mad_price
+         FROM mad JOIN med USING (prio) ORDER BY mad.prio""",
   )
 }

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * artifacts):
   *  - documents: length-preserving caesar remap per copy — cross-copy
   *    shingles/fingerprints never collide, dedup sees a real 10× corpus;
-  *  - embeddings: circular dimension rotation per copy — orthogonal, so
-  *    within-copy geometry is bit-preserved and cross-copy cosines carry
-  *    no systematic alignment;
+  *  - embeddings: seeded signed dimension permutation per copy —
+  *    orthogonal, so within-copy geometry is preserved and cross-copy
+  *    cosines carry no systematic alignment;
   *  - events: disjoint event/user id spaces per copy — sessionization and
   *    per-user windows get 10× users, not 10× events per user;
   *  - TPC-H tables: per-copy key offsets applied CONSISTENTLY across
@@ -32,13 +32,14 @@ import org.apache.spark.sql.functions._
   * Second decade (sf10 = 100× sf0.1): compose two levels —
   *   runMain graft.tools.MakeSf1 /tmp/sf1
   *   runMain graft.tools.MakeSf1 /tmp/sf10 /tmp/sf1 10
-  * The nonzero offset keys the level-2 text permutations 10..19, so every
-  * (level-1, level-2) combination composes a distinct letter permutation
-  * and the 100 copies stay mutually shingle-disjoint (see
-  * [[ScaleTransforms]] on why caesar rotations could not compose). Key
-  * strides re-derive from the level-1 max, so TPC-H join selectivities
-  * hold at 100× too. Embeddings carry the rotation-composition caveat
-  * noted in [[ScaleTransforms]] — the sf10 spot list never reads them.
+  * The nonzero offset keys the level-2 text AND embedding transforms
+  * 10..19, so every (level-1, level-2) combination composes a distinct
+  * letter permutation / signed dimension permutation and the 100 copies
+  * stay mutually shingle-disjoint and geometrically decorrelated (see
+  * [[ScaleTransforms]] on why caesar/circular rotations could not
+  * compose; ScaleTransformsSpec brute-forces both pairwise-distinctness
+  * claims). Key strides re-derive from the level-1 max, so TPC-H join
+  * selectivities hold at 100× too.
   */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
@@ -106,7 +107,8 @@ object MakeSf1 {
           if (c == 0) 0 else textKeyOffset + c)))
     replicate("embeddings", Map("vec_id" -> vecS), (c, df) =>
       df.withColumn("embedding",
-        ScaleTransforms.rotateEmbedding(col("embedding"), c,
+        ScaleTransforms.permuteEmbedding(col("embedding"),
+          if (c == 0) 0 else textKeyOffset + c,
           graft.queries.SimilarityQueries.DIM)))
     spark.stop()
   }

@@ -8,8 +8,9 @@ import graft.SparkEntry
   * the sf0.1 corpus 10× with the honest per-copy transforms of
   * [[ScaleTransforms]] — length-preserving caesar text remap (cross-copy
   * shingles never collide, so dedup sees a real 10×, not a 10-clique),
-  * circular embedding-dimension rotation (within-copy geometry preserved,
-  * cross-copy cosines decorrelated), disjoint id/user spaces for events —
+  * signed embedding-dimension permutation (within-copy geometry
+  * preserved, cross-copy cosines decorrelated), disjoint id/user spaces
+  * for events —
   * write it with the same 32-file layout, then time the given registry
   * queries at both scales (3 reps, prints each).
   *
@@ -40,7 +41,7 @@ object Scale10 {
     val vecStride = emb.agg(max("vec_id")).first().getLong(0) + 1
     (0 until copies).map { c =>
       emb.select((col("vec_id") + lit(c * vecStride)).as("vec_id"),
-        ScaleTransforms.rotateEmbedding(col("embedding"), c,
+        ScaleTransforms.permuteEmbedding(col("embedding"), c,
           graft.queries.SimilarityQueries.DIM).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)

@@ -209,6 +209,103 @@ class AnomalySpec extends AnyFunSuite {
   }
 }
 
+/** Seeded-mutation property tests for the U12–U14 flags: random geometry
+  * perturbations (bond stretches/breaks at generator-chosen distances)
+  * must flip each flag exactly when the mutation crosses the operator's
+  * covalent-radius threshold — so the thresholds are falsifiable
+  * off-fixture, not just pinned on the three hand-built cases above.
+  * Distances are drawn from bands strictly AWAY from each cutoff (a
+  * generator landing on a boundary would test float noise, not
+  * semantics). All structures live on the x-axis of a 40 Å cube, far
+  * from cell walls, so periodic images never participate.
+  */
+class AnomalyPropertySpec extends AnyFunSuite {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private val L = 40.0
+  private val lat = Seq(Seq(L, 0, 0), Seq(0, L, 0), Seq(0, 0, L))
+  private def chain(elems: Seq[String], xs: Seq[Double]): Structure =
+    Structure(lat, elems.zip(xs).map { case (e, x) =>
+      Site(e, Seq(x / L, 0.5, 0.5), "a") })
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("identical frames never flag dissociation or reconstruction") {
+    val genSites = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
+      e <- Gen.oneOf("Pt", "Cu", "C", "O", "H")
+      x <- Gen.choose(4.0, 36.0)
+    } yield (e, x)))
+    check(Prop.forAll(genSites) { sites =>
+      val s = chain(sites.map(_._1), sites.map(_._2))
+      val idx = sites.indices.take(2)
+      !Anomaly.isDissociated(s, s, idx) &&
+        !Anomaly.hasSurfaceChanged(s, s, sites.indices.drop(2))
+    })
+  }
+
+  test("U12: a mutated C-O distance flags iff it crosses the bond cutoff") {
+    // C-O cutoff at the 1.2 sub-adjacency cushion: (0.76 + 0.66) * 1.2 =
+    // 1.704 Å; bands keep 0.1 Å clear of it
+    val bonded = Gen.choose(0.9, 1.6)
+    val broken = Gen.choose(1.9, 6.0)
+    val gen = for {
+      d0 <- bonded; d1 <- Gen.oneOf(bonded, broken)
+      pt <- Gen.choose(8.0, 12.0)
+    } yield (pt, d0, d1)
+    check(Prop.forAll(gen) { case (pt, d0, d1) =>
+      val init = chain(Seq("Pt", "C", "O"), Seq(pt, 20.0, 20.0 + d0))
+      val fin = chain(Seq("Pt", "C", "O"), Seq(pt, 20.0, 20.0 + d1))
+      Anomaly.isDissociated(init, fin, Seq(1, 2)) == (d1 > 1.704)
+    })
+  }
+
+  test("U12: bond FORMATION flags too (connectivity change is symmetric)") {
+    val gen = for { d0 <- Gen.choose(1.9, 6.0); d1 <- Gen.choose(0.9, 1.6) } yield (d0, d1)
+    check(Prop.forAll(gen) { case (d0, d1) =>
+      val init = chain(Seq("C", "O"), Seq(20.0, 20.0 + d0))
+      val fin = chain(Seq("C", "O"), Seq(20.0, 20.0 + d1))
+      Anomaly.isDissociated(init, fin, Seq(0, 1))
+    })
+  }
+
+  test("U14: desorption flags iff every slab bond exceeds the 1.5 cushion, " +
+    "and is monotone in distance") {
+    // H-Pt cutoff at the 1.5 desorption cushion: (0.31 + 1.36) * 1.5 =
+    // 2.505 Å; bands keep 0.1 Å clear
+    val gen = for {
+      d <- Gen.oneOf(Gen.choose(1.2, 2.4), Gen.choose(2.7, 12.0))
+      stretch <- Gen.choose(1.05, 3.0)
+    } yield (d, stretch)
+    check(Prop.forAll(gen) { case (d, stretch) =>
+      val fin = chain(Seq("Pt", "H"), Seq(20.0, 20.0 + d))
+      val farther = chain(Seq("Pt", "H"), Seq(20.0, 20.0 + d * stretch))
+      val flagged = Anomaly.isDesorbed(fin, Seq(1))
+      flagged == (d > 2.505) &&
+        // monotone: once desorbed, moving farther can never re-adsorb
+        (!flagged || Anomaly.isDesorbed(farther, Seq(1)))
+    })
+  }
+
+  test("U13: hysteresis — only a mutation crossing BOTH thresholds flags") {
+    // Pt-Pt: tight (1.0) cutoff 2.72 Å, loose (1.5) cutoff 4.08 Å; three
+    // bands — T = tight-bonded [2.0, 2.6], B = between [2.9, 3.9],
+    // F = free [4.3, 8.0] — each 0.1+ Å clear of both cutoffs
+    val band = Gen.oneOf(
+      Gen.choose(2.0, 2.6), Gen.choose(2.9, 3.9), Gen.choose(4.3, 8.0))
+    val gen = for { di <- band; df <- band } yield (di, df)
+    check(Prop.forAll(gen) { case (di, df) =>
+      val init = chain(Seq("Pt", "Pt"), Seq(20.0, 20.0 + di))
+      val fin = chain(Seq("Pt", "Pt"), Seq(20.0, 20.0 + df))
+      val formed = di > 4.08 && df < 2.72   // was not even loose; now tight
+      val broken = di < 2.72 && df > 4.08   // was tight; now not even loose
+      Anomaly.hasSurfaceChanged(init, fin, Seq(0, 1)) == (formed || broken)
+    })
+  }
+}
+
 class ConfigSpec extends AnyFunSuite {
 
   private val good =

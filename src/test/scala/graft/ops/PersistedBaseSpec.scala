@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the cross-session store contract ([[PersistedBase]]): the build
+  * thunk runs exactly once per content key (later calls — the "new
+  * session" path — are pure parquet reads), a changed key rebuilds, and
+  * the content fingerprint is row-order independent but sensitive to
+  * every keyed column (the invalidation rule d7b/gt2b rely on: a text
+  * edit MUST rebuild the CC labels).
+  */
+class PersistedBaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff")).toDF("id", "text")
+
+  test("corpusKey: order-independent, content-sensitive") {
+    val k1 = PersistedBase.corpusKey(docs, col("id"), col("text"))
+    val k2 = PersistedBase.corpusKey(docs.orderBy(col("id").desc),
+      col("id"), col("text"))
+    assert(k1 == k2, "row order must not change the key")
+    val edited = docs.withColumn("text",
+      when(col("id") === 2L, lit("cc dx")).otherwise(col("text")))
+    assert(PersistedBase.corpusKey(edited, col("id"), col("text")) != k1,
+      "a single-row text edit must invalidate")
+    val dropped = docs.filter(col("id") =!= 3L)
+    assert(PersistedBase.corpusKey(dropped, col("id"), col("text")) != k1,
+      "a deletion must invalidate")
+  }
+
+  test("getOrBuild: builds once per key, rebuilds on key change") {
+    val name = s"pbspec-${System.nanoTime()}"
+    var builds = 0
+    def serve(key: String) = PersistedBase.getOrBuild(spark, name, key) {
+      builds += 1
+      docs.select(col("id"), length(col("text")).as("len"))
+    }
+    val cold = serve("k1").orderBy("id").as[(Long, Int)].collect().toSeq
+    val warm = serve("k1").orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(builds == 1, "second call must be a store read, not a rebuild")
+    assert(cold == warm)
+    serve("k2").collect()
+    assert(builds == 2, "a new content key must rebuild")
+  }
+}

@@ -106,4 +106,44 @@ class SpanDedupSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("incrementalDupSpans against a parquet-persisted store equals the full recompute") {
+    // the production shape end-to-end: history's gram-hash store is
+    // WRITTEN to parquet and read back (the batch never touches history
+    // rows), then the incremental spans must equal dupSpans over the full
+    // corpus restricted to batch docs — the symmetry argument d23's
+    // oracle leans on, here exercised through a real persisted store
+    val prop = Prop.forAll(genCorpus) { texts =>
+      val all = corpusDf(texts)
+      val batch = all.filter(col("doc_id") % 2 === 0)
+      val history = all.filter(col("doc_id") % 2 =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("spanstore").toString
+      Dedup.spanHashStore(history, "doc_id", col("text"), K)
+        .write.mode("overwrite").parquet(dir)
+      val store = spark.read.parquet(dir)
+      val got = Dedup.incrementalDupSpans(batch, store, "doc_id",
+          col("text"), K)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Int, Int)].collect().toSet
+      val want = Dedup.dupSpans(all, "doc_id", col("text"), K)
+        .filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Int, Int)].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("incrementalDupSpans: store-only hits fire without any within-batch support") {
+    // one batch doc, zero within-batch duplication — every span must come
+    // from the store probe (the path the full-corpus gate can't isolate)
+    val batch = Seq((0L, "a bb ccc dd a bb")).toDF("doc_id", "text")
+    val history = Seq((1L, "a bb ccc x y z")).toDF("doc_id", "text")
+    val store = Dedup.spanHashStore(history, "doc_id", col("text"), K)
+    val got = Dedup.incrementalDupSpans(batch, store, "doc_id", col("text"), K)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((0L, 1, 3)), got.toString)
+  }
 }

@@ -523,4 +523,12 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d23 incremental span dedup: store probe is ONE keyed left join " +
+    "(LeftOuter on h — the OR of store-hit and within-batch keeps it " +
+    "outer), batch-scale shuffles only, no cartesian/nested loop") {
+    val p = plan("d23_incremental_span_dedup")
+    assert(p.contains("LeftOuter"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
