@@ -184,6 +184,39 @@ object EventQueries extends QueryPack {
     // the deviation itself in ppm. The daily aggregate is the only
     // data-scale work; the dow window runs over the time-bounded day
     // table (st3/e14 discipline).
+    // Inter-event gap distribution per event type — the telemetry-health
+    // readout (a collapsing median gap = a runaway client; a fat p90 = a
+    // stalling one) no other event op covers. One user-keyed window
+    // (lag over (ts, event_id) — the id tiebreak makes same-timestamp
+    // pairs deterministic) computes whole-second integer gaps, then the
+    // a13 cell discipline: ONE (type, gap)-keyed aggregate is the only
+    // data-scale work; median (2·cum ≥ tot) and p90 (10·cum ≥ 9·tot)
+    // come from cumulative windows over the bounded gap-cell table. All
+    // integers, nothing divides.
+    "e17_interevent_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cells = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts - prev) DIV 1000000000").as("gap_s"))
+        .groupBy("event_type", "gap_s").agg(count(lit(1)).as("n"))
+      val byT = Window.partitionBy("event_type")
+      val cum = byT.orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cumn", sum(col("n")).over(cum))
+        .withColumn("tot", sum(col("n")).over(byT))
+        .groupBy("event_type")
+        .agg(max(col("tot")).as("n_gaps"),
+          min(when(col("cumn") * 2 >= col("tot"), col("gap_s")))
+            .as("median_gap_s"),
+          min(when(col("cumn") * 10 >= col("tot") * 9, col("gap_s")))
+            .as("p90_gap_s"))
+        .orderBy("event_type")
+    }),
+
     "e16_dow_baseline" -> ((s, d) => {
       val w = Window.partitionBy("event_type", "dow")
       Tables.events(s, d)
@@ -527,6 +560,31 @@ object EventQueries extends QueryPack {
           WINDOW w AS (PARTITION BY event_type ORDER BY day
                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
           ORDER BY event_type, day""",
+    // lag over (ts, event_id) mirrored; whole-second gaps from micros
+    // (every corpus ts is a whole microsecond — verified, and Spark's
+    // nanos DIV 1e9 equals DuckDB's micros // 1e6 exactly then)
+    "e17_interevent_gaps" ->
+      """WITH gaps AS (
+           SELECT event_type,
+                  (epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)))
+                    // 1000000 AS gap_s
+           FROM events),
+         cells AS (SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS n
+                   FROM gaps WHERE gap_s IS NOT NULL
+                   GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, gap_s,
+                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY gap_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumn,
+                  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM cells)
+         SELECT event_type, max(tot) AS n_gaps,
+                min(CASE WHEN cumn * 2 >= tot THEN gap_s END) AS median_gap_s,
+                min(CASE WHEN cumn * 10 >= tot * 9 THEN gap_s END) AS p90_gap_s
+         FROM cum GROUP BY event_type ORDER BY event_type""",
+
     "e16_dow_baseline" ->
       s"""WITH daily AS (
             SELECT event_type, epoch_us(ts) // ${DAY_NS / 1000} AS day,

@@ -635,6 +635,26 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Lexical diversity per source — type-token ratio and hapax share,
+    // the vocabulary-health companions to t27's zipf slope (a synthetic
+    // or template-generated source shows a collapsed TTR and a starved
+    // hapax share long before its zipf fit degrades). Same cost shape as
+    // t27: ONE (source, token)-keyed aggregate is the only data-scale
+    // work; the per-source roll-up runs over the vocab-bounded count
+    // table. Integer ppm throughout (vocab > 0 always — a source with
+    // zero docs has no row).
+    "t28_lexical_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+        .groupBy("source")
+        .agg(sum(col("freq")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_ppm", expr("(1000000 * n_types) div n_tokens"))
+        .withColumn("hapax_ppm", expr("(1000000 * n_hapax) div n_types"))
+        .orderBy("source")),
+
     // Count-min sketch calibration — the d20/sim10 discipline applied to
     // the frequency tier: CM(W=1024, D=4) estimates vs exact counts for
     // the top-20 tokens, signed error in ppm (CM only overestimates, so
@@ -1206,6 +1226,21 @@ object TextQueries extends QueryPack {
                            (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
                       AS DECIMAL(18,6)) AS DOUBLE) AS zipf_slope
           FROM a ORDER BY source""",
+    "t28_lexical_diversity" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY source, token),
+         a AS (SELECT source,
+                      CAST(sum(freq) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_hapax
+               FROM c GROUP BY source)
+         SELECT source, n_tokens, n_types, n_hapax,
+                CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+                CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm
+         FROM a ORDER BY source""",
     "hh2_countmin_calibration" -> {
       val params = StableHash.affineParams(CmD)
       val ph = StableHash.polyHashSql("token")
