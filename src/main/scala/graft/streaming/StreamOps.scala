@@ -357,6 +357,53 @@ object StreamOps {
       }
   }
 
+  case class GapOut(event_id: Long, user_id: Long, event_type: String,
+                    gap_s: Long)
+  case class GapState(lastMicros: Long, lastTsMs: Long)
+
+  /** Per-event inter-arrival gap — the streaming twin of the batch lag
+    * window feeding `e17_interevent_gaps` (the batch query then
+    * aggregates the gap stream to per-type percentiles; a streaming
+    * deployment feeds the same cells table incrementally). State is ONE
+    * (last-event-micros, ttl-clock) pair per user — a 100-event user
+    * holds exactly one state row, the funnel/EWMA bound discipline — and
+    * idle users expire via event-time timeout. Within each batch rows
+    * fold in (event micros, event_id) order — the batch twin's lag
+    * ordering — so in-order streams reproduce the batch gaps exactly;
+    * the first event of a key emits nothing (lag's NULL row, filtered),
+    * and a cross-batch straggler measures against the latest event seen
+    * at its arrival (at-watermark finality, the EWMA trade).
+    */
+  def interEventGaps(spark: SparkSession, events: Dataset[Evt],
+                     watermarkDelay: String = "1 minute",
+                     ttlMs: Long = 2L * 3600 * 1000): Dataset[GapOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(GapState(Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[GapOut]
+            sorted.foreach { e =>
+              val m = eventMicros(e.ts)
+              if (st.lastMicros != Long.MinValue)
+                out += GapOut(e.event_id, user, e.event_type,
+                  Math.floorDiv(m - st.lastMicros, 1000000L))
+              st = GapState(m, math.max(st.lastTsMs, e.ts.getTime))
+            }
+            state.update(st)
+            if (st.lastTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

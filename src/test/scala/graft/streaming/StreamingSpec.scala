@@ -706,4 +706,46 @@ class StreamingSpec extends SparkTestBase {
         s"ewma state must be one row per user (4), not per event: $stateRows")
     } finally q.stop()
   }
+
+  test("streaming inter-event gaps match the batch lag window across batches") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    // user 1: events at minutes 0, 2, 5 split ACROSS batches (the state
+    // must carry the last timestamp over); user 2: single event → no gap
+    ms.addData(
+      StreamOps.Evt(1, ts(0), 1, "view", 1.0),
+      StreamOps.Evt(2, ts(2), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(1), 2, "view", 1.0))
+    val q = StreamOps.interEventGaps(spark, ms.toDS())
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(StreamOps.Evt(4, ts(5), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("gaps_out")
+        .select("event_id", "user_id", "event_type", "gap_s")
+        .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+      // gap carries the CURRENT event's type (the batch twin groups the
+      // lag output by the row's own event_type)
+      assert(rows.toSeq == Seq(
+        (2L, 1L, "click", 120L), (4L, 1L, "purchase", 180L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("inter-event gap state is rows = f(keys): one row per user") {
+    val evts = for (u <- 1 to 3; i <- 0 until 150)
+      yield StreamOps.Evt(u * 10000L + i, ts(i), u.toLong, "view", 1.0)
+    val ms = mkEvents(evts)
+    val q = StreamOps.interEventGaps(spark, ms.toDS())
+      .writeStream.format("memory").queryName("gaps_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 3L,
+        s"gap state must be one row per user (3), not per event: $stateRows")
+    } finally q.stop()
+  }
 }
