@@ -26,10 +26,16 @@ import graft.functions.StableHash
   * the d15 anti-join discipline instead of rebuilding; the content hash
   * is the engine-portable fallback this sandbox can actually exercise.
   *
-  * Write protocol: build → write to a `.tmp` sibling → atomic rename into
-  * the keyed path, so a killed session never leaves a half-written entry
-  * that a later session would trust (the rename either lands whole or
-  * not at all; a stale `.tmp` is overwritten by the next builder).
+  * Write protocol: build → write to a PER-ATTEMPT unique `.tmp-<uuid>`
+  * sibling → atomic rename into the keyed path. The unique suffix is
+  * what makes CONCURRENT sessions safe, not just killed ones: a shared
+  * fixed tmp path would let two builders interleave delete/write and
+  * rename a MIXED parquet dir (duplicate part files under a valid
+  * _SUCCESS) into place, which every later session would then trust. A
+  * complete entry is never deleted, and a failed rename means another
+  * builder won the race — fall through to the read; a killed session's
+  * orphaned `.tmp-*` dirs are dead files swept on the next build of the
+  * same entry.
   */
 private[graft] object PersistedBase {
 
@@ -48,10 +54,13 @@ private[graft] object PersistedBase {
   def corpusKey(df: DataFrame, keyCols: Column*): String = {
     val h = StableHash.polyHash64(concat_ws("\u0001",
       keyCols.map(_.cast("string")): _*))
+    // coalesce: sum/bit_xor are NULL over zero rows — an empty corpus
+    // must yield the stable key "0-0-0", not a driver NPE
     val r = df.agg(
       count(lit(1)).as("n"),
-      (sum(h.cast("decimal(38,0)")) % lit(Long.MaxValue)).cast("long").as("s"),
-      call_function("bit_xor", h).as("x")).first()
+      coalesce((sum(h.cast("decimal(38,0)")) % lit(Long.MaxValue))
+        .cast("long"), lit(0L)).as("s"),
+      coalesce(call_function("bit_xor", h), lit(0L)).as("x")).first()
     f"${r.getLong(0)}%x-${r.getLong(1)}%x-${r.getLong(2)}%x"
   }
 
@@ -63,14 +72,29 @@ private[graft] object PersistedBase {
                 (build: => DataFrame): DataFrame = {
     val dir = new Path(s"$root/$name-$key")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // _SUCCESS guards against a pre-rename-protocol partial write
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      val tmp = new Path(s"$root/$name-$key.tmp")
-      fs.delete(tmp, true)
+    def complete = fs.exists(new Path(dir, "_SUCCESS"))
+    if (!complete) {
+      // per-attempt unique tmp: concurrent builders never share a path
+      // (a killed attempt's orphan is a dead file, swept lazily — never
+      // eagerly, which could delete a LIVE concurrent builder's tmp)
+      val tmp = new Path(
+        s"$root/$name-$key.tmp-${java.util.UUID.randomUUID}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      if (!fs.rename(tmp, dir))
-        throw new IllegalStateException(s"[store] rename failed: $tmp -> $dir")
+      // re-check: NEVER delete a complete entry another builder landed
+      // while we were building; an incomplete leftover (pre-protocol
+      // partial write) is safe to clear before the rename
+      if (complete) fs.delete(tmp, true)
+      else {
+        if (fs.exists(dir)) fs.delete(dir, true)
+        if (!fs.rename(tmp, dir)) {
+          // rename races are won by exactly one builder; the losers
+          // fall through to read the winner's entry
+          fs.delete(tmp, true)
+          if (!complete)
+            throw new IllegalStateException(
+              s"[store] rename failed with no complete entry: $tmp -> $dir")
+        }
+      }
     }
     s.read.parquet(dir.toString)
   }

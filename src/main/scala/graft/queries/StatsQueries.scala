@@ -25,6 +25,18 @@ object StatsQueries extends QueryPack {
   // constant mod P spreads them before the uniform is taken.
   private val (sA, sB) = StableHash.affineParams(1).head
 
+  // Benford expected first-digit shares, round(1e6·log10(1+1/d)) for
+  // d=1..9 — NINE integer ppm constants precomputed once and emitted as
+  // the SAME SQL literal expression by Spark and the DuckDB oracle, so
+  // st6's hash gate never depends on two libms' ln() agreeing to the
+  // last ulp. 301030+176091+124939+96910+79181+66947+57992+51153+45757
+  // = 1_000_000 exactly (the rounded shares happen to telescope).
+  private[queries] val BenfordExpPpmSql: String =
+    """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992  WHEN 8 THEN 51153  ELSE 45757
+       END""".stripMargin.replaceAll("\\s+", " ").trim
+
   // Per-segment sampling fractions — deliberately spread over two orders
   // of magnitude so the test at sf0.01 exercises both heavy and thin keeps.
   private val Fractions = Seq(
@@ -219,9 +231,12 @@ object StatsQueries extends QueryPack {
     // The first significant digit comes from the DECIMAL STRING of the
     // integer cents (both engines render a positive bigint identically) —
     // never from log10, whose engine rounding at exact powers of ten
-    // would misclassify boundary values. Expected shares are the fixed
-    // IEEE tree 1e6·ln(1+1/d)/ln(10) (ln of exact rationals — t19's
-    // cross-engine rule); observed shares are integer ppm.
+    // would misclassify boundary values. Expected shares are NINE
+    // PRECOMPUTED INTEGER ppm literals, round(1e6·log10(1+1/d)), shared
+    // verbatim by both engines — an in-engine ln() would tie the hash
+    // gate to two libms agreeing to the last ulp (neither JVM Math.log
+    // nor libm std::log is guaranteed correctly rounded), a
+    // platform-fragile comparison for a constant that never changes.
     "st6_benford" -> ((s, d) => {
       val digits = Tables.orders(s, d)
         .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
@@ -233,8 +248,7 @@ object StatsQueries extends QueryPack {
         .withColumn("total", sum(col("n_obs")).over(Window.partitionBy()))
         .select(col("digit"), col("n_obs"),
           expr("(1000000 * n_obs) div total").as("obs_ppm"),
-          (lit(1e6) * log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
-            / log(lit(10.0))).as("exp_ppm"))
+          expr(BenfordExpPpmSql).as("exp_ppm"))
         .orderBy("digit")
     }),
 
@@ -438,9 +452,10 @@ object StatsQueries extends QueryPack {
          GROUP BY flag ORDER BY flag""",
 
     // first digit from the integer-cents decimal string (never log10);
-    // expected = the same fixed IEEE tree Spark evaluates
+    // expected = the SAME nine precomputed integer ppm literals Spark
+    // emits (BenfordExpPpmSql) — no in-engine ln(), no libm coupling
     "st6_benford" ->
-      """WITH digits AS (
+      s"""WITH digits AS (
            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                     AS VARCHAR), 1, 1) AS INT) AS digit,
                   CAST(count(*) AS BIGINT) AS n_obs
@@ -449,7 +464,7 @@ object StatsQueries extends QueryPack {
          SELECT digit, n_obs,
                 CAST((1000000 * n_obs)
                      // CAST(sum(n_obs) OVER () AS BIGINT) AS BIGINT) AS obs_ppm,
-                1e6 * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS exp_ppm
+                $BenfordExpPpmSql AS exp_ppm
          FROM digits ORDER BY digit""",
 
     // doubled nothing here — all-integer kept weights, one final divide

@@ -370,9 +370,14 @@ object StreamOps {
     * idle users expire via event-time timeout. Within each batch rows
     * fold in (event micros, event_id) order — the batch twin's lag
     * ordering — so in-order streams reproduce the batch gaps exactly;
-    * the first event of a key emits nothing (lag's NULL row, filtered),
-    * and a cross-batch straggler measures against the latest event seen
-    * at its arrival (at-watermark finality, the EWMA trade).
+    * the first event of a key emits nothing (lag's NULL row, filtered).
+    * A cross-batch straggler (late but inside the watermark) is DROPPED,
+    * not emitted, and the state clock advances monotonically — a
+    * straggler must never rewind `lastMicros`, or it would emit a
+    * negative gap itself AND make the next in-order event measure
+    * against the straggler instead of the latest event seen (events at
+    * t=100, straggler t=10, t=110 would yield gaps −90 and 100 instead
+    * of the correct 10). At-watermark finality, the EWMA trade.
     */
   def interEventGaps(spark: SparkSession, events: Dataset[Evt],
                      watermarkDelay: String = "1 minute",
@@ -390,10 +395,13 @@ object StreamOps {
             val out = Seq.newBuilder[GapOut]
             sorted.foreach { e =>
               val m = eventMicros(e.ts)
-              if (st.lastMicros != Long.MinValue)
+              // a straggler below the state clock emits nothing and the
+              // clock only ever advances (see scaladoc: no rewinds)
+              if (st.lastMicros != Long.MinValue && m >= st.lastMicros)
                 out += GapOut(e.event_id, user, e.event_type,
                   Math.floorDiv(m - st.lastMicros, 1000000L))
-              st = GapState(m, math.max(st.lastTsMs, e.ts.getTime))
+              st = GapState(math.max(st.lastMicros, m),
+                math.max(st.lastTsMs, e.ts.getTime))
             }
             state.update(st)
             if (st.lastTsMs != Long.MinValue)

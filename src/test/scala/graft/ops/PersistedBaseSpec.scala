@@ -44,4 +44,32 @@ class PersistedBaseSpec extends SparkTestBase {
     serve("k2").collect()
     assert(builds == 2, "a new content key must rebuild")
   }
+
+  test("corpusKey: empty corpus yields the stable 0-0-0 key, not an NPE") {
+    assert(PersistedBase.corpusKey(docs.filter(col("id") < 0L),
+      col("id"), col("text")) == "0-0-0")
+  }
+
+  test("getOrBuild: a builder losing the race reads the winner's entry " +
+    "and never clobbers it") {
+    val name = s"pbspec-race-${System.nanoTime()}"
+    val storeRoot = sys.env.getOrElse("GRAFT_STORE_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-store")
+    // simulate the race deterministically: WHILE builder B's thunk runs
+    // (B already passed the initial absence check), builder A lands a
+    // complete entry at the keyed path. B's post-build re-check must see
+    // it, discard B's own result, and serve A's rows — never delete or
+    // overwrite the complete entry.
+    val served = PersistedBase.getOrBuild(spark, name, "k") {
+      docs.select(col("id"), lit("winner").as("who"))
+        .write.mode("overwrite").parquet(s"$storeRoot/$name-k")
+      docs.select(col("id"), lit("loser").as("who"))
+    }
+    assert(served.select("who").distinct().as[String].collect().toSeq
+      == Seq("winner"),
+      "the losing builder must fall through to the winner's entry")
+    // and a later cold probe still serves the winner (entry intact)
+    assert(PersistedBase.getOrBuild(spark, name, "k") { fail("no rebuild") }
+      .select("who").distinct().as[String].collect().toSeq == Seq("winner"))
+  }
 }

@@ -734,6 +734,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a cross-batch straggler never rewinds the gap clock") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    // batch 1 advances the clock to minute 10 (watermark = minute 9);
+    // batch 2 delivers a straggler at minute 9.5 — late vs the state
+    // clock but INSIDE the watermark, so Spark's late filter passes it
+    // through to the operator — followed by an in-order event at minute
+    // 11. The straggler must emit NOTHING (not a −30 s gap) and the
+    // minute-11 event must measure against minute 10, not minute 9.5.
+    ms.addData(
+      StreamOps.Evt(1, ts(0), 1, "view", 1.0),
+      StreamOps.Evt(2, ts(10), 1, "view", 1.0))
+    val q = StreamOps.interEventGaps(spark, ms.toDS())
+      .writeStream.format("memory").queryName("gaps_straggler")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val halfPast9 = new Timestamp(ts(9).getTime + 30000L)
+      ms.addData(
+        StreamOps.Evt(3, halfPast9, 1, "late", 1.0),
+        StreamOps.Evt(4, ts(11), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("gaps_straggler")
+        .select("event_id", "gap_s").as[(Long, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((2L, 600L), (4L, 60L)),
+        s"straggler must be dropped and the clock must not rewind: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("inter-event gap state is rows = f(keys): one row per user") {
     val evts = for (u <- 1 to 3; i <- 0 until 150)
       yield StreamOps.Evt(u * 10000L + i, ts(i), u.toLong, "view", 1.0)

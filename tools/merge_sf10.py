@@ -43,8 +43,12 @@ def main() -> None:
         json.dump(doc, f, separators=(",", ":"))
     print(f"{'query':34s} {'sf1':>8s} {'sf10':>9s} {'ratio':>6s}")
     for q, r in queries.items():
-        ratio = f"{r['ratio']:5.1f}x" if r["ratio"] else "  FAIL"
-        print(f"{q:34s} {r['sf1_sec']:8.2f} {r['sf10_sec']:9.2f} {ratio}")
+        # a query missing/failed at either tier has sec=None — print FAIL
+        # in that column too, never feed None to a float format
+        sf1_s = f"{r['sf1_sec']:8.2f}" if r.get("sf1_sec") is not None else f"{'FAIL':>8s}"
+        sf10_s = f"{r['sf10_sec']:9.2f}" if r.get("sf10_sec") is not None else f"{'FAIL':>9s}"
+        ratio = f"{r['ratio']:5.1f}x" if r.get("ratio") else "  FAIL"
+        print(f"{q:34s} {sf1_s} {sf10_s} {ratio}")
 
 
 if __name__ == "__main__":
