@@ -217,6 +217,44 @@ object EventQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Lag-1..7 autocorrelation of the daily count series per event type —
+    // the seasonality DETECTOR beside e16's dow-class corrector (a strong
+    // acf spike at lag 7 is how a pipeline learns the weekly period it
+    // should baseline against, instead of assuming it). Exact integer
+    // algebra end to end: with nd days and total S, the centered value
+    // rides as the scaled integer cc_d = nd·x_d − S (= nd·(x_d − mean),
+    // so the nd² factors cancel in num/den and no rational mean ever
+    // materializes); ONE double division at the end. The only data-scale
+    // work is the (type, day) aggregate — the lag self-join runs on the
+    // calendar-bounded type×day grid (30·5 rows here, 7·|days| pairs per
+    // type), never on events.
+    "e18_autocorr" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), expr(s"ts DIV $DAY_NS").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val tot = cells.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("s"))
+      val cent = cells.join(tot, "event_type")
+        .select(col("event_type"), col("day"),
+          (col("nd") * col("x") - col("s")).as("cc"))
+      val den = cent.groupBy("event_type")
+        .agg(sum(col("cc") * col("cc")).as("den"))
+      val lags = cent.select(col("event_type"), col("day"), col("cc"),
+          explode(sequence(lit(1), lit(7))).as("lag"))
+        .withColumn("lag", col("lag").cast("bigint"))
+      lags.as("a")
+        .join(cent.as("b"),
+          col("b.event_type") === col("a.event_type") &&
+            col("b.day") === col("a.day") - col("a.lag"))
+        .groupBy(col("a.event_type"), col("a.lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.cc") * col("b.cc")).as("num"))
+        .join(den, "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
     "e16_dow_baseline" -> ((s, d) => {
       val w = Window.partitionBy("event_type", "dow")
       Tables.events(s, d)
@@ -584,6 +622,32 @@ object EventQueries extends QueryPack {
                 min(CASE WHEN cumn * 2 >= tot THEN gap_s END) AS median_gap_s,
                 min(CASE WHEN cumn * 10 >= tot * 9 THEN gap_s END) AS p90_gap_s
          FROM cum GROUP BY event_type ORDER BY event_type""",
+
+    "e18_autocorr" ->
+      s"""WITH cells AS (
+            SELECT event_type, epoch_us(ts) // ${DAY_NS / 1000} AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(x) AS BIGINT) AS s
+                  FROM cells GROUP BY 1),
+          cent AS (SELECT cells.event_type, day, nd * x - s AS cc
+                   FROM cells JOIN tot USING (event_type)),
+          den AS (SELECT event_type, CAST(sum(cc * cc) AS BIGINT) AS den
+                  FROM cent GROUP BY 1),
+          lags AS (SELECT event_type, day, cc,
+                          unnest(generate_series(1, 7)) AS lag
+                   FROM cent),
+          num AS (SELECT a.event_type, a.lag,
+                         CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(a.cc * b.cc) AS BIGINT) AS num
+                  FROM lags a JOIN cent b
+                    ON b.event_type = a.event_type AND b.day = a.day - a.lag
+                  GROUP BY 1, 2)
+          SELECT event_type, lag, n_pairs,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+          FROM num JOIN den USING (event_type)
+          ORDER BY event_type, lag""",
 
     "e16_dow_baseline" ->
       s"""WITH daily AS (

@@ -454,6 +454,40 @@ object GraphQueries extends QueryPack {
         .limit(40)
       try scored.localCheckpoint(true) finally e.unpersist()
     }),
+
+    // Degree assortativity — the one-number mixing diagnostic (r > 0: hubs
+    // link hubs; r < 0: hubs link leaves) that tells a graph pipeline
+    // whether degree-based partitioning/salting will face hub-hub edge
+    // hotspots. Pearson correlation of (deg(src), deg(dst)) over the
+    // directed edges, computed EXACTLY: per-edge degree products sum into
+    // DECIMAL(38,0) (M·Σxy reaches ~10^20 at sf1 — past BIGINT, nowhere
+    // near decimal's 10^38), the three moment combinations stay integral,
+    // and the only doubles are the final correctly-rounded casts, two
+    // sqrt-of-exact-ints, and one divide — identical on both engines.
+    // Scale shape: degree table is node-scale (NOT broadcast-pinned —
+    // AQE may choose to at toy sf); two keyed edge×degree joins, one
+    // all-column aggregate. No iteration, no windows.
+    "gr6_assortativity" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val xy = e
+        .join(deg.select(col("id").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("y")), "dst")
+      val a = xy.agg(
+        count(lit(1)).as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      a.select(col("m").as("m_edges"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+    }),
   )
 
   private def edgesSql: String =
@@ -485,6 +519,25 @@ object GraphQueries extends QueryPack {
                JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
 
   val oracles: Map[String, String] = Map(
+    "gr6_assortativity" ->
+      s"""WITH e AS ($edgesSql),
+          deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT src AS id FROM e
+                        UNION ALL SELECT dst FROM e)
+                  GROUP BY id),
+          xy AS (SELECT dx.deg AS x, dy.deg AS y
+                 FROM e JOIN deg dx ON dx.id = e.src
+                        JOIN deg dy ON dy.id = e.dst),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM xy)
+          SELECT m AS m_edges,
+                 CAST(m * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                   AS assortativity
+          FROM agg""",
     "gt1_triangle_count" ->
       s"""WITH $triSql
           SELECT (SELECT count(*) FROM edges) AS n_edges,

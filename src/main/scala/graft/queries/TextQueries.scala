@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
@@ -655,6 +656,39 @@ object TextQueries extends QueryPack {
         .withColumn("hapax_ppm", expr("(1000000 * n_hapax) div n_types"))
         .orderBy("source")),
 
+    // Vocabulary coverage curve readout — "how many types cover 50/90/99%
+    // of the token mass" per source: the number a tokenizer-vocab sizing
+    // or stopword-list decision actually consumes (t27's Zipf slope says
+    // the tail is heavy; this says where to cut it). The only data-scale
+    // work is the (source, token) count; the rank/cumulative window runs
+    // over the vocab-bounded count table ordered (freq DESC, token) —
+    // deterministic under ties — and each vocab row fans out to the 3
+    // fixed thresholds before ONE bounded aggregate picks the minimal
+    // qualifying rank (cum is monotone along rank, so min(cum) over
+    // qualifying rows IS the coverage at that rank). All-integer output.
+    "t29_vocab_coverage" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("token"))
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+        .select(col("source"),
+          row_number().over(w).cast("bigint").as("rnk"),
+          sum(col("freq")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"),
+          sum(col("freq")).over(Window.partitionBy("source")).as("t"))
+      ranked
+        .select(col("source"), col("rnk"), col("cum"), col("t"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+        .filter(col("cum") * 100 >= col("t") * col("pct"))
+        .groupBy("source", "pct")
+        .agg(min(col("rnk")).as("n_types"),
+          min(col("cum")).as("covered_tokens"),
+          max(col("t")).as("total_tokens"))
+        .orderBy("source", "pct")
+    }),
+
     // Count-min sketch calibration — the d20/sim10 discipline applied to
     // the frequency tier: CM(W=1024, D=4) estimates vs exact counts for
     // the top-20 tokens, signed error in ppm (CM only overestimates, so
@@ -1241,6 +1275,30 @@ object TextQueries extends QueryPack {
                 CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
                 CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm
          FROM a ORDER BY source""",
+    "t29_vocab_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY source, token),
+         r AS (SELECT source,
+                      CAST(row_number() OVER w AS BIGINT) AS rnk,
+                      CAST(sum(freq) OVER (PARTITION BY source
+                        ORDER BY freq DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                      CAST(sum(freq) OVER (PARTITION BY source)
+                        AS BIGINT) AS t
+               FROM c
+               WINDOW w AS (PARTITION BY source ORDER BY freq DESC, token)),
+         e AS (SELECT source, rnk, cum, t,
+                      CAST(unnest([50, 90, 99]) AS BIGINT) AS pct
+               FROM r)
+         SELECT source, pct,
+                CAST(min(rnk) AS BIGINT) AS n_types,
+                CAST(min(cum) AS BIGINT) AS covered_tokens,
+                CAST(max(t) AS BIGINT) AS total_tokens
+         FROM e WHERE cum * 100 >= t * pct
+         GROUP BY source, pct ORDER BY source, pct""",
     "hh2_countmin_calibration" -> {
       val params = StableHash.affineParams(CmD)
       val ph = StableHash.polyHashSql("token")
