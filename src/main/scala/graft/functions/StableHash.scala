@@ -59,6 +59,22 @@ object StableHash {
     */
   def polyHash64(s: Column): Column = Exprs.polyHash64(s)
 
+  /** JVM-local twin of [[polyHash64]] for typed/streaming code paths
+    * (the HLL streaming twin's state fold must hash identically to the
+    * batch expression — same loop as [[PolyHash64Expr.nullSafeEval]]).
+    */
+  def polyHash64Local(s: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      h1 = (h1 * 31 + s.charAt(i)) % P
+      h2 = (h2 * 31 + s.charAt(i)) % P2
+      i += 1
+    }
+    h1 * 2147483648L + h2
+  }
+
   /** The same pairing via built-in folds — the reference implementation
     * [[PolyHash64Expr]] is tested against.
     */

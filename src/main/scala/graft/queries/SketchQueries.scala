@@ -41,19 +41,13 @@ object SketchQueries extends QueryPack {
   private val DAY_US = DAY_NS / 1000
   private val P = StableHash.P
   private val P2 = StableHash.P2
-  private val Seq((rA, rB), (vA, vB)) = StableHash.affineParams(2)
 
-  /** HLL registers: m = 256 (±6.5% standard error). */
-  private val M = 256
-  /** rho domain width: rho ∈ [1, W+1] via a sentinel bit at 2^W. */
-  private val W = 20
-  private val SentBit = 1L << W   // 1048576
-  private val MaxTerm = 1L << (W + 1) // an empty register's scaled 2^-0
-  /** alpha_256 = 0.7213/(1 + 1.079/256), emitted as ONE shortest-repr
-    * double literal both engines parse to the same bits (the st6 rule:
-    * never make a hash gate depend on two libms computing a constant).
-    */
-  private val Alpha256 = 0.7182725932495458
+  // HLL core (register count, rho width, alpha, spread params) lives in
+  // [[graft.functions.Hll]] — ONE definition shared with the streaming
+  // twin (StreamOps.approxDistinct) and interpolated into the oracle SQL,
+  // so batch query, oracle, and stream can never drift apart.
+  import graft.functions.Hll.{M, W, SentBit, MaxTerm, Alpha => Alpha256,
+    RA => rA, RB => rB, VA => vA, VB => vB}
   /** Bottom-k sizes: sk1's estimator needs the k-th minimum to exist
     * (days with < k distinct users drop out — at sf0.01 every day has
     * ~130 >> 32); sk2's Jaccard resolution is 1/k.

@@ -412,6 +412,57 @@ object StreamOps {
       }
   }
 
+  case class HllOut(hour_start_ms: Long, est: Double, used: Long, zeros: Long)
+  case class HllState(regs: Array[Byte])
+
+  /** Approximate distinct users per tumbling hour — the streaming twin of
+    * the batch HLL calibration (`hll1_distinct_calibration`), sharing its
+    * ENTIRE core through [[graft.functions.Hll]]: same packed hash, same
+    * quadratic spread, same register/rho derivation, same estimator
+    * literals — so feeding the stream and the batch query the same events
+    * yields bit-identical registers and estimates (the spec pins it).
+    *
+    * Why this is THE streaming distinct-count shape: exact streaming
+    * distinct needs per-key membership state that grows with cardinality
+    * (unbounded); the HLL state is ONE 256-byte register array per open
+    * window — a million-user hour holds the same 256 bytes as a ten-user
+    * hour. Emission is watermark-final via event-time timeout: exactly
+    * one row per window, after the watermark passes the window end —
+    * never a stream of revisions (the funnel/EWMA finality trade).
+    */
+  def approxDistinct(spark: SparkSession, events: Dataset[Evt],
+                     watermarkDelay: String = "1 minute"): Dataset[HllOut] = {
+    import spark.implicits._
+    import graft.functions.{Hll, StableHash}
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L))
+      .flatMapGroupsWithState[HllState, HllOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourMs: Long, rows: Iterator[Evt], state: GroupState[HllState]) =>
+          if (state.hasTimedOut) {
+            val regs = state.get.regs
+            state.remove()
+            val (est, used, zeros) = Hll.estimate(regs)
+            Iterator.single(HllOut(hourMs, est, used, zeros))
+          } else {
+            val st = state.getOption.getOrElse(
+              HllState(new Array[Byte](Hll.M)))
+            rows.foreach { e =>
+              val h = StableHash.polyHash64Local("u" + e.user_id)
+              val r = Hll.register(h)
+              val rho = Hll.rho(h).toByte
+              if (rho > st.regs(r)) st.regs(r) = rho
+            }
+            state.update(st)
+            // fire when the watermark passes the window end (guard: the
+            // timeout must sit above the current watermark)
+            state.setTimeoutTimestamp(math.max(hourMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

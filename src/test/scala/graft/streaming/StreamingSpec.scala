@@ -763,6 +763,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL emits watermark-final per-hour estimates identical " +
+    "to the shared batch core") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.{Hll, StableHash}
+    val ms = MemoryStream[StreamOps.Evt]
+    // hour 0: users 1..40 split ACROSS two batches (registers must merge
+    // in state); hour 1: users 21..70. A third-batch sentinel far in the
+    // future advances the watermark past both hour ends.
+    val h0a = (1 to 25).map(u =>
+      StreamOps.Evt(u.toLong, ts(u % 50), u.toLong, "view", 1.0))
+    val h0b = (26 to 40).map(u =>
+      StreamOps.Evt(100L + u, ts(u % 50), u.toLong, "view", 1.0))
+    val h1 = (21 to 70).map(u =>
+      StreamOps.Evt(200L + u, ts(60 + u % 50), u.toLong, "view", 1.0))
+    val q = StreamOps.approxDistinct(spark, ms.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(h0a: _*); q.processAllAvailable()
+      assert(spark.table("hll_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // batch 2 merges h0b into hour 0's registers and advances the
+      // watermark past hour 0's end (hour 1's data drives it) — hour 0
+      // becomes final, hour 1 must still be open
+      ms.addData(h0b ++ h1: _*); q.processAllAvailable()
+      assert(spark.table("hll_out").count() == 1,
+        "exactly the closed hour may emit, the open one must not")
+      ms.addData(StreamOps.Evt(999, ts(6000), 999, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hll_out")
+        .as[StreamOps.HllOut].collect().sortBy(_.hour_start_ms)
+      def expected(users: Range, hourMs: Long) = {
+        val regs = new Array[Byte](Hll.M)
+        users.foreach { u =>
+          val h = StableHash.polyHash64Local("u" + u)
+          val r = Hll.register(h)
+          if (Hll.rho(h) > regs(r)) regs(r) = Hll.rho(h).toByte
+        }
+        val (est, used, zeros) = Hll.estimate(regs)
+        StreamOps.HllOut(hourMs, est, used, zeros)
+      }
+      val hour0 = ts(0).getTime
+      assert(got.toSeq == Seq(
+        expected(1 to 40, hour0), expected(21 to 70, hour0 + 3600000L)),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming HLL state is rows = f(open windows), not users") {
+    // 3000 events from 3000 distinct users in ONE hour must leave exactly
+    // one state row (one 256-byte register array) — the unbounded-
+    // cardinality case exact streaming distinct cannot survive.
+    val evts = (1 to 3000).map(u =>
+      StreamOps.Evt(u.toLong, ts(u % 50), 100000L + u, "view", 1.0))
+    val ms = mkEvents(evts)
+    val q = StreamOps.approxDistinct(spark, ms.toDS())
+      .writeStream.format("memory").queryName("hll_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"HLL state must be one register row per open hour: $stateRows")
+    } finally q.stop()
+  }
+
   test("inter-event gap state is rows = f(keys): one row per user") {
     val evts = for (u <- 1 to 3; i <- 0 until 150)
       yield StreamOps.Evt(u * 10000L + i, ts(i), u.toLong, "view", 1.0)
