@@ -531,4 +531,52 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftOuter"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("hll1: the register table is a keyed aggregate (cell-bounded, " +
+    "no window, no sort over events); day joins stay hash joins") {
+    val p = plan("hll1_distinct_calibration")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    // rank-free by design: the whole sketch is aggregates + a 30-row join
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("sk1 bottom-k: the minima ride the O(k)-buffer typed aggregate — " +
+    "no row_number window, no per-day sort of the event rows") {
+    val p = plan("sk1_bottomk_distinct")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.linesIterator.take(8).mkString("\n")) // the typed Aggregator path
+    assert(!p.contains("Window"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("sk2 KMV jaccard: union flags fold in ONE (p,u)-keyed aggregate; " +
+    "minima bounded by the typed aggregate; no window, no cartesian") {
+    val p = plan("sk2_bottomk_jaccard")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("gr6 assortativity: degree joins are hash joins (node-scale side " +
+    "never nested-loop), one final all-column aggregate") {
+    val p = plan("gr6_assortativity")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("e18 autocorr: the (type, day) aggregate is the only data-scale " +
+    "exchange; the lag self-join runs on the calendar-bounded grid") {
+    val p = plan("e18_autocorr")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("t29 vocab coverage: rank/cumulative window partitions by source " +
+    "over the vocab-bounded count table (never an empty partition spec)") {
+    val p = plan("t29_vocab_coverage")
+    assert(p.contains("windowspecdefinition(source"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
