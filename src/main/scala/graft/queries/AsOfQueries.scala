@@ -120,6 +120,45 @@ object AsOfQueries extends QueryPack {
         .orderBy("day_idx", "attributed")
     }),
 
+    // Linear (multi-touch) attribution — at1's complement: last-touch
+    // hands each purchase to ONE click; here the purchase value splits
+    // EQUALLY across every click in the 24 h lookback, credited to the
+    // day the TOUCH happened (the spend-planning view), with no-touch
+    // purchases rolled up as organic. Shape: the purchase×click pair
+    // generation is a user-keyed equi-join with the window as a
+    // post-filter — per-user pairs are bounded by activity, never
+    // all-pairs — the per-purchase touch count comes from a keyed
+    // aggregate joined back on pid (window-free), and each credit
+    // value/n is a single cross-engine-identical double divide summed
+    // under the Num decimal pin.
+    "at2_linear_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("value"),
+          expr("ts DIV 1000").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts DIV 1000").as("cts"))
+      val pairs = purch.join(clicks, Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          col("cts") > col("pts") - lit(86400000000L))
+      val nTouch = pairs.groupBy("pid").agg(count(lit(1)).as("n"))
+      val credited = pairs.join(nTouch, "pid")
+        .select(expr("cts DIV 86400000000").as("day_idx"),
+          (col("value") / col("n").cast("double")).as("credit"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("credit")).as("revenue"))
+        .select(col("day_idx"), lit("touch").as("kind"), col("n"),
+          col("revenue"))
+      val organic = purch
+        .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+        .select(expr("pts DIV 86400000000").as("day_idx"), col("value"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("revenue"))
+        .select(col("day_idx"), lit("organic").as("kind"), col("n"),
+          col("revenue"))
+      credited.unionAll(organic).orderBy("day_idx", "kind")
+    }),
+
     // Salted two-phase aggregate == plain aggregate (exactness): revenue
     // per returnflag through 8 salt buckets (decimal partials, so the
     // two-phase merge is order-independent).
@@ -205,5 +244,33 @@ object AsOfQueries extends QueryPack {
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "at2_linear_attribution" ->
+      s"""WITH purch AS (
+            SELECT user_id, event_id AS pid, value, epoch_us(ts) AS pts
+            FROM events WHERE event_type = 'purchase'),
+          clicks AS (
+            SELECT user_id, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'),
+          pairs AS (
+            SELECT p.pid, p.value, c.cts
+            FROM purch p JOIN clicks c
+              ON c.user_id = p.user_id AND c.cts <= p.pts
+                 AND c.cts > p.pts - 86400000000),
+          nt AS (SELECT pid, CAST(count(*) AS BIGINT) AS n
+                 FROM pairs GROUP BY pid),
+          credited AS (
+            SELECT cts // 86400000000 AS day_idx, 'touch' AS kind,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ${Num.sqlSum("value / CAST(nt.n AS DOUBLE)")} AS revenue
+            FROM pairs JOIN nt USING (pid) GROUP BY 1, 2),
+          organic AS (
+            SELECT pts // 86400000000 AS day_idx, 'organic' AS kind,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ${Num.sqlSum("value")} AS revenue
+            FROM purch WHERE pid NOT IN (SELECT pid FROM pairs)
+            GROUP BY 1, 2)
+          SELECT * FROM credited
+          UNION ALL SELECT * FROM organic
+          ORDER BY day_idx, kind""",
   )
 }

@@ -209,6 +209,39 @@ object SimilarityQueries extends QueryPack {
         .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $TOPK"))
         .orderBy("query_id")
     }),
+
+    // Embedding-space drift monitor — st5's PSI discipline lifted onto the
+    // vector tier: bucket every embedding with an LSH hyperplane sketch
+    // (seed 7 — decorrelated from the ANN tables) and PSI the bucket
+    // SHARES between two snapshots (here the vec_id parity halves stand
+    // in for version N / N+1 — a production deployment feeds two corpus
+    // versions). The readout an embedding-model upgrade or a data-mix
+    // shift trips BEFORE recall degrades downstream. Shape: one narrow
+    // bucketing pass + one keyed aggregate to ≤2^PLANES cells; the 1-row
+    // totals broadcast back; Laplace-smoothed shares so empty-on-one-side
+    // buckets never produce ±∞.
+    "sim11_embedding_drift" -> ((s, d) => {
+      val cells = graft.ops.Dedup.parallelize(
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES, seed = 7)
+            .as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cells.agg(sum(col("c1")).as("n_ref"),
+        sum(col("c2")).as("n_cur"), count(lit(1)).as("nb"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("p", (col("c1") + lit(1)).cast("double") /
+          (col("n_ref") + col("nb")).cast("double"))
+        .withColumn("q", (col("c2") + lit(1)).cast("double") /
+          (col("n_cur") + col("nb")).cast("double"))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        .groupBy("n_ref", "n_cur", "nb")
+        .agg(graft.ops.Num.dsum(col("term")).as("psi"))
+        .select(col("n_ref"), col("n_cur"), col("nb").as("n_buckets"),
+          col("psi"))
+    }),
   )
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
@@ -532,5 +565,26 @@ object SimilarityQueries extends QueryPack {
           LEFT JOIN hits h ON q.query_id = h.query_id
           ORDER BY q.query_id"""
     },
+    "sim11_embedding_drift" ->
+      s"""WITH cells AS (
+            SELECT ${Similarity.hyperplaneBucketSql("embedding", DIM, PLANES, 7)}
+                     AS bucket,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c2
+            FROM embeddings GROUP BY 1),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_ref,
+                         CAST(sum(c2) AS BIGINT) AS n_cur,
+                         CAST(count(*) AS BIGINT) AS nb FROM cells),
+          term AS (SELECT n_ref, n_cur, nb,
+                          CAST(c1 + 1 AS DOUBLE) / CAST(n_ref + nb AS DOUBLE)
+                            AS p,
+                          CAST(c2 + 1 AS DOUBLE) / CAST(n_cur + nb AS DOUBLE)
+                            AS q
+                   FROM cells CROSS JOIN tot)
+          SELECT n_ref, n_cur, nb AS n_buckets,
+                 ${graft.ops.Num.sqlSum("(p - q) * ln(p / q)")} AS psi
+          FROM term GROUP BY n_ref, n_cur, nb""",
   )
 }

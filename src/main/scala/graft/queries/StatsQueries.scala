@@ -319,6 +319,51 @@ object StatsQueries extends QueryPack {
         .select("prio", "n", "median_price", "mad_price")
         .orderBy("prio")
     }),
+
+    // Binned-quantile calibration — the deterministic scale-path analogue
+    // of approx_percentile: a fixed 256-bin equi-width histogram over the
+    // per-priority cents span estimates the median (bin midpoint), read
+    // out against the exact weighted median. This is the quantile twin of
+    // d20/hh2/sim10's sketch-calibration discipline — Spark's own
+    // approx_percentile and DuckDB's are different sketches and can't
+    // oracle each other, so the sketch itself is built portably. ONE
+    // data-scale keyed aggregate (the cents cells); the span, histogram,
+    // cumulative and midpoint all derive from the grid-bounded cell
+    // table, and every column is an integer (midpoint via
+    // lo + ((2·bin+1)·width) div 512 — no doubles anywhere).
+    "st9_binned_quantile_calibration" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("prio", "cents").agg(count(lit(1)).as("w"))
+      val byP = Window.partitionBy("prio")
+      val exact = cells
+        .withColumn("cumw", sum(col("w")).over(byP.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("w")).over(byP))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("prio").agg(min(col("cents")).as("exact_median_cents"),
+          max(col("totw")).as("n"))
+      val span = cells.groupBy("prio")
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val medBin = cells.join(span, "prio")
+        .withColumn("bin", expr("((cents - lo) * 256) div (hi - lo + 1)"))
+        .groupBy("prio", "bin").agg(sum(col("w")).as("bw"))
+        .withColumn("cum", sum(col("bw")).over(byP.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("bw")).over(byP))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("prio").agg(min(col("bin")).as("med_bin"))
+      exact.join(medBin, "prio").join(span, "prio")
+        .withColumn("est_cents",
+          expr("lo + ((2 * med_bin + 1) * (hi - lo + 1)) div 512"))
+        .withColumn("err_ppm",
+          expr("(1000000 * abs(est_cents - exact_median_cents))" +
+            " div exact_median_cents"))
+        .select("prio", "n", "exact_median_cents", "med_bin", "est_cents",
+          "err_ppm")
+        .orderBy("prio")
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -526,5 +571,43 @@ object StatsQueries extends QueryPack {
                 CAST(med.med AS DOUBLE) / 100.0 AS median_price,
                 CAST(mad.mad AS DOUBLE) / 100.0 AS mad_price
          FROM mad JOIN med USING (prio) ORDER BY mad.prio""",
+    "st9_binned_quantile_calibration" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT prio, cents, w,
+                  CAST(sum(w) OVER (PARTITION BY prio ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER (PARTITION BY prio) AS BIGINT) AS totw
+           FROM cells),
+         ex AS (SELECT prio, min(cents) AS exact_median_cents,
+                       max(totw) AS n
+                FROM cum WHERE cumw * 2 >= totw GROUP BY prio),
+         span AS (SELECT prio, min(cents) AS lo, max(cents) AS hi
+                  FROM cells GROUP BY prio),
+         hist AS (SELECT cells.prio,
+                         ((cents - lo) * 256) // (hi - lo + 1) AS bin,
+                         CAST(sum(w) AS BIGINT) AS bw
+                  FROM cells JOIN span USING (prio) GROUP BY 1, 2),
+         hcum AS (
+           SELECT prio, bin, bw,
+                  CAST(sum(bw) OVER (PARTITION BY prio ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(bw) OVER (PARTITION BY prio) AS BIGINT) AS tot
+           FROM hist),
+         mb AS (SELECT prio, min(bin) AS med_bin
+                FROM hcum WHERE cum * 2 >= tot GROUP BY prio)
+         SELECT ex.prio, ex.n, ex.exact_median_cents, mb.med_bin,
+                lo + ((2 * med_bin + 1) * (hi - lo + 1)) // 512 AS est_cents,
+                (1000000 * abs(lo + ((2 * med_bin + 1) * (hi - lo + 1)) // 512
+                               - exact_median_cents))
+                  // exact_median_cents AS err_ppm
+         FROM ex JOIN mb USING (prio) JOIN span USING (prio)
+         ORDER BY ex.prio""",
   )
 }
