@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableHash
@@ -54,6 +55,39 @@ object SketchQueries extends QueryPack {
     */
   private val K1 = 32
   private val K2 = 64
+
+  /** Count-min join-size sketch shape (sk3): D independent rows × W cells.
+    * Expected collision inflation of the inner product is F1(A)·F1(B)/W per
+    * row and the estimate takes the min over D rows, so W trades sketch
+    * size (D·W cells ship, never the keys) against overestimate.
+    */
+  private val JsW = 8192
+  private val JsD = 4
+
+  /** AMS tug-of-war estimators (sk4): F2D = F2G groups × F2K independent
+    * X² per group, the textbook median-of-means — the group MEAN cuts
+    * variance ×F2K, the median over F2G groups (odd, so rank (F2G+1)/2 is
+    * one exact cell) kills outlier groups. The mean's divide is deferred:
+    * the median is taken over exact scaled group SUMS, and the single
+    * `div F2K` happens after — everything integer until the ppm floor.
+    */
+  private val F2G = 9
+  private val F2K = 5
+  private val F2D = F2G * F2K
+
+  /** Two quadratically-spread residues (q1 mod P, q2 mod P2) of a packed
+    * polyHash64 column — the lattice-free uniformizer every sketch here
+    * derives registers / cells / signs from (see the object scaladoc for
+    * the measured affine-only failure). Shared by the event-user spread
+    * and the sk3 key spread.
+    */
+  private def spreadCols(h: Column): (Column, Column) = {
+    // h = packed polyHash64 ≥ 0, so DIV 2^31 = shiftright and % keeps sign
+    val hp = shiftright(h, 31)
+    val hp2 = h % 2147483648L
+    ((hp * hp % P + lit(rA) * hp + lit(rB)) % P,
+      (hp2 * hp2 % P2 + lit(vA) * hp2 + lit(vB)) % P2)
+  }
 
   /** (day, q1, q2): the two quadratically-spread residues of each event's
     * user hash. hp = h div 2^31 ∈ [0,P), hp2 = h mod 2^31 ∈ [0,P2); the
@@ -207,6 +241,146 @@ object SketchQueries extends QueryPack {
           col("k_used"), col("both_in_k"),
           expr("(1000000 * both_in_k) div k_used").as("j_est_ppm"))
         .orderBy("day_a")
+    }),
+
+    // Count-min join-size estimation — the optimizer's question ("how big
+    // would lineitem⋈lineitem on l_partkey across the ship-date split
+    // be?") answered WITHOUT running the join: |A⋈B| = Σ_k fA(k)·fB(k)
+    // is the inner product of the two frequency vectors, and the classic
+    // sketch estimate is min over D rows of Σ_cells cmA·cmB (always ≥
+    // exact: collisions only add). Scale shape: each side's only
+    // data-scale work is ONE keyed count aggregate; the sketches are
+    // (r, cell)-keyed frames bounded at D·W = 32k cells REGARDLESS of key
+    // cardinality — at 100 TB the sketch join ships kilobytes where the
+    // exact count-table join ships every distinct key. The exact inner
+    // product rides along as the calibration column (it too never runs
+    // the row-level join). All arithmetic integer; err_ppm ≥ 0 by
+    // construction.
+    "sk3_cm_join_size" -> ((s, d) => {
+      val params = StableHash.affineParams(JsD)
+      val cnt = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("k"),
+          (col("l_shipdate") < lit("1998-07-01").cast("timestamp")).as("ina"))
+        .groupBy("k", "ina").agg(count(lit(1)).as("cnt"))
+      val exact = cnt.filter(col("ina")).select(col("k"), col("cnt").as("ca"))
+        .join(cnt.filter(!col("ina")).select(col("k"), col("cnt").as("cb")),
+          Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("n_exact"))
+      val (q1, q2) = spreadCols(
+        StableHash.polyHash64(concat(lit("p"), col("k").cast("string"))))
+      val cellArr = array(params.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("r"),
+          ((lit(a) * col("q1") + lit(b) * col("q2")) % P % JsW).as("cell"))
+      }: _*)
+      val cells = cnt.select(col("ina"), col("cnt"),
+          q1.as("q1"), q2.as("q2"))
+        .select(col("ina"), col("cnt"), explode(cellArr).as("rc"))
+        .groupBy(col("ina"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .agg(sum("cnt").as("m"))
+      val ip = cells.filter(col("ina"))
+        .select(col("r"), col("cell"), col("m").as("ma"))
+        .join(cells.filter(!col("ina"))
+          .select(col("r"), col("cell"), col("m").as("mb")), Seq("r", "cell"))
+        .groupBy("r").agg(sum(col("ma") * col("mb")).as("ip"))
+      ip.crossJoin(broadcast(ip.agg(min(col("ip")).as("cm_est"))))
+        .crossJoin(broadcast(exact))
+        .select(col("r"), col("ip"), col("cm_est"), col("n_exact"),
+          expr("(1000000 * (cm_est - n_exact)) div n_exact").as("err_ppm"))
+        .orderBy("r")
+    }),
+
+    // AMS "tug-of-war" second-moment sketch, per day: F2 = Σ_u cnt(u)² is
+    // the self-join size on user_id — the quantity a skew-aware planner
+    // needs before it picks a join strategy. Each estimator X_r =
+    // Σ_u sign_r(u)·cnt(u) folds the whole day into ONE integer
+    // (E[X²] = F2); the estimate is the median-of-means over F2G groups
+    // of F2K estimators, taken on exact scaled group sums (the ÷F2K is
+    // ONE deferred integer div) — no interpolation, no doubles anywhere
+    // before the final ppm floor. Scale shape: one (day, user) count
+    // aggregate, then a 15-way bounded fan-out to (day, r) cells; the
+    // rank window orders exactly F2G rows per day.
+    "sk4_ams_f2" -> ((s, d) => {
+      val params = StableHash.affineParams(F2D)
+      val dayUser = Tables.events(s, d)
+        .select(expr(s"ts DIV $DAY_NS").as("day"), col("user_id"))
+        .groupBy("day", "user_id").agg(count(lit(1)).as("cnt"))
+      val (q1, q2) = spreadCols(StableHash.polyHash64(
+        concat(lit("u"), col("user_id").cast("string"))))
+      val signArr = array(params.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("r"),
+          (lit(1L) - lit(2L) * ((lit(a) * col("q1") + lit(b) * col("q2"))
+            % P % 2)).as("sg"))
+      }: _*)
+      val x = dayUser.select(col("day"), col("cnt"),
+          q1.as("q1"), q2.as("q2"))
+        .select(col("day"), col("cnt"), explode(signArr).as("rs"))
+        .groupBy(col("day"), col("rs.r").as("r"))
+        .agg(sum(col("rs.sg") * col("cnt")).as("x"))
+        .select(col("day"), (col("r") % F2G).as("g"),
+          (col("x") * col("x")).as("x2"))
+        .groupBy("day", "g").agg(sum(col("x2")).as("gs"))
+      val med = x.withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("gs"), col("g"))))
+        .filter(col("rn") === (F2G + 1) / 2)
+        .select(col("day"), expr(s"gs div $F2K").as("f2_est"))
+      val exact = dayUser.groupBy("day")
+        .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+      exact.join(med, "day")
+        .select(col("day"), col("f2_exact"), col("f2_est"),
+          expr("(1000000 * abs(f2_est - f2_exact)) div f2_exact")
+            .as("err_ppm"))
+        .orderBy("day")
+    }),
+
+    // Trailing-7-day rolling distinct users via HLL register merge — the
+    // property that makes the sketch THE 100-TB answer: registers are
+    // max-mergeable, so the rolling estimate reuses hll1's per-day
+    // register table (256 cells/day) and never re-touches events. The
+    // window mapping is an exploded offset join on the data-bounded day
+    // calendar (≤ 7·|days| rows, all-equi); the exact rolling distinct
+    // rides along as calibration (its 7× distinct-pair blowup is exactly
+    // the cost the sketch path avoids). Estimator spelling is hll1's,
+    // bit-identical literals and association.
+    "hll2_rolling_distinct" -> ((s, d) => {
+      val dayReg = spread(s, d).select(col("day"),
+          expr(s"q1 % $M").as("reg"),
+          expr(s"q2 % $SentBit + $SentBit").as("vv"))
+        .withColumn("rho", length(bin(expr("vv & -vv"))))
+        .groupBy("day", "reg").agg(max(col("rho")).as("mr"))
+      val days = dayReg.select("day").distinct()
+      val map = days
+        .select(col("day"), explode(sequence(lit(0L), lit(6L))).as("off"))
+        .select((col("day") + col("off")).as("t"), col("day"))
+        .join(days.select(col("day").as("t")), Seq("t"))
+      val cells = dayReg.join(broadcast(map), Seq("day"))
+        .groupBy(col("t"), col("reg")).agg(max(col("mr")).as("mr"))
+        .groupBy("t").agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mr)")).as("sp"),
+          count(lit(1)).as("used"))
+        .select(col("t"), col("used"),
+          (lit(M.toLong) - col("used")).as("zeros"),
+          (col("sp") + (lit(M.toLong) - col("used")) * lit(MaxTerm))
+            .as("ssum"))
+      val daysMerged = map.groupBy("t").agg(count(lit(1)).as("days_merged"))
+      val exact = Tables.events(s, d)
+        .select(expr(s"ts DIV $DAY_NS").as("day"), col("user_id")).distinct()
+        .join(broadcast(map), Seq("day"))
+        .groupBy("t").agg(countDistinct(col("user_id")).as("n_exact"))
+      cells.join(exact, "t").join(broadcast(daysMerged), Seq("t"))
+        .withColumn("raw_est",
+          lit(Alpha256) * lit((M.toLong * M).toDouble) * lit(MaxTerm.toDouble)
+            / col("ssum").cast("double"))
+        .withColumn("est",
+          when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
+            lit(M.toDouble) *
+              (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
+          .otherwise(col("raw_est")))
+        .withColumn("err_ppm",
+          floor(lit(1000000.0) * abs(col("est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")).cast("bigint"))
+        .select(col("t").as("day"), col("days_merged"), col("n_exact"),
+          col("used"), col("zeros"), col("est"), col("err_ppm"))
+        .orderBy("day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +464,117 @@ object SketchQueries extends QueryPack {
                  (1000000 * n_inter) // n_union AS j_exact_ppm,
                  k_used, both_in_k,
                  (1000000 * both_in_k) // k_used AS j_est_ppm
-          FROM ex JOIN kb USING (p) ORDER BY day_a""")
+          FROM ex JOIN kb USING (p) ORDER BY day_a""",
+
+    "sk3_cm_join_size" -> {
+      val ph = StableHash.polyHash64Sql("('p' || CAST(k AS VARCHAR))")
+      val cellRows = StableHash.affineParams(JsD).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"SELECT ina, cnt, $i AS r, (($a * q1 + $b * q2) % $P) % $JsW " +
+            "AS cell FROM qq"
+      }.mkString(" UNION ALL ")
+      s"""WITH cnt AS (SELECT l_partkey AS k,
+                              l_shipdate < TIMESTAMP '1998-07-01' AS ina,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM lineitem GROUP BY 1, 2),
+          ex AS (SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_exact
+                 FROM cnt a JOIN cnt b ON a.k = b.k
+                 WHERE a.ina AND NOT b.ina),
+          hk AS (SELECT ina, cnt, h // 2147483648 AS hp, h % 2147483648 AS hp2
+                 FROM (SELECT ina, cnt, $ph AS h FROM cnt)),
+          qq AS (SELECT ina, cnt,
+                        (hp * hp % $P + $rA * hp + $rB) % $P AS q1,
+                        (hp2 * hp2 % $P2 + $vA * hp2 + $vB) % $P2 AS q2
+                 FROM hk),
+          rc AS ($cellRows),
+          cells AS (SELECT ina, r, cell, CAST(sum(cnt) AS BIGINT) AS m
+                    FROM rc GROUP BY 1, 2, 3),
+          ip AS (SELECT a.r, CAST(sum(a.m * b.m) AS BIGINT) AS ip
+                 FROM cells a JOIN cells b ON a.r = b.r AND a.cell = b.cell
+                 WHERE a.ina AND NOT b.ina GROUP BY a.r),
+          est AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM ip)
+          SELECT r, ip, cm_est, n_exact,
+                 (1000000 * (cm_est - n_exact)) // n_exact AS err_ppm
+          FROM ip, est, ex ORDER BY r"""
+    },
+
+    "sk4_ams_f2" -> {
+      val ph = StableHash.polyHash64Sql("('u' || CAST(user_id AS VARCHAR))")
+      val signRows = StableHash.affineParams(F2D).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"SELECT day, cnt, $i AS r, " +
+            s"1 - 2 * ((($a * q1 + $b * q2) % $P) % 2) AS sg FROM qq"
+      }.mkString(" UNION ALL ")
+      s"""WITH du AS (SELECT epoch_us(ts) // $DAY_US AS day, user_id,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY 1, 2),
+          hk AS (SELECT day, cnt, h // 2147483648 AS hp, h % 2147483648 AS hp2
+                 FROM (SELECT day, cnt, $ph AS h FROM du)),
+          qq AS (SELECT day, cnt,
+                        (hp * hp % $P + $rA * hp + $rB) % $P AS q1,
+                        (hp2 * hp2 % $P2 + $vA * hp2 + $vB) % $P2 AS q2
+                 FROM hk),
+          rs AS ($signRows),
+          x AS (SELECT day, r, CAST(sum(sg * cnt) AS BIGINT) AS x
+                FROM rs GROUP BY day, r),
+          gs AS (SELECT day, r % $F2G AS g, CAST(sum(x * x) AS BIGINT) AS gs
+                 FROM x GROUP BY 1, 2),
+          med AS (SELECT day, gs // $F2K AS f2_est
+                  FROM (SELECT day, gs,
+                               row_number() OVER (PARTITION BY day
+                                 ORDER BY gs, g) AS rn
+                        FROM gs)
+                  WHERE rn = ${(F2G + 1) / 2}),
+          ex AS (SELECT day, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+                 FROM du GROUP BY day)
+          SELECT day, f2_exact, f2_est,
+                 (1000000 * abs(f2_est - f2_exact)) // f2_exact AS err_ppm
+          FROM ex JOIN med USING (day) ORDER BY day"""
+    },
+
+    "hll2_rolling_distinct" ->
+      s"""WITH res AS ($spreadSql),
+          vv AS (SELECT day, q1 % $M AS reg,
+                        q2 % $SentBit + $SentBit AS vv
+                 FROM res),
+          regs AS (SELECT day, reg,
+                          CAST(max(length(bin(vv & -vv))) AS INT) AS mr
+                   FROM vv GROUP BY day, reg),
+          days AS (SELECT DISTINCT day FROM regs),
+          map AS (SELECT d2.day AS t, d1.day AS day
+                  FROM days d1
+                  JOIN days d2 ON d2.day BETWEEN d1.day AND d1.day + 6),
+          mreg AS (SELECT t, reg, max(mr) AS mr
+                   FROM regs JOIN map USING (day) GROUP BY t, reg),
+          cells AS (SELECT t,
+                           CAST(sum(CAST(1 AS BIGINT) << (${W + 1} - mr))
+                             AS BIGINT) AS sp,
+                           CAST(count(*) AS BIGINT) AS used
+                    FROM mreg GROUP BY t),
+          st AS (SELECT t, used, $M - used AS zeros,
+                        sp + ($M - used) * $MaxTerm AS ssum
+                 FROM cells),
+          dm AS (SELECT t, CAST(count(*) AS BIGINT) AS days_merged
+                 FROM map GROUP BY t),
+          exd AS (SELECT DISTINCT epoch_us(ts) // $DAY_US AS day, user_id
+                  FROM events),
+          ex AS (SELECT t, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+                 FROM exd JOIN map USING (day) GROUP BY t),
+          est AS (SELECT t, days_merged, n_exact, used, zeros,
+                         CAST($Alpha256 AS DOUBLE) * CAST(${M.toLong * M} AS DOUBLE)
+                           * CAST($MaxTerm AS DOUBLE) / CAST(ssum AS DOUBLE)
+                           AS raw_est
+                  FROM st JOIN ex USING (t) JOIN dm USING (t)),
+          fin AS (SELECT t, days_merged, n_exact, used, zeros,
+                         CASE WHEN zeros > 0 AND raw_est <= ${2.5 * M}
+                              THEN CAST($M AS DOUBLE)
+                                   * (ln(CAST($M AS DOUBLE))
+                                      - ln(CAST(zeros AS DOUBLE)))
+                              ELSE raw_est END AS est
+                  FROM est)
+          SELECT t AS day, days_merged, n_exact, used, zeros, est,
+                 CAST(floor(CAST(1000000 AS DOUBLE)
+                        * abs(est - CAST(n_exact AS DOUBLE))
+                        / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+          FROM fin ORDER BY day""")
 }
