@@ -56,6 +56,25 @@ object Hll {
     java.lang.Long.numberOfTrailingZeros(v) + 1
   }
 
+  /** Column twins of [[register]]/[[rho]] for batch queries that derive
+    * per-item registers outside SketchQueries' shared-SQL plumbing (the
+    * graph neighborhood sketch gr7): same arithmetic, evaluated by Spark,
+    * with the oracle re-deriving it from these constants.
+    */
+  def regCol(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    val hp = shiftright(h, 31)
+    (hp * hp % StableHash.P + lit(RA) * hp + lit(RB)) % StableHash.P % M
+  }
+
+  def rhoCol(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{bin, length, lit}
+    val hp2 = h % 2147483648L
+    val vv = (hp2 * hp2 % StableHash.P2 + lit(VA) * hp2 + lit(VB)) %
+      StableHash.P2 % SentBit + SentBit
+    length(bin(vv.bitwiseAND(-vv)))
+  }
+
   /** Estimate from a max-rho register array (0 = empty): raw harmonic
     * estimate, switched to linear counting in the small-range regime —
     * the same literals and operation ASSOCIATION as the batch query, so

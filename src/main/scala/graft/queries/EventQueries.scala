@@ -516,6 +516,31 @@ object EventQueries extends QueryPack {
         .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
         .limit(20)
     }),
+
+    // Recency-decayed engagement score, 7-day half-life: the "who is
+    // active NOW" ranking a retention pipeline feeds (a plain lifetime sum
+    // ranks a long-dead whale above a rising user). Exactness discipline:
+    // the decay 2^(-age_weeks) is a POWER OF TWO on the integer week grid,
+    // so the factor is one truncated integer ppm (10^6 div 2^w, capped at
+    // w=20 where it hits 0) — no pow(), no float drift, both engines
+    // produce the same BIGINT score. Scale shape: window-free — a 1-row
+    // max-day broadcast, ONE user-keyed aggregate, TakeOrdered top-20;
+    // score unit is cents·ppm.
+    "e19_decayed_engagement" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"ts DIV $DAY_NS").as("day"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      val mx = ev.agg(max(col("day")).as("maxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("factor", expr(
+          "1000000 div shiftleft(CAST(1 AS BIGINT)," +
+            " least((maxd - day) div 7, 20))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_cents"),
+          sum(col("cents") * col("factor")).as("decayed_score"))
+        .orderBy(col("decayed_score").desc, col("user_id")).limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -824,5 +849,21 @@ object EventQueries extends QueryPack {
                 FROM s WHERE t3 IS NOT NULL GROUP BY t1, t2, t3)
           SELECT t1, t2, t3, n FROM c
           ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+
+    "e19_decayed_engagement" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          mx AS (SELECT max(day) AS maxd FROM ev),
+          sc AS (SELECT user_id, cents,
+                        1000000 // (CAST(1 AS BIGINT)
+                          << least((maxd - day) // 7, 20)) AS factor
+                 FROM ev, mx),
+          ag AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                        CAST(sum(cents) AS BIGINT) AS raw_cents,
+                        CAST(sum(cents * factor) AS BIGINT) AS decayed_score
+                 FROM sc GROUP BY user_id)
+          SELECT user_id, n_events, raw_cents, decayed_score
+          FROM ag ORDER BY decayed_score DESC, user_id LIMIT 20""",
   )
 }

@@ -488,6 +488,69 @@ object GraphQueries extends QueryPack {
            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
           .as("assortativity"))
     }),
+
+    // HyperBall-style 2-hop neighborhood function: per-node |B2(v)| (nodes
+    // reachable in ≤2 directed hops, self included) estimated by
+    // propagating the portable HLL registers two rounds along edges —
+    // the published at-scale recipe for graph distance distributions,
+    // composed from this repo's own sketch core (graft.functions.Hll: one
+    // definition feeds hll1, the streaming twin, and this). Scale shape:
+    // register frames are ≤ |V|·m rows; each round is ONE edge-keyed
+    // shuffle + a (node, reg) max-combine — O(t·|E|) total, never
+    // materializing a ball. The EXACT ball sizes (a genuinely quadratic
+    // 2-hop distinct-pair count) ride along as calibration per bipartite
+    // side — exactly the cost the register path avoids at 100 TB.
+    "gr7_hyperball" -> ((s, d) => {
+      import graft.functions.{Hll, StableHash}
+      val e = edges(s, d)
+      val nodes = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      val h = StableHash.polyHash64(
+        concat(lit("n"), col("id").cast("string")))
+      val r0 = nodes.select(col("id"),
+        Hll.regCol(h).as("reg"), Hll.rhoCol(h).as("rho"))
+      def propagate(r: DataFrame): DataFrame =
+        r.unionAll(
+            e.join(r.withColumnRenamed("id", "nbr"),
+              col("dst") === col("nbr"))
+              .select(col("src").as("id"), col("reg"), col("rho")))
+          .groupBy("id", "reg").agg(max(col("rho")).as("rho"))
+      val s2 = propagate(propagate(r0))
+      val M = Hll.M.toLong
+      val perNode = s2.groupBy("id").agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.W + 1} - rho)"))
+            .as("sp"),
+          count(lit(1)).as("used"))
+        .select(col("id"), col("used"), (lit(M) - col("used")).as("zeros"),
+          (col("sp") + (lit(M) - col("used")) * lit(Hll.MaxTerm)).as("ssum"))
+        .withColumn("raw_est",
+          lit(Hll.Alpha) * lit((M * M).toDouble) * lit(Hll.MaxTerm.toDouble)
+            / col("ssum").cast("double"))
+        .withColumn("est",
+          when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
+            lit(M.toDouble) *
+              (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
+          .otherwise(col("raw_est")))
+      val b1 = nodes.select(col("id").as("v"), col("id").as("u"))
+        .unionAll(e.select(col("src").as("v"), col("dst").as("u")))
+        .distinct()
+      val b2 = b1.unionAll(
+          e.select(col("src").as("v"), col("dst").as("w"))
+            .join(e.select(col("src").as("w"), col("dst").as("u")), Seq("w"))
+            .select(col("v"), col("u")))
+        .distinct()
+      val exact = b2.groupBy(col("v")).agg(count(lit(1)).as("ball"))
+      perNode.join(exact, col("id") === col("v"))
+        .groupBy((col("id") % 2).as("part"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("ball")).as("exact_pairs"),
+          Num.dsum(col("est")).as("est_sum"))
+        .withColumn("err_ppm",
+          floor(lit(1000000.0) * abs(col("est_sum")
+              - col("exact_pairs").cast("double"))
+            / col("exact_pairs").cast("double")).cast("bigint"))
+        .select("part", "n_nodes", "exact_pairs", "est_sum", "err_ppm")
+        .orderBy("part")
+    }),
   )
 
   private def edgesSql: String =
@@ -708,5 +771,79 @@ object GraphQueries extends QueryPack {
                  CAST(coalesce(h1.h1, 0) AS BIGINT) AS hub_score
           FROM a2 LEFT JOIN h1 ON a2.id = h1.id
           ORDER BY auth_score DESC, node_id LIMIT 40""",
+
+    "gr7_hyperball" -> {
+      import graft.functions.{Hll, StableHash}
+      val P = StableHash.P; val P2 = StableHash.P2
+      val m = Hll.M; val w = Hll.W
+      val ph = StableHash.polyHash64Sql("('n' || CAST(id AS VARCHAR))")
+      s"""WITH e AS ($edgesSql),
+          nodes AS (SELECT DISTINCT id FROM
+                      (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+          hr AS (SELECT id, h // 2147483648 AS hp, h % 2147483648 AS hp2
+                 FROM (SELECT id, $ph AS h FROM nodes)),
+          r0p AS (SELECT id,
+                         (hp * hp % $P + ${Hll.RA} * hp + ${Hll.RB}) % $P % $m
+                           AS reg,
+                         (hp2 * hp2 % $P2 + ${Hll.VA} * hp2 + ${Hll.VB}) % $P2
+                           % ${Hll.SentBit} + ${Hll.SentBit} AS vv
+                  FROM hr),
+          r0 AS (SELECT id, reg,
+                        CAST(length(bin(vv & -vv)) AS INT) AS rho
+                 FROM r0p),
+          s1 AS (SELECT id, reg, max(rho) AS rho FROM (
+                   SELECT id, reg, rho FROM r0
+                   UNION ALL
+                   SELECT e.src AS id, r.reg, r.rho
+                   FROM e JOIN r0 r ON r.id = e.dst)
+                 GROUP BY id, reg),
+          s2 AS (SELECT id, reg, max(rho) AS rho FROM (
+                   SELECT id, reg, rho FROM s1
+                   UNION ALL
+                   SELECT e.src AS id, r.reg, r.rho
+                   FROM e JOIN s1 r ON r.id = e.dst)
+                 GROUP BY id, reg),
+          pn AS (SELECT id,
+                        CAST(sum(CAST(1 AS BIGINT) << (${w + 1} - rho))
+                          AS BIGINT) AS sp,
+                        CAST(count(*) AS BIGINT) AS used
+                 FROM s2 GROUP BY id),
+          st AS (SELECT id, used, $m - used AS zeros,
+                        sp + ($m - used) * ${Hll.MaxTerm} AS ssum
+                 FROM pn),
+          pe AS (SELECT id, zeros,
+                        CAST(${Hll.Alpha} AS DOUBLE)
+                          * CAST(${m.toLong * m} AS DOUBLE)
+                          * CAST(${Hll.MaxTerm} AS DOUBLE)
+                          / CAST(ssum AS DOUBLE) AS raw_est
+                 FROM st),
+          fe AS (SELECT id,
+                        CASE WHEN zeros > 0 AND raw_est <= ${2.5 * m}
+                             THEN CAST($m AS DOUBLE)
+                                  * (ln(CAST($m AS DOUBLE))
+                                     - ln(CAST(zeros AS DOUBLE)))
+                             ELSE raw_est END AS est
+                 FROM pe),
+          b1 AS (SELECT DISTINCT v, u FROM (
+                   SELECT id AS v, id AS u FROM nodes
+                   UNION ALL SELECT src, dst FROM e)),
+          b2 AS (SELECT DISTINCT v, u FROM (
+                   SELECT v, u FROM b1
+                   UNION ALL
+                   SELECT e1.src AS v, e2.dst AS u
+                   FROM e e1 JOIN e e2 ON e1.dst = e2.src)),
+          ex AS (SELECT v, CAST(count(*) AS BIGINT) AS ball
+                 FROM b2 GROUP BY v),
+          ag AS (SELECT fe.id % 2 AS part,
+                        CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(sum(ball) AS BIGINT) AS exact_pairs,
+                        ${Num.sqlSum("est")} AS est_sum
+                 FROM fe JOIN ex ON ex.v = fe.id GROUP BY 1)
+          SELECT part, n_nodes, exact_pairs, est_sum,
+                 CAST(floor(CAST(1000000 AS DOUBLE)
+                        * abs(est_sum - CAST(exact_pairs AS DOUBLE))
+                        / CAST(exact_pairs AS DOUBLE)) AS BIGINT) AS err_ppm
+          FROM ag ORDER BY part"""
+    },
   )
 }

@@ -42,6 +42,11 @@ object SimilarityQueries extends QueryPack {
   // scale so the exhaustive recall baseline stays linear in the corpus
   private val Q_CAP = 2000
 
+  // sr1 rank-fusion knobs: fusion depth (ranks past RRF_K contribute
+  // nothing) and the fixed query vector's id
+  private val RRF_K = 50
+  private val RRF_Q = 42
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -241,6 +246,42 @@ object SimilarityQueries extends QueryPack {
         .agg(graft.ops.Num.dsum(col("term")).as("psi"))
         .select(col("n_ref"), col("n_cur"), col("nb").as("n_buckets"),
           col("psi"))
+    }),
+
+    // Reciprocal-rank fusion of the two retrieval modalities a hybrid
+    // search stack runs side by side: t18's BM25 lexical ranking and the
+    // embedding-cosine ranking against a fixed query vector (doc/vec ids
+    // are aligned 1:1 in the corpus). RRF(d) = Σ_sides 1/(60 + rank_d),
+    // here as the integer ppm 10^6 div (60 + rank) so the fused score
+    // hash-gates. Scale shape: ranks only exist to depth RRF_K — each
+    // side is TakeOrdered top-K (per-partition heaps, no global sort of
+    // the corpus), the rank window then orders K = 50 rows, and the
+    // fusion is a K-row full-outer join. The BM25 side reuses t18's core
+    // (term-filtered before any shuffle); the semantic side is one
+    // broadcast query row against the corpus scan.
+    "sr1_rank_fusion" -> ((s, d) => {
+      val lex = TextQueries.bm25Frame(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(RRF_K)
+        .withColumn("rank_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_lex"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === RRF_Q)
+        .select(col("embedding").as("qv"))
+      val sem = Tables.embeddings(s, d).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(RRF_K)
+        .withColumn("rank_sem", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          expr("coalesce(CAST(1000000 AS BIGINT) div (60 + rank_lex)," +
+            " CAST(0 AS BIGINT))" +
+            " + coalesce(CAST(1000000 AS BIGINT) div (60 + rank_sem)," +
+            " CAST(0 AS BIGINT))"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(20)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf_ppm")
     }),
   )
 
@@ -586,5 +627,31 @@ object SimilarityQueries extends QueryPack {
           SELECT n_ref, n_cur, nb AS n_buckets,
                  ${graft.ops.Num.sqlSum("(p - q) * ln(p / q)")} AS psi
           FROM term GROUP BY n_ref, n_cur, nb""",
+
+    "sr1_rank_fusion" ->
+      s"""WITH lexall AS (${TextQueries.bm25Sql}),
+          lexr AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS INT) AS rank_lex
+                   FROM lexall),
+          lex AS (SELECT doc_id, rank_lex FROM lexr WHERE rank_lex <= $RRF_K),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $RRF_Q),
+          sem AS (SELECT n.vec_id AS doc_id,
+                         ${Similarity.cosineSql("n.embedding", "qv", DIM)} AS cos
+                  FROM embeddings n CROSS JOIN q),
+          semr AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                            AS INT) AS rank_sem
+                   FROM sem),
+          semk AS (SELECT doc_id, rank_sem FROM semr WHERE rank_sem <= $RRF_K),
+          f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                       l.rank_lex, s.rank_sem,
+                       coalesce(CAST(1000000 AS BIGINT) // (60 + l.rank_lex),
+                                CAST(0 AS BIGINT))
+                       + coalesce(CAST(1000000 AS BIGINT) // (60 + s.rank_sem),
+                                  CAST(0 AS BIGINT)) AS rrf_ppm
+                FROM lex l FULL OUTER JOIN semk s ON l.doc_id = s.doc_id)
+          SELECT doc_id, rank_lex, rank_sem, rrf_ppm
+          FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""",
   )
 }

@@ -364,6 +364,49 @@ object StatsQueries extends QueryPack {
           "err_ppm")
         .orderBy("prio")
     }),
+
+    // CUPED variance reduction (the industry-standard experiment-analysis
+    // adjustment): per-user post-period metric Y adjusted by the
+    // pre-period covariate X — theta = cov(X,Y)/var(X), and the variance
+    // the adjustment removes is exactly corr²(X,Y). The split day is
+    // data-derived (min day + 15, one broadcast row). Exactness: cents
+    // quantization, per-user X/Y are exact BIGINT conditional sums, the
+    // five moments accumulate in DECIMAL(38,0) (the gr6 spelling — n·Σx²
+    // would pass BIGINT only to ~60× sf10), and the final theta/r² are
+    // three identically-associated double ops on decimal-cast values.
+    // Scale shape: ONE user-keyed aggregate then a 1-row reduce; no
+    // window, no join beyond the broadcast split constant.
+    "ab2_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"ts DIV ${24L * 3600 * 1000 * 1000 * 1000}").as("day"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      val mn = ev.agg(min(col("day")).as("mind"))
+      val ux = ev.crossJoin(broadcast(mn))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < col("mind") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("mind") + 15, col("cents"))
+            .otherwise(0L)).as("y"))
+      val m = ux.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      m.select(col("n").as("n_users"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            .as("cov"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            .as("varx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            .as("vary"))
+        .select(col("n_users"),
+          (col("cov") / col("varx")).as("theta"),
+          floor(lit(1000000.0) * (col("cov") * col("cov"))
+            / (col("varx") * col("vary"))).cast("bigint")
+            .as("var_reduction_ppm"))
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -609,5 +652,30 @@ object StatsQueries extends QueryPack {
                   // exact_median_cents AS err_ppm
          FROM ex JOIN mb USING (prio) JOIN span USING (prio)
          ORDER BY ex.prio""",
+
+    "ab2_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          mn AS (SELECT min(day) AS mind FROM ev),
+          ux AS (SELECT user_id,
+                        CAST(sum(CASE WHEN day < mind + 15 THEN cents
+                                      ELSE 0 END) AS BIGINT) AS x,
+                        CAST(sum(CASE WHEN day >= mind + 15 THEN cents
+                                      ELSE 0 END) AS BIGINT) AS y
+                 FROM ev, mn GROUP BY user_id),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                       sum(x * y) AS sxy, sum(y * y) AS syy
+                FROM ux),
+          c AS (SELECT n AS n_users,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS vary
+                FROM m)
+          SELECT n_users, cov / varx AS theta,
+                 CAST(floor(CAST(1000000 AS DOUBLE) * (cov * cov)
+                        / (varx * vary)) AS BIGINT) AS var_reduction_ppm
+          FROM c""",
   )
 }

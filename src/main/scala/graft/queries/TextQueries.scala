@@ -430,33 +430,7 @@ object TextQueries extends QueryPack {
     // matching tokens), df (|Q| rows) and the 1-row corpus stats are
     // broadcast — the corpus itself shuffles once, keyed by (doc, term),
     // already reduced by map-side combine.
-    "t18_bm25" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
-        .select(col("doc_id"), col("__ts"),
-          size(col("__ts")).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
-        .filter(col("term").isin(Bm25Terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("sum_dl").cast("double") / col("n_docs").cast("double"))
-        .withColumn("ts_",
-          log(((col("n_docs").cast("double") - col("df").cast("double")
-              + lit(0.5)) / (col("df").cast("double") + lit(0.5))) + lit(1.0))
-            * ((col("tf").cast("double") * lit(2.2))
-              / (col("tf").cast("double") + lit(1.2) * (lit(1.0) - lit(0.75)
-                + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_terms"),
-          Num.dsum(col("ts_")).as("bm25"))
-        .orderBy("doc_id")
-    }),
+    "t18_bm25" -> ((s, d) => bm25Frame(s, d).orderBy("doc_id")),
 
     // Unigram-LM quality filter (the CCNet/perplexity-filter shape): the
     // corpus's own unigram distribution scores every token as
@@ -1357,7 +1331,38 @@ object TextQueries extends QueryPack {
           FROM j GROUP BY source ORDER BY source""",
   )
 
-  private def bm25Sql: String = {
+  /** t18's core, shared with the cross-pack RRF fusion (sr1): BM25 scores
+    * for [[Bm25Terms]] over every doc containing at least one query term.
+    * Unordered — each call site picks its own order/cut.
+    */
+  private[queries] def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), col("__ts"),
+        size(col("__ts")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("ts_",
+        log(((col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5))) + lit(1.0))
+          * ((col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        Num.dsum(col("ts_")).as("bm25"))
+  }
+
+  private[queries] def bm25Sql: String = {
     val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM t),
