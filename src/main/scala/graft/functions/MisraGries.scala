@@ -25,24 +25,29 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object MisraGries {
 
+  /** One MG insertion — the shared core: the batch [[Summary]] aggregator
+    * and the streaming state fold ([[graft.streaming.StreamOps]]
+    * frequentTypes) both step through here, so the summary semantics (and
+    * the N/(capacity+1) guarantee) can never drift between tiers.
+    */
+  def add1(m: Map[String, Long], t: String, capacity: Int): Map[String, Long] =
+    m.get(t) match {
+      case Some(c)              => m.updated(t, c + 1)
+      case None if m.size < capacity => m.updated(t, 1L)
+      // full and new key: decrement every counter (the "pair off one
+      // occurrence of each" step), dropping zeros — the new key is
+      // consumed by the same pairing
+      case None => m.collect { case (k, v) if v > 1 => k -> (v - 1) }
+    }
+
   class Summary(capacity: Int)
       extends Aggregator[Seq[String], Map[String, Long], Map[String, Long]] {
     require(capacity > 0, s"capacity must be positive, got $capacity")
 
     def zero: Map[String, Long] = Map.empty
 
-    private def add1(m: Map[String, Long], t: String): Map[String, Long] =
-      m.get(t) match {
-        case Some(c)              => m.updated(t, c + 1)
-        case None if m.size < capacity => m.updated(t, 1L)
-        // full and new key: decrement every counter (the "pair off one
-        // occurrence of each" step), dropping zeros — the new key is
-        // consumed by the same pairing
-        case None => m.collect { case (k, v) if v > 1 => k -> (v - 1) }
-      }
-
     def reduce(buf: Map[String, Long], tokens: Seq[String]): Map[String, Long] =
-      tokens.foldLeft(buf)(add1)
+      tokens.foldLeft(buf)(MisraGries.add1(_, _, capacity))
 
     def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
       val c = (b1.keySet ++ b2.keySet).iterator

@@ -644,4 +644,52 @@ object StreamOps {
           outs.iterator
       }
   }
+
+  case class MgOut(hour_start_ms: Long, token: String, mg_count: Long)
+  case class MgState(m: Map[String, Long])
+
+  /** Streaming Misra–Gries frequent items per tumbling hour — the
+    * streaming twin of the batch heavy-hitters summary
+    * (`hh1_heavy_hitters`), sharing its insertion core through
+    * [[graft.functions.MisraGries.add1]] so the summary semantics can't
+    * drift between tiers. State is ONE ≤capacity-entry map per open hour
+    * regardless of the key domain (a million-type hour holds the same
+    * few entries as a five-type hour) — the bounded-state property that
+    * makes frequent-items streamable at all; exact streaming counts
+    * would hold per-key state, unbounded in the domain.
+    *
+    * Emission is watermark-final (the approxDistinct finality trade):
+    * one candidate set per window, sorted (count desc, token) for a
+    * deterministic row order. MG summaries are fold-order dependent, so
+    * the cross-tier contract is the CLASSIC GUARANTEE, not bit-equality:
+    * every item with true in-window count > N/(capacity+1) IS present,
+    * and each reported count understates truth by ≤ N/(capacity+1) —
+    * the spec pins both, plus the state bound. Candidates feed the same
+    * exact re-verify join as the batch path when final counts matter.
+    */
+  def frequentTypes(spark: SparkSession, events: Dataset[Evt],
+                    capacity: Int = 3,
+                    watermarkDelay: String = "1 minute"): Dataset[MgOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L))
+      .flatMapGroupsWithState[MgState, MgOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourMs: Long, rows: Iterator[Evt], state: GroupState[MgState]) =>
+          if (state.hasTimedOut) {
+            val m = state.get.m
+            state.remove()
+            m.toSeq.sortBy { case (t, c) => (-c, t) }
+              .map { case (t, c) => MgOut(hourMs, t, c) }.iterator
+          } else {
+            val st = state.getOption.getOrElse(MgState(Map.empty))
+            val m = rows.foldLeft(st.m)((acc, e) =>
+              graft.functions.MisraGries.add1(acc, e.event_type, capacity))
+            state.update(MgState(m))
+            state.setTimeoutTimestamp(math.max(hourMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

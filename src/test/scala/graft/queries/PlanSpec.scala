@@ -579,4 +579,59 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("sk3 CM join size: keyed aggregates only — no window, no sort of " +
+    "the fact table, no cartesian (the 1-row est/exact frames broadcast)") {
+    val p = plan("sk3_cm_join_size")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("sk4 AMS F2: one (day,user) aggregate + bounded 45-cell fan-out; " +
+    "the rank window partitions by day over 9 group rows") {
+    val p = plan("sk4_ams_f2")
+    assert(p.contains("windowspecdefinition(day"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("hll2 rolling distinct: the day→window map joins BROADCAST onto " +
+    "the register/day frames; no window function, no cartesian") {
+    val p = plan("hll2_rolling_distinct")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("e19 decayed engagement: window-free — 1-row max-day broadcast, " +
+    "one user-keyed aggregate, TakeOrdered top-20 (no global sort)") {
+    val p = plan("e19_decayed_engagement")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("ab2 CUPED: two aggregates and a broadcast split constant — " +
+    "no window, no shuffle join, no cartesian") {
+    val p = plan("ab2_cuped")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("sr1 rank fusion: both sides cut by TakeOrdered heaps before any " +
+    "rank window (ranks exist only to depth K); no cartesian") {
+    val p = plan("sr1_rank_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gr7 hyperball: register propagation is keyed aggregates + equi " +
+    "joins — no window, no cartesian/nested-loop anywhere") {
+    val p = plan("gr7_hyperball")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"))
+  }
 }

@@ -843,4 +843,65 @@ class StreamingSpec extends SparkTestBase {
         s"gap state must be one row per user (3), not per event: $stateRows")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: watermark-final, classic guarantee holds " +
+      "across batches") {
+    // hour-0 type mix: N = 100, capacity 3 ⇒ threshold N/(cap+1) = 25.
+    // 'view' (40) and 'click' (30) exceed it and MUST be candidates;
+    // every reported count c must satisfy true-25 ≤ c ≤ true.
+    val mix = Seq("view" -> 40, "click" -> 30, "cart" -> 20,
+      "buy" -> 6, "ship" -> 4)
+    val trueCnt = mix.toMap
+    val h0 = mix.flatMap { case (t, n) => Seq.fill(n)(t) }
+      .zipWithIndex.map { case (t, i) =>
+        StreamOps.Evt(i.toLong, ts(i % 50), (i % 7).toLong, t, 1.0) }
+    val (h0a, h0b) = h0.splitAt(60) // cross-batch: state must carry the fold
+    val ms = mkEvents(h0a)
+    val q = StreamOps.frequentTypes(spark, ms.toDS())
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("append").start()
+    try {
+      // mkEvents queued h0a as batch 1; h0b lands as batch 2, so the MG
+      // fold must carry hour 0's summary through state across batches
+      q.processAllAvailable()
+      assert(spark.table("mg_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      ms.addData(h0b: _*); q.processAllAvailable()
+      ms.addData(StreamOps.Evt(9999, ts(6000), 9999, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("mg_out").as[StreamOps.MgOut].collect()
+        .filter(_.hour_start_ms == ts(0).getTime)
+      assert(got.length <= 3, s"candidate set exceeds capacity: ${got.toSeq}")
+      val cand = got.map(o => o.token -> o.mg_count).toMap
+      assert(cand.contains("view") && cand.contains("click"),
+        s"items above N/(cap+1) must be present: $cand")
+      cand.foreach { case (t, c) =>
+        val tc = trueCnt(t).toLong
+        assert(c <= tc && c >= tc - 25,
+          s"$t reported $c outside [true-25, true] = [${tc - 25}, $tc]")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming Misra-Gries state is bounded under unbounded type domain") {
+    // 3000 events of 3000 DISTINCT types in one hour: exact streaming
+    // counts would hold 3000 state rows; the MG fold must hold ONE state
+    // row (a ≤3-entry map) and emit ≤3 candidates.
+    val evts = (1 to 3000).map(i =>
+      StreamOps.Evt(i.toLong, ts(i % 50), i.toLong, s"type_$i", 1.0))
+    val ms = mkEvents(evts)
+    val q = StreamOps.frequentTypes(spark, ms.toDS())
+      .writeStream.format("memory").queryName("mg_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"MG state must be one summary row per open hour: $stateRows")
+      ms.addData(StreamOps.Evt(9999, ts(6000), 9999, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("mg_state").count() <= 3,
+        "emitted candidate set must be capacity-bounded")
+    } finally q.stop()
+  }
 }
