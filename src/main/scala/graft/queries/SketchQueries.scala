@@ -243,6 +243,56 @@ object SketchQueries extends QueryPack {
         .orderBy("day_a")
     }),
 
+    // KMV set-DIFFERENCE estimate — the growth-accounting readout ("how
+    // many of today's users are NEW?") from the same bottom-k union
+    // sample as sk2: the k smallest union hashes are an unbiased sample,
+    // so (b-only fraction in the sample) × (union KMV estimate) estimates
+    // |B \ A| without materializing either membership set. Flags ride the
+    // minima in the low two bits (order-preserving ×4 encode; u recovers
+    // exactly by div 4). Exact |B \ A| rides along as calibration; days
+    // with an incomplete sample (< k union hashes) drop out, and a zero
+    // exact count yields a NULL err_ppm rather than a divide.
+    "sk5_bottomk_new_users" -> ((s, d) => {
+      import s.implicits._
+      val du = uniformPoints(s, d)
+      val days = du.select("day").distinct()
+      val valid = days.select(col("day").as("p"))
+        .join(days.select((col("day") - 1).as("p")), Seq("p"))
+      val uni = du.select(col("day").as("p"), col("u"),
+          lit(1L).as("a"), lit(0L).as("b"))
+        .unionAll(du.select((col("day") - 1).as("p"), col("u"),
+          lit(0L).as("a"), lit(1L).as("b")))
+        .join(valid, Seq("p"))
+        .groupBy("p", "u").agg(max(col("a")).as("a"), max(col("b")).as("b"))
+      val exact = uni.groupBy("p").agg(
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("n_new_exact"))
+      val agg = new graft.functions.TopKAggregator.SmallestLongs(K2)
+      val kmv = uni.select(col("p"),
+          (col("u") * 4 + col("a") * 2 + col("b")).as("e"))
+        .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(agg.toColumn).toDF("p", "bot")
+        .filter(size(col("bot")) === K2)
+        .select(col("p"),
+          expr(s"element_at(bot, $K2) div 4").as("uk"),
+          expr("CAST(size(filter(bot, x -> x % 4 = 1)) AS BIGINT)")
+            .as("b_only_in_k"))
+      exact.join(kmv, "p")
+        .withColumn("est_new",
+          lit((K2 - 1).toDouble) * lit(P.toDouble) * lit(P2.toDouble)
+            / col("uk").cast("double")
+            * col("b_only_in_k").cast("double") / lit(K2.toDouble))
+        .withColumn("err_ppm",
+          when(col("n_new_exact") > 0,
+            floor(lit(1000000.0)
+              * abs(col("est_new") - col("n_new_exact").cast("double"))
+              / col("n_new_exact").cast("double")).cast("bigint")))
+        .select(col("p").as("day_a"), (col("p") + 1).as("day_b"),
+          col("n_new_exact"), col("b_only_in_k"), col("est_new"),
+          col("err_ppm"))
+        .orderBy("day_a")
+    }),
+
     // Count-min join-size estimation — the optimizer's question ("how big
     // would lineitem⋈lineitem on l_partkey across the ship-date split
     // be?") answered WITHOUT running the join: |A⋈B| = Σ_k fA(k)·fB(k)
@@ -465,6 +515,46 @@ object SketchQueries extends QueryPack {
                  k_used, both_in_k,
                  (1000000 * both_in_k) // k_used AS j_est_ppm
           FROM ex JOIN kb USING (p) ORDER BY day_a""",
+
+    "sk5_bottomk_new_users" ->
+      s"""WITH du AS ($uniformSql),
+          days AS (SELECT DISTINCT day FROM du),
+          valid AS (SELECT d1.day AS p FROM days d1
+                    JOIN days d2 ON d2.day = d1.day + 1),
+          pairs AS (SELECT day AS p, u, 1 AS a, 0 AS b FROM du
+                    UNION ALL
+                    SELECT day - 1 AS p, u, 0 AS a, 1 AS b FROM du),
+          uni AS (SELECT p, u, CAST(max(a) AS BIGINT) AS a,
+                         CAST(max(b) AS BIGINT) AS b
+                  FROM pairs JOIN valid USING (p) GROUP BY p, u),
+          ex AS (SELECT p, CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_new_exact
+                 FROM uni GROUP BY p),
+          rk AS (SELECT p, u, a, b,
+                        row_number() OVER (PARTITION BY p ORDER BY u) AS rn
+                 FROM uni),
+          kb AS (SELECT p,
+                        CAST(max(CASE WHEN rn = $K2 THEN u END) AS BIGINT)
+                          AS uk,
+                        CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_only_in_k,
+                        CAST(count(*) AS BIGINT) AS k_used
+                 FROM rk WHERE rn <= $K2 GROUP BY p),
+          est AS (SELECT p, n_new_exact, b_only_in_k,
+                         CAST(${K2 - 1} AS DOUBLE) * CAST($P AS DOUBLE)
+                           * CAST($P2 AS DOUBLE) / CAST(uk AS DOUBLE)
+                           * CAST(b_only_in_k AS DOUBLE)
+                           / CAST($K2 AS DOUBLE) AS est_new
+                  FROM ex JOIN kb USING (p)
+                  WHERE k_used = $K2)
+          SELECT p AS day_a, p + 1 AS day_b, n_new_exact, b_only_in_k,
+                 est_new,
+                 CASE WHEN n_new_exact > 0
+                      THEN CAST(floor(CAST(1000000 AS DOUBLE)
+                             * abs(est_new - CAST(n_new_exact AS DOUBLE))
+                             / CAST(n_new_exact AS DOUBLE)) AS BIGINT)
+                 END AS err_ppm
+          FROM est ORDER BY day_a""",
 
     "sk3_cm_join_size" -> {
       val ph = StableHash.polyHash64Sql("('p' || CAST(k AS VARCHAR))")

@@ -29,6 +29,42 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Langid model-eval readout: the confusion matrix of t1's predictor
+    // against the labeled lang column, with per-true-class shares — the
+    // "is the classifier good enough to route on" number a curation
+    // pipeline reports before it trusts t1's routing. Scale shape: ONE
+    // (lang, lang_pred)-keyed aggregate; the cell table is ≤ |langs|²
+    // rows, so the row-total join-back is bounded and broadcast.
+    "t30_langid_confusion" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.langPredict(TextOps.tokens(col("text"))).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val rowTot = cells.groupBy("lang").agg(sum(col("n")).as("row_n"))
+      cells.join(broadcast(rowTot), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(1000000 * n) div row_n").as("share_ppm"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // Tokenizer fertility per source: BPE-ish tokens per whitespace token
+    // — the training-cost multiplier a data-mixture planner budgets with
+    // (a high-fertility source costs more compute per document than its
+    // token share suggests). Integer sums, ONE source-keyed aggregate,
+    // ppm at the end.
+    "t31_token_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("ws"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"),
+          expr("(1000000 * bpe_tokens) div ws_tokens").as("fertility_ppm"))
+        .orderBy("source")),
+
     "t2_quality_score" -> ((s, d) => {
       val comps = TextOps.qualityComponents(col("text"))
       Tables.documents(s, d)
@@ -838,6 +874,27 @@ object TextQueries extends QueryPack {
           SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS pack_id
           FROM c ORDER BY doc_id""",
     "t1_langid" -> langidSql,
+    "t30_langid_confusion" ->
+      s"""WITH p AS ($langidSql),
+          cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                    FROM p GROUP BY 1, 2),
+          rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n
+                 FROM cells GROUP BY lang)
+          SELECT lang, lang_pred, n, (1000000 * n) // row_n AS share_ppm
+          FROM cells JOIN rt USING (lang)
+          ORDER BY lang, lang_pred""",
+    "t31_token_fertility" ->
+      s"""WITH x AS (SELECT source,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                            CAST(len(regexp_extract_all(text,
+                              '${TextOps.bpeTokenPattern}')) AS BIGINT) AS bpe
+                     FROM documents)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                 CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                 (1000000 * CAST(sum(bpe) AS BIGINT))
+                   // CAST(sum(ws) AS BIGINT) AS fertility_ppm
+          FROM x GROUP BY source ORDER BY source""",
     "t2_quality_score" -> qualitySql,
     "t3_token_counts" ->
       s"""SELECT doc_id,
