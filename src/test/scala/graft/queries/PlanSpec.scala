@@ -634,4 +634,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"))
   }
+
+  test("sk5 new-users: minima ride the O(k) typed aggregate (no window " +
+    "sort of the union), no cartesian") {
+    val p = plan("sk5_bottomk_new_users")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("t30 confusion matrix: row totals broadcast back onto the bounded " +
+    "cell table; corpus aggregates once") {
+    val p = plan("t30_langid_confusion")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
+  test("t31 fertility: one source-keyed aggregate, no join at all") {
+    val p = plan("t31_token_fertility")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
