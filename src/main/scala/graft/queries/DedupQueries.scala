@@ -465,6 +465,74 @@ object DedupQueries extends QueryPack {
           coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"))
         .orderBy("doc_id")
     }),
+
+    // LSH parameter sweep — the tuning readout a pipeline runs BEFORE
+    // committing to a banding: over ONE 16-wide signature, three
+    // (bands × rows) splits generate their candidate sets; each is scored
+    // for volume (n_pairs), precision against exact Jaccard ≥ 0.5 on the
+    // candidate's shingle sets, and pooled recall (share of the true
+    // pairs found by ANY config — the IR pooling trick, computable
+    // without an all-pairs join). More bands ⇒ more candidates, lower
+    // precision, higher recall: the sweep SHOWS the curve. Scale shape:
+    // every pair set stays band-blocked; the exact-Jaccard join runs once
+    // on the POOLED distinct candidates; per-config stats re-join that
+    // flagged pool, all candidate-scale.
+    "d24_lsh_band_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hashed = Dedup.hashedShingles(docs, col("text"), K, Seq(col("doc_id")))
+        .select(col("doc_id"), col("__hs"))
+      val sigs = Dedup.withMinhashSigs(hashed, col("__hs"), SIG).drop("__hs")
+      val configs = Seq((2, 8), (4, 4), (8, 2))
+      val pairs = configs.map { case (b, r) =>
+        val bandCols = (0 until b).map { bi =>
+          struct(lit(bi).as("band"),
+            StableHash.bandKey((0 until r).map(ri => col(s"sig${bi * r + ri}")))
+              .as("key"))
+        }
+        val ex = sigs
+          .select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bk"))
+          .filter(col("bk").isNotNull)
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        ex.select(col("band"), col("key"), col("doc_id").as("id1"))
+          .join(ex.select(col("band"), col("key"), col("doc_id").as("id2")),
+            Seq("band", "key"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("id1"), col("id2"))
+      }.reduce(_ unionAll _)
+      val hd = hashed.select(col("doc_id"),
+        array_distinct(col("__hs")).as("hs"))
+      val flagged = pairs.select("id1", "id2").distinct()
+        .join(hd.select(col("doc_id").as("id1"), col("hs").as("hs1")),
+          Seq("id1"))
+        .join(hd.select(col("doc_id").as("id2"), col("hs").as("hs2")),
+          Seq("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("hs1"), col("hs2"))).cast("bigint")
+            .as("ni"),
+          size(col("hs1")).cast("bigint").as("n1"),
+          size(col("hs2")).cast("bigint").as("n2"))
+        .select(col("id1"), col("id2"),
+          // two-step null-safe threshold (the d20 zero-union guard): a
+          // zero-union pair yields NULL j_ppm, which thresholds to 0
+          when(col("n1") + col("n2") - col("ni") > 0,
+            expr("(1000000 * ni) div (n1 + n2 - ni)")).as("j_ppm"))
+        .select(col("id1"), col("id2"),
+          when(col("j_ppm") >= 500000, 1L).otherwise(0L).as("is_true"))
+      val pool = flagged.agg(sum(col("is_true")).as("n_pool"))
+      pairs.join(flagged, Seq("id1", "id2"))
+        .groupBy("bands", "rows_per_band")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+        .crossJoin(broadcast(pool))
+        .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+          col("n_true"),
+          expr("(1000000 * n_true) div n_pairs").as("precision_ppm"),
+          when(col("n_pool") > 0, expr("(1000000 * n_true) div n_pool"))
+            .as("pooled_recall_ppm"))
+        .orderBy("bands")
+    }),
   )
 
   // ---- generated oracle SQL ---------------------------------------------
@@ -656,7 +724,60 @@ object DedupQueries extends QueryPack {
     "d20_minhash_jaccard_estimate" -> minhashEstimateSql,
     "d21_quality_canonical" -> qualityCanonicalSql,
     "d22_containment" -> containmentSql,
+    "d24_lsh_band_sweep" -> bandSweepSql,
   )
+
+  /** d24: three bandings of ONE signature, pooled exact-Jaccard flags
+    * (d22's list_distinct + inclusion-exclusion union), per-config
+    * volume/precision/pooled-recall.
+    */
+  private def bandSweepSql: String = {
+    def pCte(n: String, b: Int, r: Int): String = {
+      val bandIdx = (0 until b).map(_.toString).mkString("[", ", ", "]")
+      val keys = (0 until b).map { bi =>
+        StableHash.bandKeySql((0 until r).map(ri => s"sig${bi * r + ri}"))
+      }.mkString("[", ", ", "]")
+      s"""${n}b AS (SELECT doc_id, unnest($bandIdx) AS band,
+                           unnest($keys) AS key FROM sig),
+          $n AS (SELECT DISTINCT $b AS bands, $r AS rows_per_band,
+                        l.doc_id AS id1, rr.doc_id AS id2
+                 FROM ${n}b l JOIN ${n}b rr
+                   ON l.band = rr.band AND l.key = rr.key
+                      AND l.doc_id < rr.doc_id)"""
+    }
+    s"""$hashCte,
+        sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
+        ${pCte("p1", 2, 8)},
+        ${pCte("p2", 4, 4)},
+        ${pCte("p3", 8, 2)},
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3),
+        dp AS (SELECT DISTINCT id1, id2 FROM allp),
+        hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+        ju AS (SELECT dp.id1, dp.id2,
+                      CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS ni,
+                      CAST(len(a.hs) AS BIGINT) + CAST(len(b.hs) AS BIGINT)
+                        - CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS u
+               FROM dp JOIN hd a ON a.doc_id = dp.id1
+                       JOIN hd b ON b.doc_id = dp.id2),
+        fl AS (SELECT id1, id2,
+                      CASE WHEN (CASE WHEN u > 0
+                                      THEN (1000000 * ni) // u END) >= 500000
+                           THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS is_true
+               FROM ju),
+        pool AS (SELECT CAST(sum(is_true) AS BIGINT) AS n_pool FROM fl),
+        ag AS (SELECT bands, rows_per_band,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(is_true) AS BIGINT) AS n_true
+               FROM allp JOIN fl USING (id1, id2)
+               GROUP BY bands, rows_per_band)
+        SELECT bands, rows_per_band, n_pairs, n_true,
+               (1000000 * n_true) // n_pairs AS precision_ppm,
+               CASE WHEN n_pool > 0 THEN (1000000 * n_true) // n_pool END
+                 AS pooled_recall_ppm
+        FROM ag, pool ORDER BY bands"""
+  }
 
   /** d22: d4's band-key pair CTE, then both directional containments on
     * the distinct-shingle lists ('//' floor division mirrors `div`;

@@ -186,6 +186,50 @@ object WindowQueries extends QueryPack {
             .as("corr7"))
         .orderBy("day")
     }),
+
+    // Holt linear (double-exponential) smoothing per event type — w6's
+    // EWMA with a TREND state, the level+slope forecaster a capacity
+    // planner runs on daily volume. α = β = 0.5 (exact binary doubles).
+    // Fold discipline: the per-type daily series is calendar-bounded
+    // (ONE data-scale keyed aggregate reduces events to it — the w8
+    // rule); the (level, trend) recursion is ONE left fold over the
+    // day-ordered series. The two-value state rides a 2-element DOUBLE
+    // ARRAY, not a struct: this DuckDB's list_reduce over STRUCT
+    // accumulators is broken (measured: reduce over [s1,s2,s3] ≠
+    // reduce(reduce([s1,s2]), s3) — fold composition violated — while
+    // the list encoding composes exactly), and list_reduce seeds from
+    // the head — which IS the Holt init ([l₀ = x₀, b₀ = 0]); Spark folds
+    // the identical shape explicitly. Every step is the same IEEE tree
+    // both engines; outputs decimal-pinned once.
+    "w10_holt_linear" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull) // w6 NULL discipline
+        .select(col("event_type"), expr(s"ts DIV $dayNs").as("day"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("v"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("v")))).as("seq"))
+        .withColumn("vals", expr("transform(seq, x -> " +
+          "array(CAST(x.v AS DOUBLE), CAST(0.0 AS DOUBLE)))"))
+        .withColumn("st", aggregate(
+          expr("slice(vals, 2, greatest(size(vals) - 1, 0))"),
+          element_at(col("vals"), 1),
+          (acc, x) => {
+            val l0 = element_at(acc, 1); val b0 = element_at(acc, 2)
+            val nl = element_at(x, 1) * lit(0.5) + (l0 + b0) * lit(0.5)
+            array(nl, (nl - l0) * lit(0.5) + b0 * lit(0.5))
+          }))
+        .select(col("event_type"), col("n_days"),
+          element_at(col("st"), 1).cast("decimal(18,6)").cast("double")
+            .as("level"),
+          element_at(col("st"), 2).cast("decimal(18,6)").cast("double")
+            .as("trend"),
+          (element_at(col("st"), 1) + lit(7.0) * element_at(col("st"), 2))
+            .cast("decimal(18,6)").cast("double").as("forecast_7d"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,5 +339,34 @@ object WindowQueries extends QueryPack {
                   sqrt(CAST(nw * sxx - sx * sx AS DOUBLE) *
                        CAST(nw * syy - sy * sy AS DOUBLE)) AS corr7
          FROM w WHERE nw = 7 ORDER BY day""",
+
+    // same-type fold with a LIST-encoded (level, trend) state — this
+    // DuckDB's list_reduce over struct accumulators violates fold
+    // composition (see the Spark-side comment); the 2-double list form
+    // composes exactly. reduce seeds from the head = the Holt init.
+    "w10_holt_linear" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2),
+         seqs AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  list_transform(list({'day': day, 'v': v} ORDER BY day),
+                    x -> [CAST(x.v AS DOUBLE), CAST(0.0 AS DOUBLE)]) AS vals
+           FROM daily GROUP BY event_type),
+         st AS (
+           SELECT event_type, n_days,
+                  list_reduce(vals, (a, x) ->
+                    [x[1] * 0.5 + (a[1] + a[2]) * 0.5,
+                     ((x[1] * 0.5 + (a[1] + a[2]) * 0.5) - a[1]) * 0.5
+                       + a[2] * 0.5]) AS f
+           FROM seqs)
+         SELECT event_type, n_days,
+                CAST(CAST(f[1] AS DECIMAL(18,6)) AS DOUBLE) AS level,
+                CAST(CAST(f[2] AS DECIMAL(18,6)) AS DOUBLE) AS trend,
+                CAST(CAST(f[1] + 7.0 * f[2] AS DECIMAL(18,6)) AS DOUBLE)
+                  AS forecast_7d
+         FROM st ORDER BY event_type""",
   )
 }

@@ -654,4 +654,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("d24 band sweep: every pair set band-blocked (equi self-joins), " +
+    "no cartesian, no window") {
+    val p = plan("d24_lsh_band_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("w10 holt: one keyed aggregate to the calendar-bounded series, " +
+    "then a per-key fold — no window function, no join") {
+    val p = plan("w10_holt_linear")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      p.linesIterator.filter(l => l.contains("Window") || l.contains("Join"))
+        .mkString("\n"))
+  }
 }
