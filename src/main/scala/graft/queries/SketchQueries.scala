@@ -243,6 +243,74 @@ object SketchQueries extends QueryPack {
         .orderBy("day_a")
     }),
 
+    // HLL set-INTERSECTION estimate by inclusion-exclusion — completing
+    // the sketch set algebra (union = hll2's register merge, difference =
+    // sk5's bottom-k, intersection = estA + estB − estU here) between
+    // consecutive days' user sets. The honest readout: I-E on sketches
+    // compounds three estimators' errors, so relative error blows up as
+    // the true intersection shrinks — the calibration column SHOWS it,
+    // which is exactly why production set-overlap goes to KMV/theta
+    // sketches (sk2) when intersections are small. Scale shape: three
+    // register tiers (a/b/union) fold in ONE (pair, tier, reg)-keyed
+    // aggregate over bounded cells; exact overlap rides from the sk2
+    // union construction.
+    "sk6_hll_intersection" -> ((s, d) => {
+      val regs = spread(s, d).select(col("day"),
+          expr(s"q1 % $M").as("reg"),
+          expr(s"q2 % $SentBit + $SentBit").as("vv"))
+        .withColumn("rho", length(bin(expr("vv & -vv"))))
+        .groupBy("day", "reg").agg(max(col("rho")).as("mr"))
+      val days = regs.select("day").distinct()
+      val valid = days.select(col("day").as("p"))
+        .join(days.select((col("day") - 1).as("p")), Seq("p"))
+      val a = regs.select(col("day").as("p"), col("reg"), col("mr"))
+        .join(broadcast(valid), Seq("p"))
+      val b = regs.select((col("day") - 1).as("p"), col("reg"), col("mr"))
+        .join(broadcast(valid), Seq("p"))
+      val tagged = a.select(col("p"), lit("a").as("tier"), col("reg"), col("mr"))
+        .unionAll(b.select(col("p"), lit("b").as("tier"), col("reg"), col("mr")))
+        .unionAll(a.select(col("p"), col("reg"), col("mr"))
+          .unionAll(b.select(col("p"), col("reg"), col("mr")))
+          .groupBy("p", "reg").agg(max(col("mr")).as("mr"))
+          .select(col("p"), lit("u").as("tier"), col("reg"), col("mr")))
+      val est = tagged.groupBy("p", "tier").agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mr)")).as("sp"),
+          count(lit(1)).as("used"))
+        .select(col("p"), col("tier"),
+          (lit(M.toLong) - col("used")).as("zeros"),
+          (col("sp") + (lit(M.toLong) - col("used")) * lit(MaxTerm))
+            .as("ssum"))
+        .withColumn("raw_est",
+          lit(Alpha256) * lit((M.toLong * M).toDouble) * lit(MaxTerm.toDouble)
+            / col("ssum").cast("double"))
+        .withColumn("est",
+          when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
+            lit(M.toDouble) *
+              (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
+          .otherwise(col("raw_est")))
+      def tier(t: String, out: String) =
+        est.filter(col("tier") === t).select(col("p"), col("est").as(out))
+      val du = uniformPoints(s, d)
+      val exact = du.select(col("day").as("p"), col("u"),
+          lit(1L).as("a"), lit(0L).as("b"))
+        .unionAll(du.select((col("day") - 1).as("p"), col("u"),
+          lit(0L).as("a"), lit(1L).as("b")))
+        .join(valid, Seq("p"))
+        .groupBy("p", "u").agg(max(col("a")).as("a"), max(col("b")).as("b"))
+        .groupBy("p").agg(sum(col("a") * col("b")).as("n_inter_exact"))
+      exact.join(tier("a", "est_a"), "p").join(tier("b", "est_b"), "p")
+        .join(tier("u", "est_u"), "p")
+        .withColumn("est_inter", col("est_a") + col("est_b") - col("est_u"))
+        .withColumn("err_ppm",
+          when(col("n_inter_exact") > 0,
+            floor(lit(1000000.0)
+              * abs(col("est_inter") - col("n_inter_exact").cast("double"))
+              / col("n_inter_exact").cast("double")).cast("bigint")))
+        .select(col("p").as("day_a"), (col("p") + 1).as("day_b"),
+          col("n_inter_exact"), col("est_inter"), col("err_ppm"))
+        .orderBy("day_a")
+    }),
+
     // KMV set-DIFFERENCE estimate — the growth-accounting readout ("how
     // many of today's users are NEW?") from the same bottom-k union
     // sample as sk2: the k smallest union hashes are an unbiased sample,
@@ -515,6 +583,74 @@ object SketchQueries extends QueryPack {
                  k_used, both_in_k,
                  (1000000 * both_in_k) // k_used AS j_est_ppm
           FROM ex JOIN kb USING (p) ORDER BY day_a""",
+
+    "sk6_hll_intersection" ->
+      s"""WITH res AS ($spreadSql),
+          vv AS (SELECT day, q1 % $M AS reg,
+                        q2 % $SentBit + $SentBit AS vv
+                 FROM res),
+          regs AS (SELECT day, reg,
+                          CAST(max(length(bin(vv & -vv))) AS INT) AS mr
+                   FROM vv GROUP BY day, reg),
+          days AS (SELECT DISTINCT day FROM regs),
+          valid AS (SELECT d1.day AS p FROM days d1
+                    JOIN days d2 ON d2.day = d1.day + 1),
+          a AS (SELECT r.day AS p, reg, mr
+                FROM regs r JOIN valid v ON v.p = r.day),
+          b AS (SELECT r.day - 1 AS p, reg, mr
+                FROM regs r JOIN valid v ON v.p = r.day - 1),
+          uu AS (SELECT p, reg, max(mr) AS mr
+                 FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+                 GROUP BY p, reg),
+          tg AS (SELECT p, 'a' AS tier, reg, mr FROM a
+                 UNION ALL SELECT p, 'b', reg, mr FROM b
+                 UNION ALL SELECT p, 'u', reg, mr FROM uu),
+          cells AS (SELECT p, tier,
+                           CAST(sum(CAST(1 AS BIGINT) << (${W + 1} - mr))
+                             AS BIGINT) AS sp,
+                           CAST(count(*) AS BIGINT) AS used
+                    FROM tg GROUP BY p, tier),
+          stt AS (SELECT p, tier, $M - used AS zeros,
+                         sp + ($M - used) * $MaxTerm AS ssum
+                  FROM cells),
+          pe AS (SELECT p, tier, zeros,
+                        CAST($Alpha256 AS DOUBLE)
+                          * CAST(${M.toLong * M} AS DOUBLE)
+                          * CAST($MaxTerm AS DOUBLE) / CAST(ssum AS DOUBLE)
+                          AS raw_est
+                 FROM stt),
+          fe AS (SELECT p, tier,
+                        CASE WHEN zeros > 0 AND raw_est <= ${2.5 * M}
+                             THEN CAST($M AS DOUBLE)
+                                  * (ln(CAST($M AS DOUBLE))
+                                     - ln(CAST(zeros AS DOUBLE)))
+                             ELSE raw_est END AS est
+                 FROM pe),
+          du AS ($uniformSql),
+          pairs AS (SELECT day AS p, u, 1 AS a, 0 AS b FROM du
+                    UNION ALL
+                    SELECT day - 1 AS p, u, 0 AS a, 1 AS b FROM du),
+          uni AS (SELECT p, u, CAST(max(a) AS BIGINT) AS a,
+                         CAST(max(b) AS BIGINT) AS b
+                  FROM pairs JOIN valid USING (p) GROUP BY p, u),
+          ex AS (SELECT p, CAST(sum(a * b) AS BIGINT) AS n_inter_exact
+                 FROM uni GROUP BY p),
+          fin AS (SELECT ex.p, n_inter_exact,
+                         ea.est + eb.est - eu.est AS est_inter
+                  FROM ex
+                  JOIN (SELECT p, est FROM fe WHERE tier = 'a') ea
+                    ON ea.p = ex.p
+                  JOIN (SELECT p, est FROM fe WHERE tier = 'b') eb
+                    ON eb.p = ex.p
+                  JOIN (SELECT p, est FROM fe WHERE tier = 'u') eu
+                    ON eu.p = ex.p)
+          SELECT p AS day_a, p + 1 AS day_b, n_inter_exact, est_inter,
+                 CASE WHEN n_inter_exact > 0
+                      THEN CAST(floor(CAST(1000000 AS DOUBLE)
+                             * abs(est_inter - CAST(n_inter_exact AS DOUBLE))
+                             / CAST(n_inter_exact AS DOUBLE)) AS BIGINT)
+                 END AS err_ppm
+          FROM fin ORDER BY day_a""",
 
     "sk5_bottomk_new_users" ->
       s"""WITH du AS ($uniformSql),

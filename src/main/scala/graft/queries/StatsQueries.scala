@@ -376,6 +376,43 @@ object StatsQueries extends QueryPack {
     // three identically-associated double ops on decimal-cast values.
     // Scale shape: ONE user-keyed aggregate then a 1-row reduce; no
     // window, no join beyond the broadcast split constant.
+    // Two-proportion z-test on user conversion (a purchase above $90 —
+    // "any purchase" saturates at 100% on this corpus, degenerating the
+    // pooled variance to 0) by a deterministic id-parity variant split —
+    // the categorical-outcome companion to ab1's Welch t (continuous)
+    // and ab2's CUPED (variance-reduced). ONE user-keyed aggregate → a
+    // 2-row cell table → a 1-row readout; conversion rates as integer
+    // ppm, z as one fixed IEEE tree (pooled p, sqrt correctly rounded —
+    // ab1's rule), NULL-guarded against an all-or-none pooled rate.
+    "st10_two_proportion_ztest" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 90.0, 1L).otherwise(0L))
+          .as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      val cells = u.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      val a = cells.filter(col("variant") === 0)
+        .select(col("n").as("n1"), col("x").as("x1"))
+      val b = cells.filter(col("variant") === 1)
+        .select(col("n").as("n2"), col("x").as("x2"))
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          expr("(1000000 * x1) div n1").as("cvr1_ppm"),
+          expr("(1000000 * x2) div n2").as("cvr2_ppm"),
+          when(col("x1") + col("x2") > 0 &&
+              col("x1") + col("x2") < col("n1") + col("n2"),
+            (col("x1").cast("double") / col("n1").cast("double") -
+              col("x2").cast("double") / col("n2").cast("double")) /
+              sqrt(((col("x1") + col("x2")).cast("double") /
+                  (col("n1") + col("n2")).cast("double")) *
+                (lit(1.0) - (col("x1") + col("x2")).cast("double") /
+                  (col("n1") + col("n2")).cast("double")) *
+                (lit(1.0) / col("n1").cast("double") +
+                  lit(1.0) / col("n2").cast("double")))).as("z"))
+    }),
+
     "ab2_cuped" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
         expr(s"ts DIV ${24L * 3600 * 1000 * 1000 * 1000}").as("day"),
@@ -652,6 +689,32 @@ object StatsQueries extends QueryPack {
                   // exact_median_cents AS err_ppm
          FROM ex JOIN mb USING (prio) JOIN span USING (prio)
          ORDER BY ex.prio""",
+
+    "st10_two_proportion_ztest" ->
+      """WITH u AS (SELECT user_id % 2 AS variant,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                          AND value > 90
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS converted
+                    FROM events GROUP BY user_id),
+          cells AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(converted) AS BIGINT) AS x
+                    FROM u GROUP BY variant),
+          a AS (SELECT n AS n1, x AS x1 FROM cells WHERE variant = 0),
+          b AS (SELECT n AS n2, x AS x2 FROM cells WHERE variant = 1)
+          SELECT n1, x1, n2, x2,
+                 (1000000 * x1) // n1 AS cvr1_ppm,
+                 (1000000 * x2) // n2 AS cvr2_ppm,
+                 CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                          * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                   / CAST(n1 + n2 AS DOUBLE))
+                          * (1.0 / CAST(n1 AS DOUBLE)
+                             + 1.0 / CAST(n2 AS DOUBLE)))
+                 END AS z
+          FROM a, b""",
 
     "ab2_cuped" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -496,6 +496,39 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weights (data selection with importance
+    // resampling): per-doc log importance Σ_w [ln p_target(w) −
+    // ln p_proposal(w)] under add-one-smoothed unigram LMs — target =
+    // the lang='en' slice, proposal = the whole corpus, shared union
+    // vocab so both densities are defined everywhere. The published
+    // recipe for "select web data that looks like the target corpus";
+    // a resampler keeps docs ∝ exp(log_iw). Exactness: counts integer,
+    // each token's term is ln of an exact rational minus ln of an exact
+    // rational (t19's rule), accumulation decimal-exact. Scale shape:
+    // ONE token-keyed count aggregate (both densities in one pass via
+    // conditional sums), vocab broadcast back onto the token stream,
+    // ONE doc-keyed fold — t19's plan with a second density riding along.
+    "t33_dsir_weights" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(TextOps.tokens(col("text"))).as("tk"))
+      val cnt = tok.groupBy("tk").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cp"))
+      val stats = cnt.agg(sum(col("ct")).as("tt"), sum(col("cp")).as("tp"),
+        count(lit(1)).as("v"))
+      tok.join(broadcast(cnt), Seq("tk"))
+        .crossJoin(broadcast(stats))
+        .withColumn("liw",
+          log((col("ct").cast("double") + lit(1.0)) /
+            (col("tt").cast("double") + col("v").cast("double"))) -
+          log((col("cp").cast("double") + lit(1.0)) /
+            (col("tp").cast("double") + col("v").cast("double"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), Num.dsum(col("liw")).as("log_iw"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): doc
     // weight comes from its source tier (t14's mixture weights), the
     // priority key is −ln(u)/w with u a deterministic per-doc uniform from
@@ -874,6 +907,30 @@ object TextQueries extends QueryPack {
           SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS pack_id
           FROM c ORDER BY doc_id""",
     "t1_langid" -> langidSql,
+    "t33_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+                             unnest(string_split(text, ' ')) AS tk
+                      FROM documents),
+          c AS (SELECT tk,
+                       CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                         AS ct,
+                       CAST(count(*) AS BIGINT) AS cp
+                FROM tok GROUP BY tk),
+          st AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                        CAST(sum(cp) AS BIGINT) AS tp,
+                        CAST(count(*) AS BIGINT) AS v
+                 FROM c),
+          j AS (SELECT tok.doc_id,
+                       ln((CAST(ct AS DOUBLE) + 1.0)
+                          / (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE)))
+                       - ln((CAST(cp AS DOUBLE) + 1.0)
+                            / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+                         AS liw
+                FROM tok JOIN c USING (tk) CROSS JOIN st)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 ${Num.sqlSum("liw")} AS log_iw
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     "t30_langid_confusion" ->
       s"""WITH p AS ($langidSql),
           cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n

@@ -655,6 +655,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("t33 DSIR: one token-keyed count aggregate, vocab broadcast back, " +
+    "no window, no shuffle join of the token stream") {
+    val p = plan("t33_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
+  test("st10 z-test: one user-keyed aggregate to a 2-row cell table, " +
+    "no window, no shuffle join") {
+    val p = plan("st10_two_proportion_ztest")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("sk6 HLL intersection: register tiers fold in keyed aggregates " +
+    "over bounded cells — no window, no cartesian") {
+    val p = plan("sk6_hll_intersection")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("d24 band sweep: every pair set band-blocked (equi self-joins), " +
     "no cartesian, no window") {
     val p = plan("d24_lsh_band_sweep")
