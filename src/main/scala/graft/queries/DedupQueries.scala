@@ -17,6 +17,9 @@ object DedupQueries extends QueryPack {
 
   private val K = 3          // shingle width (words)
   private val SIG = 16       // minhash signature width
+  // d24's absolute sweep sample (sim10/CENT_CAP rule): covers every gate
+  // corpus's full doc_id range (sf0.1 max = 49,999), fixed beyond it
+  private val SweepCap = 100000
   // LSH banding geometry. rows = 2: a candidate pair must agree on BOTH
   // minhashes of a band (collision prob per band = J², not J). rows = 1
   // was "sized for the synthetic corpus" and died at the sf10 scale
@@ -476,9 +479,15 @@ object DedupQueries extends QueryPack {
     // precision, higher recall: the sweep SHOWS the curve. Scale shape:
     // every pair set stays band-blocked; the exact-Jaccard join runs once
     // on the POOLED distinct candidates; per-config stats re-join that
-    // flagged pool, all candidate-scale.
+    // flagged pool, all candidate-scale. The sweep runs on an ABSOLUTE
+    // doc sample (the sim10/CENT_CAP rule; covers sf0.001–sf0.1
+    // entirely, so gate results are unchanged there): the loose 8×2 tier's
+    // FALSE-POSITIVE band collisions grow ~quadratically with the corpus
+    // — measured 24.3× at 10× data before the cap — and a parameter
+    // sweep's verdict comes from a representative sample, not the full
+    // corpus.
     "d24_lsh_band_sweep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < SweepCap)
       val hashed = Dedup.hashedShingles(docs, col("text"), K, Seq(col("doc_id")))
         .select(col("doc_id"), col("__hs"))
       val sigs = Dedup.withMinhashSigs(hashed, col("__hs"), SIG).drop("__hs")
@@ -745,7 +754,13 @@ object DedupQueries extends QueryPack {
                    ON l.band = rr.band AND l.key = rr.key
                       AND l.doc_id < rr.doc_id)"""
     }
-    s"""$hashCte,
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents WHERE doc_id < $SweepCap),
+        sgl AS (SELECT doc_id, ${Dedup.shinglesSql("ts", K)} AS sh FROM t),
+        h AS (SELECT doc_id,
+                     list_transform(sh, s1 -> ${StableHash.polyHashSql("s1")})
+                       AS hs
+              FROM sgl),
         sig AS (SELECT doc_id, ${sigExprs.mkString(",\n               ")} FROM h),
         ${pCte("p1", 2, 8)},
         ${pCte("p2", 4, 4)},
