@@ -645,6 +645,70 @@ object StreamOps {
       }
   }
 
+  case class QtOut(hour_start_ms: Long, n: Long, p50_est_cents: Long,
+                   p90_est_cents: Long)
+  case class QtState(counts: Array[Long])
+
+  /** Streaming approximate quantiles per tumbling hour — completing the
+    * bounded-state sketch triad (distinct → [[approxDistinct]],
+    * frequent items → [[frequentTypes]], quantiles → here): a fixed
+    * 256-bin equi-width histogram over integer cents, the streaming form
+    * of st9's binned-quantile calibration. The honest streaming
+    * trade-off, stated: a batch histogram derives its span from the
+    * data; a stream cannot know the span before the window closes, so
+    * the grid is FIXED a priori ([0, QtSpanCents), overflow clamped to
+    * the top bin) — which is exactly how production fixed-grid quantile
+    * state works, and why domain-free rank sketches exist for the
+    * general case. State is ONE 256-long array per open window at any
+    * event volume; emission is watermark-final: p50/p90 as bin midpoints
+    * via the st9 integer rule (smallest bin with cum·q_den ≥ n·q_num —
+    * no float thresholds).
+    */
+  val QtBins = 256
+  val QtSpanCents = 40960L // bin width 160 cents; corpus max ~37k cents
+
+  def approxQuantiles(spark: SparkSession, events: Dataset[Evt],
+                      watermarkDelay: String = "1 minute"): Dataset[QtOut] = {
+    import spark.implicits._
+    val width = QtSpanCents / QtBins
+    def pct(counts: Array[Long], n: Long, num: Long, den: Long): Long = {
+      var cum = 0L
+      var b = 0
+      while (b < counts.length) {
+        cum += counts(b)
+        if (cum * den >= n * num) return b * width + width / 2
+        b += 1
+      }
+      (counts.length - 1) * width + width / 2
+    }
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L))
+      .flatMapGroupsWithState[QtState, QtOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourMs: Long, rows: Iterator[Evt], state: GroupState[QtState]) =>
+          if (state.hasTimedOut) {
+            val c = state.get.counts
+            state.remove()
+            val n = c.sum
+            Iterator.single(QtOut(hourMs, n,
+              pct(c, n, 1, 2), pct(c, n, 9, 10)))
+          } else {
+            val st = state.getOption.getOrElse(
+              QtState(new Array[Long](QtBins)))
+            rows.foreach { e =>
+              // round-half-up cents (positive values), clamped into grid
+              val cents = Math.round(e.value * 100)
+              val bin = math.min(math.max(cents, 0L) / width, QtBins - 1L)
+              st.counts(bin.toInt) += 1
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(hourMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class MgOut(hour_start_ms: Long, token: String, mg_count: Long)
   case class MgState(m: Map[String, Long])
 

@@ -844,6 +844,66 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quantile histogram: watermark-final, cross-batch fold " +
+      "matches the independently computed bins") {
+    // hour 0: values 1..100 dollars (cents 100..10000), split across two
+    // batches — p50/p90 must come from the MERGED histogram. Batch 2's
+    // event times sit ABOVE batch 1's watermark (minutes 30+ vs wm 28):
+    // within-watermark lateness would DROP rows at the stateful op (the
+    // approxDistinct test's staging rule).
+    val h0 = (1 to 100).map(i => StreamOps.Evt(i.toLong,
+      ts(if (i <= 60) i % 30 else 30 + i % 30), (i % 7).toLong, "view",
+      i.toDouble))
+    val (h0a, h0b) = h0.splitAt(60)
+    val ms = mkEvents(h0a)
+    val q = StreamOps.approxQuantiles(spark, ms.toDS())
+      .writeStream.format("memory").queryName("qt_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("qt_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      ms.addData(h0b: _*); q.processAllAvailable()
+      ms.addData(StreamOps.Evt(9999, ts(6000), 9999, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("qt_out").as[StreamOps.QtOut].collect()
+        .filter(_.hour_start_ms == ts(0).getTime)
+      assert(got.length == 1, s"exactly one final row per window: ${got.toSeq}")
+      // independent recomputation: same grid, same smallest-bin rule
+      val width = StreamOps.QtSpanCents / StreamOps.QtBins
+      val counts = new Array[Long](StreamOps.QtBins)
+      h0.foreach { e =>
+        counts((math.min(math.max(Math.round(e.value * 100), 0L) / width,
+          StreamOps.QtBins - 1L)).toInt) += 1
+      }
+      def pct(num: Long, den: Long): Long = {
+        var cum = 0L
+        val i = counts.indexWhere { c => cum += c; cum * den >= 100L * num }
+        i * width + width / 2
+      }
+      assert(got.head == StreamOps.QtOut(ts(0).getTime, 100L,
+        pct(1, 2), pct(9, 10)), s"got ${got.head}")
+      // sanity on real positions: p50 of 1..100 dollars ≈ $50, p90 ≈ $90
+      assert(math.abs(got.head.p50_est_cents - 5000) <= width &&
+        math.abs(got.head.p90_est_cents - 9000) <= width, s"${got.head}")
+    } finally q.stop()
+  }
+
+  test("streaming quantile state is rows = f(open windows), not events") {
+    val evts = (1 to 3000).map(i =>
+      StreamOps.Evt(i.toLong, ts(i % 50), i.toLong, "view", (i % 370).toDouble))
+    val ms = mkEvents(evts)
+    val q = StreamOps.approxQuantiles(spark, ms.toDS())
+      .writeStream.format("memory").queryName("qt_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"quantile state must be one histogram row per open hour: $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: watermark-final, classic guarantee holds " +
       "across batches") {
     // hour-0 type mix: N = 100, capacity 3 ⇒ threshold N/(cap+1) = 25.
@@ -852,9 +912,12 @@ class StreamingSpec extends SparkTestBase {
     val mix = Seq("view" -> 40, "click" -> 30, "cart" -> 20,
       "buy" -> 6, "ship" -> 4)
     val trueCnt = mix.toMap
+    // batch-2 minutes sit above batch-1's watermark (the staging rule:
+    // within-watermark lateness drops rows at the stateful op)
     val h0 = mix.flatMap { case (t, n) => Seq.fill(n)(t) }
       .zipWithIndex.map { case (t, i) =>
-        StreamOps.Evt(i.toLong, ts(i % 50), (i % 7).toLong, t, 1.0) }
+        StreamOps.Evt(i.toLong, ts(if (i < 60) i % 30 else 30 + i % 30),
+          (i % 7).toLong, t, 1.0) }
     val (h0a, h0b) = h0.splitAt(60) // cross-batch: state must carry the fold
     val ms = mkEvents(h0a)
     val q = StreamOps.frequentTypes(spark, ms.toDS())
