@@ -248,6 +248,37 @@ object SimilarityQueries extends QueryPack {
           col("psi"))
     }),
 
+    // PQ quantization-distortion report — the codebook-quality readout a
+    // deployment monitors BEFORE trusting PQ recall (sim8/sim9): per
+    // subspace, the mean squared L2 between each vector's slice and its
+    // assigned (nearest) codeword. A drifting corpus or a stale codebook
+    // shows up here first — rising MSE precedes falling recall. Same
+    // encode shape as sim8 (dynamic slice against the broadcast
+    // pre-sliced codebook, one min per (vector, subspace)); the mean is
+    // decimal-exact (Num.davg). The d20/sim10 calibration discipline,
+    // applied to the quantizer itself.
+    "sim12_pq_distortion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sub = DIM / NSUB
+      val cent = emb
+        .filter(col("vec_id") % CMOD === 7 && col("vec_id") < CENT_CAP)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val codebook = (0 until NSUB).map(mm =>
+        cent.select(lit(mm).as("m"), col("cid"),
+          slice(col("cv"), mm * sub + 1, sub).as("cv")))
+        .reduce(_ unionByName _)
+      graft.ops.Dedup.parallelize(emb.select(col("vec_id"), col("embedding")))
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("m"),
+          Similarity.l2Sub(
+            slice(col("embedding"), col("m") * sub + 1, lit(sub)),
+            col("cv"), 0, sub).as("dist"))
+        .groupBy("vec_id", "m").agg(min(col("dist")).as("md"))
+        .groupBy("m").agg(count(lit(1)).as("n_vectors"),
+          graft.ops.Num.davg(col("md")).as("mse"))
+        .orderBy("m")
+    }),
+
     // Reciprocal-rank fusion of the two retrieval modalities a hybrid
     // search stack runs side by side: t18's BM25 lexical ranking and the
     // embedding-cosine ranking against a fixed query vector (doc/vec ids
@@ -627,6 +658,26 @@ object SimilarityQueries extends QueryPack {
           SELECT n_ref, n_cur, nb AS n_buckets,
                  ${graft.ops.Num.sqlSum("(p - q) * ln(p / q)")} AS psi
           FROM term GROUP BY n_ref, n_cur, nb""",
+
+    "sim12_pq_distortion" -> {
+      val nSub = NSUB
+      val sub = DIM / nSub
+      val dCols = (0 until nSub).map(mm =>
+        s"${Similarity.l2SubSql("e.embedding", "c.cv", mm * sub, sub)} AS d$mm")
+        .mkString(",\n                   ")
+      val mdArms = (0 until nSub).map(mm =>
+        s"SELECT vec_id, $mm AS m, min(d$mm) AS md FROM sc GROUP BY vec_id")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                        WHERE vec_id % $CMOD = 7 AND vec_id < $CENT_CAP),
+          sc AS (SELECT e.vec_id, c.cid,
+                   $dCols
+                 FROM embeddings e CROSS JOIN cent c),
+          md AS ($mdArms)
+          SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+                 ${graft.ops.Num.sqlAvg("md")} AS mse
+          FROM md GROUP BY m ORDER BY m"""
+    },
 
     "sr1_rank_fusion" ->
       s"""WITH lexall AS (${TextQueries.bm25Sql}),

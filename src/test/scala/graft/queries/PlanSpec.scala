@@ -677,6 +677,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("sim12 PQ distortion: codebook broadcast against the corpus scan, " +
+    "two keyed aggregates, no window, no shuffle join") {
+    val p = plan("sim12_pq_distortion")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
   test("d24 band sweep: every pair set band-blocked (equi self-joins), " +
     "no cartesian, no window") {
     val p = plan("d24_lsh_band_sweep")
