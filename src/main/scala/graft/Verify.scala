@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (local iteration only — the driver passes two): a
+    // comma-separated id list restricting the dump + manifest to a subset
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,7 +19,8 @@ object Verify {
       if (f.isDirectory) f.listFiles.foreach(rmrf)
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach {
+      case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       // a stale result from a previous run must never stand in for a
       // now-failing query: clear the slot before attempting the write
@@ -38,13 +44,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full registry manifest: a query that threw above has no parquet dir,
     // and a dir-listing comparator would silently skip it — comparators
     // must treat "expected id with no dump" as FAILURE, not absence
-    val expected = SparkEntry.queries.keys.toSeq.sorted
+    val expected = SparkEntry.queries.keys.toSeq.filter(selected).sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/expected_queries.json"), expected)
     spark.stop()

@@ -541,9 +541,40 @@ object EventQueries extends QueryPack {
           sum(col("cents") * col("factor")).as("decayed_score"))
         .orderBy(col("decayed_score").desc, col("user_id")).limit(20)
     }),
+
+    // Conversion lag: seconds from a user's FIRST click to their first
+    // purchase at-or-after it — the time-to-convert distribution every
+    // growth dashboard plots next to the e13 funnel (which gates on a
+    // fixed window; this measures the actual delay). ONE user-keyed
+    // aggregate computes both firsts as conditional mins — no join, no
+    // window, no second pass over events — then a row-local filter keeps
+    // converters. Lag is integer nanos floor-divided to whole seconds.
+    // Users whose only purchases precede their first click are honestly
+    // non-converters here (the purchase wasn't attributable to a click);
+    // they drop with the never-purchased.
+    "e20_conversion_lag" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("c0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p0"))
+        .filter(col("c0").isNotNull && col("p0").isNotNull &&
+          col("p0") >= col("c0"))
+        .select(col("user_id"),
+          expr("(p0 - c0) div 1000000000").as("lag_s"))
+        .orderBy("user_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    "e20_conversion_lag" ->
+      """SELECT user_id,
+                (epoch_us(p0) - epoch_us(c0)) // 1000000 AS lag_s
+         FROM (SELECT user_id,
+                      min(CASE WHEN event_type = 'click' THEN ts END) AS c0,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+               FROM events GROUP BY user_id)
+         WHERE c0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= c0
+         ORDER BY user_id""",
+
     "e13_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
           tv AS (SELECT user_id, min(us) AS t_view FROM ev

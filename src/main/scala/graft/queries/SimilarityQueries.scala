@@ -314,7 +314,48 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(20)
         .select("doc_id", "rank_lex", "rank_sem", "rrf_ppm")
     }),
+
+    // Mean Reciprocal Rank of label retrieval over the exact top-k — the
+    // one-number retrieval-quality readout (sim10's recall says whether
+    // the relevant item is IN the list; MRR says how high). Relevance =
+    // same label as the query. RR rides a rank→ppm literal table shared
+    // verbatim with the oracle (the st6 constant discipline — no
+    // 1/rank float division to disagree on), so the aggregate is
+    // integer-exact; the final mean is one double division. Misses score
+    // 0 and stay in the denominator — the honest MRR. Plan: sim1's
+    // broadcast-query scoring, a keyed label join, one global aggregate.
+    "sr2_mrr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val firsts = topk
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("qlab")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab")), "neighbor_id")
+        .filter(col("qlab") === col("nlab"))
+        .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
+      emb.filter(col("vec_id") % QMOD === 0)
+        .select(col("vec_id").as("query_id"))
+        .join(firsts, Seq("query_id"), "left")
+        .select(expr(s"coalesce($RrPpmSql, CAST(0 AS BIGINT))").as("rr_ppm"),
+          col("first_rank"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("first_rank").isNotNull, 1L).otherwise(0L))
+            .as("n_hits"),
+          sum(col("rr_ppm")).as("sum_rr_ppm"))
+        .select(col("n_queries"), col("n_hits"), col("sum_rr_ppm"),
+          (col("sum_rr_ppm").cast("double") / col("n_queries").cast("double")
+            / lit(1000000.0)).as("mrr"))
+    }),
   )
+
+  // rank → round(1e6/rank) ppm, one literal CASE emitted verbatim by both
+  // engines (st6's rule: never let two libms compute the constant)
+  private val RrPpmSql: String =
+    (1 to TOPK).map(r => s"WHEN $r THEN ${math.round(1e6 / r)}")
+      .mkString("CAST(CASE first_rank ", " ", " END AS BIGINT)")
 
   private val cosQN = Similarity.cosineSql("q.embedding", "n.embedding", DIM)
 
@@ -704,5 +745,34 @@ object SimilarityQueries extends QueryPack {
                 FROM lex l FULL OUTER JOIN semk s ON l.doc_id = s.doc_id)
           SELECT doc_id, rank_lex, rank_sem, rrf_ppm
           FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""",
+
+    // same broadcast-shape scoring, same rank→ppm literal table
+    "sr2_mrr" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   q.label AS qlab, n.label AS nlab, $cosQN AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored),
+          firsts AS (
+            SELECT query_id, CAST(min(rank) AS INT) AS first_rank
+            FROM ranked WHERE rank <= $TOPK AND qlab = nlab
+            GROUP BY query_id),
+          joined AS (
+            SELECT coalesce($RrPpmSql, CAST(0 AS BIGINT)) AS rr_ppm,
+                   first_rank
+            FROM (SELECT vec_id AS query_id FROM embeddings
+                  WHERE vec_id % $QMOD = 0) q
+            LEFT JOIN firsts f ON q.query_id = f.query_id)
+          SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                 CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hits,
+                 CAST(sum(rr_ppm) AS BIGINT) AS sum_rr_ppm,
+                 CAST(sum(rr_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0 AS mrr
+          FROM joined""",
   )
 }

@@ -444,6 +444,83 @@ object StatsQueries extends QueryPack {
             / (col("varx") * col("vary"))).cast("bigint")
             .as("var_reduction_ppm"))
     }),
+
+    // Gini concentration of order value per priority class — the
+    // inequality monitor a data-mixture pipeline runs on source/domain
+    // contribution (a priority whose spend concentrates in a few orders
+    // behaves differently from one with uniform spend). Exactness and
+    // scale come from the st4/st8 cell discipline: ONE data-scale keyed
+    // aggregate reduces orders to (prio, cents) cells with counts, the
+    // ordered prefix walk runs over the VALUE-DOMAIN-bounded cell table,
+    // and the pairwise |xi−xj| sum uses the sorted-prefix identity
+    //   Σ_{i<j}|xi−xj| = Σ_k w_k·(v_k·N_below(k) − S_below(k))
+    // so the statistic is integer-exact (decimal(38,0) guards the
+    // v·N products past 2^63 at the 100-TB row count). G = pairs/(n·Σv).
+    "st11_gini" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("prio", "cents").agg(count(lit(1)).as("w"))
+      val ord = Window.partitionBy("prio").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("sw", (col("cents") * col("w")).cast("decimal(38,0)"))
+        .withColumn("cumw", sum(col("w")).over(ord))
+        .withColumn("cums", sum(col("sw")).over(ord))
+        .groupBy("prio")
+        .agg(sum(col("w")).as("n"), sum(col("sw")).as("total"),
+          sum(col("w").cast("decimal(38,0)") *
+            (col("cents").cast("decimal(38,0)") * (col("cumw") - col("w"))
+              - (col("cums") - col("sw")))).as("pairs"))
+        .select(col("prio"), col("n").cast("bigint").as("n"),
+          col("total").cast("bigint").as("total_cents"),
+          (col("pairs").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")))
+            .as("gini"))
+        .orderBy("prio")
+    }),
+
+    // Kendall tau-b rank correlation between daily click traffic and
+    // daily purchase revenue — the monotone-association companion to
+    // w8's Pearson window (tau survives outliers and nonlinear coupling
+    // that break r). The quadratic pair term runs over the
+    // CALENDAR-bounded daily table (w8's rule: one data-scale keyed
+    // aggregate first), never over events; concordant/discordant/tied
+    // counts are integers, the pair product rides decimal(38,0) (a
+    // day-revenue delta × count delta can pass 2^63 at 100 TB), and
+    // tau-b is one fixed double tree over five longs (sqrt correctly
+    // rounded — ab1's rule).
+    "st12_kendall_tau" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(expr(s"ts DIV $dayNs").as("day"), col("event_type").as("t"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("day")
+        .agg(sum(when(col("t") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("t") === "purchase", col("cents")).otherwise(0L))
+            .as("y"))
+      val a = daily.select(col("day").as("d1"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = daily.select(col("day").as("d2"), col("x").as("x2"),
+        col("y").as("y2"))
+      a.join(b, col("d1") < col("d2"))
+        .select(((col("x2") - col("x1")).cast("decimal(38,0)") *
+            (col("y2") - col("y1")).cast("decimal(38,0)")).as("prod"),
+          (col("x1") === col("x2")).cast("long").as("tx"),
+          (col("y1") === col("y2")).cast("long").as("ty"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(col("tx")).as("tied_x"), sum(col("ty")).as("tied_y"))
+        .select(col("n_pairs"), col("nc"), col("nd"),
+          col("tied_x"), col("tied_y"),
+          ((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n_pairs") - col("tied_x")).cast("double") *
+              (col("n_pairs") - col("tied_y")).cast("double")))
+            .as("tau_b"))
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -740,5 +817,68 @@ object StatsQueries extends QueryPack {
                  CAST(floor(CAST(1000000 AS DOUBLE) * (cov * cov)
                         / (varx * vary)) AS BIGINT) AS var_reduction_ppm
           FROM c""",
+
+    // same sorted-prefix pair identity; HUGEINT stands in for Spark's
+    // decimal(38,0) — both are exact integers, both round-to-nearest on
+    // the single final cast to double
+    "st11_gini" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT prio, cents, w, CAST(cents AS HUGEINT) * w AS sw,
+                  CAST(sum(w) OVER win AS BIGINT) AS cumw,
+                  CAST(sum(CAST(cents AS HUGEINT) * w) OVER win AS HUGEINT)
+                    AS cums
+           FROM cells
+           WINDOW win AS (PARTITION BY prio ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         agg AS (
+           SELECT prio, CAST(sum(w) AS BIGINT) AS n,
+                  CAST(sum(sw) AS HUGEINT) AS total,
+                  CAST(sum(CAST(w AS HUGEINT) *
+                    (CAST(cents AS HUGEINT) * (cumw - w) - (cums - sw)))
+                    AS HUGEINT) AS pairs
+           FROM cum GROUP BY prio)
+         SELECT prio, n, CAST(total AS BIGINT) AS total_cents,
+                CAST(pairs AS DOUBLE) /
+                  (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+         FROM agg ORDER BY prio""",
+
+    "st12_kendall_tau" ->
+      """WITH daily AS (
+           SELECT day,
+                  CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN t = 'purchase' THEN cents ELSE 0 END)
+                       AS BIGINT) AS y
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day, event_type AS t,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL)
+           GROUP BY day),
+         pairs AS (
+           SELECT CAST(b.x - a.x AS HUGEINT) * CAST(b.y - a.y AS HUGEINT)
+                    AS prod,
+                  CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                  CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+           FROM daily a JOIN daily b ON a.day < b.day),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nc,
+                  CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nd,
+                  CAST(sum(tx) AS BIGINT) AS tied_x,
+                  CAST(sum(ty) AS BIGINT) AS tied_y
+           FROM pairs)
+         SELECT n_pairs, nc, nd, tied_x, tied_y,
+                CAST(nc - nd AS DOUBLE) /
+                  sqrt(CAST(n_pairs - tied_x AS DOUBLE) *
+                       CAST(n_pairs - tied_y AS DOUBLE)) AS tau_b
+         FROM agg""",
   )
 }

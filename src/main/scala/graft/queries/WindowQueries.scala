@@ -230,6 +230,40 @@ object WindowQueries extends QueryPack {
             .cast("decimal(18,6)").cast("double").as("forecast_7d"))
         .orderBy("event_type")
     }),
+
+    // Theil–Sen robust trend: median of all pairwise slopes of the daily
+    // event-count series — the outlier-proof alternative to a5's OLS
+    // slope (one corrupt day moves OLS arbitrarily; it moves the slope
+    // median not at all until half the days are corrupt). Scale shape:
+    // the quadratic pair term runs over the CALENDAR-bounded daily table
+    // (w8's rule — one data-scale keyed aggregate first), so pair count
+    // grows with the time domain, never with data. Exactness: each slope
+    // is ONE double division of two exact longs (identical bit pattern
+    // both engines), slopes group/order by exact double equality, and
+    // the median is st8's integer smallest-value rule (first slope whose
+    // 2·cum-weight reaches the total) — no float thresholds, no averaging
+    // of middle elements.
+    "w11_theil_sen" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts DIV $dayNs").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("day").as("d1"), col("c").as("c1"))
+      val b = daily.select(col("day").as("d2"), col("c").as("c2"))
+      val slopes = a.join(b, col("d1") < col("d2"))
+        .select(((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+        .groupBy("slope").agg(count(lit(1)).as("w"))
+      val ord = Window.orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slopes
+        .withColumn("cumw", sum(col("w")).over(ord))
+        .withColumn("totw", sum(col("w")).over(Window.partitionBy()))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .agg(max(col("totw")).as("n_pairs"), min(col("slope")).as("slope_med"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+        .select("n_days", "n_pairs", "slope_med")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +402,27 @@ object WindowQueries extends QueryPack {
                 CAST(CAST(f[1] + 7.0 * f[2] AS DECIMAL(18,6)) AS DOUBLE)
                   AS forecast_7d
          FROM st ORDER BY event_type""",
+
+    // same long-pair slopes, same st8 smallest-value median rule
+    "w11_theil_sen" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         slopes AS (
+           SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                    AS slope,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM daily a JOIN daily b ON a.day < b.day GROUP BY 1),
+         cum AS (
+           SELECT slope, w,
+                  CAST(sum(w) OVER (ORDER BY slope ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+                  CAST(sum(w) OVER () AS BIGINT) AS totw
+           FROM slopes)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+                CAST(max(totw) AS BIGINT) AS n_pairs,
+                min(slope) AS slope_med
+         FROM cum WHERE cumw * 2 >= totw""",
   )
 }

@@ -700,4 +700,54 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(l => l.contains("Window") || l.contains("Join"))
         .mkString("\n"))
   }
+
+  test("st11 gini: one keyed aggregate to value-domain cells; the ordered " +
+    "prefix walk partitions by priority (never a global single partition)") {
+    val p = plan("st11_gini")
+    assert(p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join"))
+    // the window must be keyed on prio — an unpartitioned global window
+    // would funnel every cell through one task
+    val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(w.contains("prio"), w)
+  }
+
+  test("st12 kendall tau: the quadratic pair join runs on the calendar-" +
+    "bounded daily table, broadcast — never on events") {
+    val p = plan("st12_kendall_tau")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("w11 theil-sen: pair slopes from a broadcast self-join of the " +
+    "daily series; no data-scale join") {
+    val p = plan("w11_theil_sen")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("e20 conversion lag: ONE user-keyed aggregate, no join, no window") {
+    val p = plan("e20_conversion_lag")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("pv3 generalize: the violating-group list joins back BROADCAST — " +
+    "the fact scan is never shuffled") {
+    val p = plan("pv3_generalize")
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sr2 mrr: scoring joins the broadcast query side; label joins stay " +
+    "broadcast; no cartesian") {
+    val p = plan("sr2_mrr")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
