@@ -542,6 +542,59 @@ object EventQueries extends QueryPack {
         .orderBy(col("decayed_score").desc, col("user_id")).limit(20)
     }),
 
+    // RFM segmentation — the classic lifecycle scoring (recency /
+    // frequency / monetary quintiles per purchaser). The scale trap in
+    // every naive RFM job is three GLOBAL rank windows over the user
+    // table (single-partition sort at 1e9 users); here quintile
+    // BREAKPOINTS are derived instead from per-metric cell tables
+    // (metric value → user count — bounded by the value domain: calendar
+    // days for R, max purchase count for F, $10 bins for M), then the 12
+    // breakpoint constants broadcast back onto the user table as row-
+    // local comparisons. Everything is integer: the quintile rule is
+    // st9's smallest-value form (b_q = min v with 5·cum ≥ q·total), a
+    // score is 1 + #breakpoints strictly below the value. Scores run 1–5
+    // ascending in the RAW metric (a marketer reads R inverted; the
+    // engine stays monotone).
+    "e21_rfm_scores" -> ((s, d) => {
+      val pu = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS").as("day"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("user_id")
+        .agg(max(col("day")).as("lastd"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("mon"))
+      val maxd = pu.agg(max(col("lastd")).as("maxd"))
+      val u = pu.crossJoin(broadcast(maxd))
+        .select(col("user_id"), (col("maxd") - col("lastd")).as("rec"),
+          col("freq"), expr("mon div 1000").as("monb"))
+      // one 4-breakpoint row per metric, from the domain-bounded cells
+      def breaks(metric: String, pfx: String): DataFrame = {
+        val ord = Window.orderBy(metric)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cells = u.groupBy(metric).agg(count(lit(1)).as("w"))
+          .withColumn("cumw", sum(col("w")).over(ord))
+          .withColumn("tot", sum(col("w")).over(Window.partitionBy()))
+        val mins = (1 to 4).map(q =>
+          min(when(col("cumw") * 5 >= col("tot") * q, col(metric)))
+            .as(s"$pfx$q"))
+        cells.agg(mins.head, mins.tail: _*)
+      }
+      u.crossJoin(broadcast(breaks("rec", "rb")))
+        .crossJoin(broadcast(breaks("freq", "fb")))
+        .crossJoin(broadcast(breaks("monb", "mb")))
+        .select(col("user_id"), col("rec"), col("freq"), col("monb"),
+          (lit(1) + (1 to 4).map(q =>
+            (col("rec") > col(s"rb$q")).cast("int")).reduce(_ + _))
+            .as("r_q"),
+          (lit(1) + (1 to 4).map(q =>
+            (col("freq") > col(s"fb$q")).cast("int")).reduce(_ + _))
+            .as("f_q"),
+          (lit(1) + (1 to 4).map(q =>
+            (col("monb") > col(s"mb$q")).cast("int")).reduce(_ + _))
+            .as("m_q"))
+        .orderBy("user_id")
+    }),
+
     // Conversion lag: seconds from a user's FIRST click to their first
     // purchase at-or-after it — the time-to-convert distribution every
     // growth dashboard plots next to the e13 funnel (which gates on a
@@ -564,7 +617,48 @@ object EventQueries extends QueryPack {
         .orderBy("user_id")),
   )
 
+  // e21 oracle helper: the 4-breakpoint CTE body for one metric
+  private def rfmBreaksSql(metric: String, pfx: String): String = {
+    val mins = (1 to 4).map(q =>
+      s"min(CASE WHEN cumw * 5 >= tot * $q THEN $metric END) AS $pfx$q")
+      .mkString(", ")
+    s"""SELECT $mins
+        FROM (SELECT $metric,
+                     CAST(sum(w) OVER (ORDER BY $metric ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+                     CAST(sum(w) OVER () AS BIGINT) AS tot
+              FROM (SELECT $metric, CAST(count(*) AS BIGINT) AS w
+                    FROM u GROUP BY $metric))"""
+  }
+
+  private def rfmScoreSql(metric: String, pfx: String): String =
+    s"CAST(1 + ${(1 to 4).map(q =>
+      s"(CASE WHEN $metric > $pfx$q THEN 1 ELSE 0 END)").mkString(" + ")} AS INT)"
+
   val oracles: Map[String, String] = Map(
+    "e21_rfm_scores" ->
+      s"""WITH pu AS (
+            SELECT user_id,
+                   max(epoch_us(ts) // 86400000000) AS lastd,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS mon
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY user_id),
+          u AS (SELECT user_id,
+                       (SELECT max(lastd) FROM pu) - lastd AS rec,
+                       freq, mon // 1000 AS monb
+                FROM pu),
+          rb AS (${rfmBreaksSql("rec", "rb")}),
+          fb AS (${rfmBreaksSql("freq", "fb")}),
+          mb AS (${rfmBreaksSql("monb", "mb")})
+          SELECT user_id, rec, freq, monb,
+                 ${rfmScoreSql("rec", "rb")} AS r_q,
+                 ${rfmScoreSql("freq", "fb")} AS f_q,
+                 ${rfmScoreSql("monb", "mb")} AS m_q
+          FROM u, rb, fb, mb ORDER BY user_id""",
+
     "e20_conversion_lag" ->
       """SELECT user_id,
                 (epoch_us(p0) - epoch_us(c0)) // 1000000 AS lag_s

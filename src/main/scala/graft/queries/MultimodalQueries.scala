@@ -91,9 +91,57 @@ object MultimodalQueries extends QueryPack {
           max(col("media_id")).as("last_asset"))
         .orderBy("kind", "shard_id")
     }),
+
+    // Perceptual-style NEAR-dup over media payloads — the companion to
+    // mm4's byte-identical tier: a re-encoded/retouched asset (here: a
+    // one-byte retouch injected for media_id % 11 == 0, d12's twin
+    // discipline) hashes to a NEARBY 64-bit signature, caught by banded
+    // hamming ≤ 3. The signature is computed on the DECODED payload
+    // (binary → features seam; the stub "feature extraction" is the
+    // payload's token shingles — a real pHash drops in behind the same
+    // decode step without touching the plan). Scale shape is d13's:
+    // signature in the scan projection, 4 × 16-bit band keys ride the one
+    // keyed self-join, payload bytes never shuffle.
+    "mm6_payload_neardup" -> ((s, d) => {
+      val media = MediaOps.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), decode(col("payload"), "UTF-8").as("txt"))
+      val variants = media.filter(col("media_id") % 11 === 0)
+        .select((col("media_id") + lit(2000000000L)).as("media_id"),
+          concat(substring(col("txt"), 1, 40), lit("q"),
+            substring(col("txt"), 42, 1000000)).as("txt"))
+      graft.ops.Dedup.simhash64BandPairs(media.unionByName(variants),
+          "media_id", col("txt"), bandsPerLane = 2, maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
   )
 
+  // d13's oracle program over the media corpus + retouched twins: the
+  // payload is the UTF-8 encoding of the text, so the DuckDB side
+  // fingerprints the same bytes via the text column directly
+  private def mm6Sql: String = {
+    val corpus =
+      """(SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000000,
+                 substring(text, 1, 40) || 'q' || substring(text, 42)
+          FROM documents WHERE doc_id % 11 = 0)"""
+    val share = (0 until 2).flatMap { b =>
+      Seq(s"(((a.sim_lo >> ${b * 16}) & 65535) = ((b.sim_lo >> ${b * 16}) & 65535))",
+          s"(((a.sim_hi >> ${b * 16}) & 65535) = ((b.sim_hi >> ${b * 16}) & 65535))")
+    }.mkString(" OR ")
+    s"""${graft.ops.Dedup.simhash64CteSql(corpus, "doc_id", "text")}
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sim_hi, b.sim_hi)) +
+                    bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE ($share)
+          AND bit_count(xor(a.sim_hi, b.sim_hi)) +
+              bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+        ORDER BY id1, id2"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm6_payload_neardup" -> mm6Sql,
     // FakeDecoder feature j = toFloat(((h·(j+1) + j·7919) mod 1000)) / 1000f
     // with h = byte-fold == char-fold for ASCII text.
     "mm1_decode_features" -> {

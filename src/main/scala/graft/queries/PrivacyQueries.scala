@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.StableHash
 
 /** Privacy-preserving release operators: k-anonymity audit, l-diversity
   * audit, and the generalization APPLY that suppresses quasi-identifiers
@@ -27,6 +28,9 @@ object PrivacyQueries extends QueryPack {
 
   private val K = 4 // groups smaller than this are re-identifiable
   private val L = 3 // groups with fewer distinct sensitive values leak
+
+  // pv4's seeded uniform: the t20/st1 affine-rehash discipline
+  private val (sA, sB) = StableHash.affineParams(1).head
 
   /** Quasi-identifier projection shared by pv1 and pv3: nation key,
     * market segment, account balance generalized to a $1000 bucket. */
@@ -88,6 +92,39 @@ object PrivacyQueries extends QueryPack {
           when(col("vn").isNull, col("bal_bucket")).as("bal_bucket_out"))
         .orderBy("c_custkey")
     }),
+
+    // Differentially-private release of group counts: count(nation ×
+    // segment) + Laplace(1/ε) noise via the inverse CDF,
+    //   noise = −b · sign(u−½) · ln(1 − 2|u−½|),  b = 1/ε = 1.
+    // The uniform is the f12b/t20 DETERMINISTIC twin discipline: a
+    // seeded affine-rehashed polyHash of the group key, so the gate is
+    // exact and a re-run releases the same table (production swaps in a
+    // true RNG — one seed column is the only change; determinism is
+    // what makes the operator testable, and re-releasing fresh noise on
+    // every query would burn privacy budget anyway). u is a rational in
+    // (0,1) with |u−½| < ½ strictly, so the ln argument is always
+    // positive; ln is correctly rounded both engines (t19's rule), the
+    // whole noise term is one fixed IEEE tree per group.
+    "pv4_dp_noisy_count" -> ((s, d) => {
+      val u = ((StableHash.polyHash(concat_ws("", lit("dp|"),
+        col("c_nationkey").cast("string"), lit("|"), col("seg")))
+        * lit(sA) + lit(sB)) % lit(StableHash.P) + 1.0)
+        .cast("double") / lit((StableHash.P + 1).toDouble)
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment").as("seg"))
+        .groupBy("c_nationkey", "seg")
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("c_nationkey"), col("seg"),
+          // decimal-pinned (w7's rule): the two libms' ln agree to ~1 ulp
+          // but not bit-for-bit on full-width arguments; 6 decimals is
+          // far above the drift and far below the noise scale
+          (col("n_true").cast("double") -
+            signum(u - lit(0.5)) *
+              log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
+            .cast("decimal(18,6)").cast("double")
+            .as("noisy_count"))
+        .orderBy("c_nationkey", "seg")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -124,5 +161,21 @@ object PrivacyQueries extends QueryPack {
           FROM rows_q r LEFT JOIN bad b
             ON r.c_nationkey = b.vn AND r.seg = b.vs AND r.bal_bucket = b.vb
           ORDER BY r.c_custkey""",
+
+    // same seeded uniform, same inverse-CDF tree
+    "pv4_dp_noisy_count" -> {
+      val uSql = s"""((${StableHash.polyHashSql(
+        "concat('dp|', CAST(c_nationkey AS VARCHAR), '|', seg)")}
+          * $sA + $sB) % ${StableHash.P} + 1.0) / ${StableHash.P + 1}.0"""
+      s"""SELECT c_nationkey, seg,
+                 CAST(CAST(CAST(n_true AS DOUBLE)
+                   - sign(($uSql) - 0.5)
+                     * ln(1.0 - 2.0 * abs(($uSql) - 0.5))
+                   AS DECIMAL(18,6)) AS DOUBLE) AS noisy_count
+          FROM (SELECT c_nationkey, c_mktsegment AS seg,
+                       CAST(count(*) AS BIGINT) AS n_true
+                FROM customer GROUP BY 1, 2)
+          ORDER BY c_nationkey, seg"""
+    },
   )
 }

@@ -412,6 +412,55 @@ object StreamOps {
       }
   }
 
+  case class CusumOut(event_id: Long, user_id: Long, cusum: Double)
+  case class CusumState(s: Double, lastMicros: Long, lastTsMs: Long)
+
+  /** One-sided CUSUM drift detector — the streaming twin of the batch
+    * `w7_cusum` fold: s ← max(0, s + (x − target)) per user, emitted per
+    * event so an alerting sink can threshold the statistic the moment it
+    * drifts (the batch query reads the same value at rest). State is ONE
+    * (double, clock) row per user — the funnel/EWMA bound — with
+    * event-time TTL expiry. Within a batch rows fold in (event-micros,
+    * event_id) order — w7's sort_array order — so an in-order stream's
+    * last emission per user is bit-identical to the batch statistic
+    * (same IEEE adds, same max). Cross-batch stragglers (late but inside
+    * the watermark) are DROPPED and the clock never rewinds — the gaps
+    * discipline: a CUSUM fold can't be retroactively reordered without
+    * replaying the suffix, so the stream honestly tracks the on-time
+    * subsequence rather than silently folding out of order.
+    */
+  def cusumDrift(spark: SparkSession, events: Dataset[Evt],
+                 target: Double = 50.0, watermarkDelay: String = "1 minute",
+                 ttlMs: Long = 2L * 3600 * 1000): Dataset[CusumOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+            var st = state.getOption
+              .getOrElse(CusumState(0.0, Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[CusumOut]
+            sorted.foreach { e =>
+              val m = eventMicros(e.ts)
+              if (m >= st.lastMicros) { // stragglers drop; clock never rewinds
+                val s = math.max(st.s + e.value - target, 0.0)
+                out += CusumOut(e.event_id, user, s)
+                st = CusumState(s, m, math.max(st.lastTsMs, e.ts.getTime))
+              }
+            }
+            state.update(st)
+            if (st.lastTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class HllOut(hour_start_ms: Long, est: Double, used: Long, zeros: Long)
   case class HllState(regs: Array[Byte])
 

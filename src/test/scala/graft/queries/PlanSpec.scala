@@ -742,6 +742,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("mm6 payload near-dup: band keys ride the one keyed self-join — " +
+    "no cartesian, payload bytes never shuffle") {
+    val p = plan("mm6_payload_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("e21 rfm: quintile breakpoints broadcast back — no global rank " +
+    "window over users, no sort-merge join") {
+    val p = plan("e21_rfm_scores")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pv4 dp counts: one keyed aggregate, noise row-local — no join, " +
+    "no window") {
+    val p = plan("pv4_dp_noisy_count")
+    assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("sr2 mrr: scoring joins the broadcast query side; label joins stay " +
     "broadcast; no cartesian") {
     val p = plan("sr2_mrr")

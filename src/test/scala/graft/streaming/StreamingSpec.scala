@@ -967,4 +967,64 @@ class StreamingSpec extends SparkTestBase {
         "emitted candidate set must be capacity-bounded")
     } finally q.stop()
   }
+
+  test("streaming CUSUM: cross-batch fold matches the batch w7 recursion " +
+    "bit-for-bit on an in-order stream") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    // user 1 drifts above the target (values 60, 72, 68 → cusum climbs);
+    // user 2 hovers below (40 → resets to 0). Batch 2 events sit ABOVE
+    // batch 1's watermark (max ts minute 10 → wm minute 9) so the
+    // stateful op sees them all (the Misra-Gries staging rule).
+    ms.addData(
+      StreamOps.Evt(1, ts(0), 1, "view", 60.0),
+      StreamOps.Evt(2, ts(2), 1, "view", 72.0),
+      StreamOps.Evt(3, ts(10), 2, "view", 40.0))
+    val q = StreamOps.cusumDrift(spark, ms.toDS())
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(
+        StreamOps.Evt(4, ts(12), 1, "view", 68.0),
+        StreamOps.Evt(5, ts(13), 2, "view", 45.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_out")
+        .select("event_id", "user_id", "cusum")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      // w7's exact recursion, same IEEE adds: fold in event order
+      def fold(vs: Seq[Double]): Seq[Double] =
+        vs.scanLeft(0.0)((s, x) => math.max(s + x - 50.0, 0.0)).tail
+      val u1 = fold(Seq(60.0, 72.0, 68.0))
+      val u2 = fold(Seq(40.0, 45.0))
+      assert(rows.toSeq == Seq(
+        (1L, 1L, u1(0)), (2L, 1L, u1(1)), (3L, 2L, u2(0)),
+        (4L, 1L, u1(2)), (5L, 2L, u2(1))), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM: a cross-batch straggler is dropped, never folded " +
+    "out of order, and the clock never rewinds") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Evt]
+    ms.addData(
+      StreamOps.Evt(1, ts(0), 1, "view", 60.0),
+      StreamOps.Evt(2, ts(10), 1, "view", 70.0))
+    val q = StreamOps.cusumDrift(spark, ms.toDS())
+      .writeStream.format("memory").queryName("cusum_straggler")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // wm = minute 9
+      val halfPast9 = new Timestamp(ts(9).getTime + 30000L)
+      ms.addData(
+        StreamOps.Evt(3, halfPast9, 1, "late", 99.0), // inside wm, below clock
+        StreamOps.Evt(4, ts(11), 1, "view", 55.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_straggler")
+        .select("event_id", "cusum").as[(Long, Double)].collect().sortBy(_._1)
+      // 60→10, 70→30; straggler 99 emits nothing; 55 folds on 30 → 35
+      assert(rows.toSeq == Seq((1L, 10.0), (2L, 30.0), (4L, 35.0)),
+        s"straggler must drop and the fold must not reorder: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
