@@ -542,6 +542,36 @@ object DedupQueries extends QueryPack {
             .as("pooled_recall_ppm"))
         .orderBy("bands")
     }),
+
+    // Cross-SOURCE overlap matrix: exact shingle-set Jaccard between
+    // corpus sources — the "which crawls duplicate each other" report a
+    // data-acquisition team reads before paying for a new dump (doc-level
+    // dedup tells you which documents collide; this tells you which
+    // SOURCES are redundant wholesale). Scale shape: one distinct
+    // (source, shingle) aggregate at data scale, then the shingle-keyed
+    // self-join fans out at most |sources|² per shingle — the pair table
+    // is bounded by the SOURCE domain (tens), never by data. All counts
+    // integer; Jaccard one double division.
+    "d25_source_overlap" -> ((s, d) => {
+      val ss = Dedup.hashedShingles(Tables.documents(s, d), col("text"), K,
+          Seq(col("source")))
+        .select(col("source"), explode(col("__hs")).as("h")).distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
+      ss.select(col("source").as("src1"), col("h"))
+        .join(ss.select(col("source").as("src2"), col("h")), Seq("h"))
+        .filter(col("src1") < col("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src1"),
+          col("sz").as("sz1"))), Seq("src1"))
+        .join(broadcast(sizes.select(col("source").as("src2"),
+          col("sz").as("sz2"))), Seq("src2"))
+        .select(col("src1"), col("src2"), col("sz1"), col("sz2"),
+          col("inter"),
+          (col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy("src1", "src2")
+    }),
   )
 
   // ---- generated oracle SQL ---------------------------------------------
@@ -734,6 +764,21 @@ object DedupQueries extends QueryPack {
     "d21_quality_canonical" -> qualityCanonicalSql,
     "d22_containment" -> containmentSql,
     "d24_lsh_band_sweep" -> bandSweepSql,
+    "d25_source_overlap" ->
+      s"""$hashCte,
+          z AS (SELECT DISTINCT source, unnest(hs) AS hv FROM h),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                    FROM z GROUP BY 1),
+          i AS (SELECT a.source AS src1, b.source AS src2,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM z a JOIN z b ON a.hv = b.hv AND a.source < b.source
+                GROUP BY 1, 2)
+          SELECT src1, src2, s1.sz AS sz1, s2.sz AS sz2, inter,
+                 CAST(inter AS DOUBLE) /
+                   CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+          FROM i JOIN sizes s1 ON src1 = s1.source
+                 JOIN sizes s2 ON src2 = s2.source
+          ORDER BY src1, src2""",
   )
 
   /** d24: three bandings of ONE signature, pooled exact-Jaccard flags

@@ -163,6 +163,32 @@ object JoinQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Retractable-aggregate maintenance — the CDC DELETE path cdc1/cdc2
+    // leave open: a maintained per-customer rollup absorbs a retraction
+    // batch as NEGATED partials merged in one keyed aggregate, never by
+    // rescanning the base (count and decimal-sum are abelian groups, so
+    // merge(base, −deltas) ≡ recompute — which is exactly what the
+    // DuckDB oracle computes, making the gate an equivalence proof).
+    // Customers whose last order is retracted leave the rollup (n = 0
+    // drops). At 100 TB the base partials are the persisted snapshot;
+    // only the delta batch is scanned fresh — the d15 anti-join
+    // discipline applied to aggregation state.
+    "cdc3_retractable_agg" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      def part(df: DataFrame, sgn: Int) = df.groupBy("o_custkey")
+        .agg((count(lit(1)) * sgn).as("n"),
+          (sum(col("cents")) * sgn).as("c"))
+      val base = part(orders, 1) // stands in for the persisted snapshot
+      val retract = part(orders.filter(col("o_orderkey") % 17 === 0), -1)
+      base.unionByName(retract)
+        .groupBy("o_custkey")
+        .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy("o_custkey")
+    }),
+
     // Referential-integrity audit — the warehouse-health operator: for
     // each FK relationship, how many child rows point at a missing parent
     // (orphans) and how many parents are never referenced. Orphans are a
@@ -475,6 +501,14 @@ object JoinQueries extends QueryPack {
          FROM a FULL OUTER JOIN b USING (c_custkey)
          WHERE old_bal IS NULL OR new_bal IS NULL OR old_bal <> new_bal
          ORDER BY c_custkey""",
+    // the equivalence proof: the oracle RECOMPUTES from scratch what the
+    // query maintains incrementally via negated partials
+    "cdc3_retractable_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders WHERE o_orderkey % 17 <> 0
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "dq3_referential_integrity" ->
       """SELECT 'lineitem.partkey->part' AS relationship,
                 CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,

@@ -765,6 +765,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("d25 source overlap: shingle-keyed equi self-join; the tiny pair " +
+    "table joins sizes broadcast — no cartesian, no nested loop") {
+    val p = plan("d25_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("cdc3 retractable agg: negated partials merge in keyed aggregates " +
+    "over a Union — no join, no window; the retraction scan is filtered " +
+    "at the source") {
+    val p = plan("cdc3_retractable_agg")
+    assert(p.contains("Union") && p.contains("HashAggregate"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("sr2 mrr: scoring joins the broadcast query side; label joins stay " +
     "broadcast; no cartesian") {
     val p = plan("sr2_mrr")
