@@ -85,6 +85,42 @@ object AsOfQueries extends QueryPack {
     // `tolerance` semantics). Post-projection on the unbounded native
     // operator — the latest match is the only in-window candidate — so
     // the plan (one exchange per side, one merge pass) is unchanged.
+    // NEAREST-direction as-of — the sensor-alignment variant (match the
+    // closest reading in EITHER direction, ties to the past): composed
+    // from the backward and forward one-shuffle kernels, each also
+    // carrying its matched timestamp, then one error-scale keyed join
+    // picks the nearer side row-locally. All distances are integer
+    // micros. At 100 TB this is two partitioned window passes over the
+    // union scan + one keyed join of two error-scale frames — no new
+    // machinery, which is the point of building asof as a kernel.
+    "ao7_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val b = AsOfJoin.asofJoin(errors, clicks, Seq("user_id"),
+        col("ets"), col("cts"),
+        Seq("b_id" -> col("click_id"), "b_ts" -> col("cts")))
+      val f = AsOfJoin.asofJoinForward(errors, clicks, Seq("user_id"),
+          col("ets"), col("cts"),
+          Seq("f_id" -> col("click_id"), "f_ts" -> col("cts")))
+        .select(col("event_id"), col("f_id"), col("f_ts"))
+      b.join(f, Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          when(col("f_ts").isNull, col("b_id"))
+            .when(col("b_ts").isNull, col("f_id"))
+            .when(col("ets") - col("b_ts") <= col("f_ts") - col("ets"),
+              col("b_id"))
+            .otherwise(col("f_id")).as("click_id"),
+          when(col("f_ts").isNull, col("ets") - col("b_ts"))
+            .when(col("b_ts").isNull, col("f_ts") - col("ets"))
+            .otherwise(least(col("ets") - col("b_ts"),
+              col("f_ts") - col("ets"))).as("dist_us"))
+        .orderBy("event_id")
+    }),
+
     "ao6_asof_tolerance" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val errors = ev.filter(col("event_type") === "error")
@@ -192,6 +228,35 @@ object AsOfQueries extends QueryPack {
          FROM err e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ets >= c.cts
          ORDER BY e.event_id""",
+    // two native ASOF probes (>= backward, <= forward), nearer side picked
+    // row-locally, ties to the past — mirrors the composed Spark kernel
+    "ao7_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         err AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ets
+           FROM events WHERE event_type = 'error'),
+         b AS (
+           SELECT e.event_id, e.user_id, e.ets, c.click_id AS b_id,
+                  c.cts AS b_ts
+           FROM err e ASOF LEFT JOIN clicks c
+             ON e.user_id = c.user_id AND e.ets >= c.cts),
+         f AS (
+           SELECT e.event_id, c.click_id AS f_id, c.cts AS f_ts
+           FROM err e ASOF LEFT JOIN clicks c
+             ON e.user_id = c.user_id AND e.ets <= c.cts)
+         SELECT b.event_id, b.user_id,
+                CASE WHEN f_ts IS NULL THEN b_id
+                     WHEN b_ts IS NULL THEN f_id
+                     WHEN ets - b_ts <= f_ts - ets THEN b_id
+                     ELSE f_id END AS click_id,
+                CASE WHEN f_ts IS NULL THEN ets - b_ts
+                     WHEN b_ts IS NULL THEN f_ts - ets
+                     ELSE least(ets - b_ts, f_ts - ets) END AS dist_us
+         FROM b JOIN f ON b.event_id = f.event_id
+         ORDER BY b.event_id""",
+
     "ao6_asof_tolerance" ->
       s"""WITH clicks AS (
            SELECT user_id, epoch_us(ts) AS cts, max(event_id) AS click_id

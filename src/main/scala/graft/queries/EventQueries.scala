@@ -595,6 +595,30 @@ object EventQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Longest consecutive-day activity streak per user — the retention
+    // metric behind "7-day streak" product mechanics, and the classic
+    // gaps-and-islands exercise e9 applies to sessions, lifted to the
+    // day grid. ONE distinct (user, day) aggregate bounds every window
+    // by per-user history (the e9 partitioning — never a global sort);
+    // islands via the lag-break cumulative sum, then two bounded
+    // roll-ups. All integers.
+    "e22_activity_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS").as("day")).distinct()
+      val byU = Window.partitionBy("user_id").orderBy("day")
+      val cum = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days
+        .withColumn("brk",
+          when(col("day") - lag("day", 1).over(byU) === 1, 0).otherwise(1))
+        .withColumn("island", sum(col("brk")).over(cum))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // Conversion lag: seconds from a user's FIRST click to their first
     // purchase at-or-after it — the time-to-convert distribution every
     // growth dashboard plots next to the e13 funnel (which gates on a
@@ -636,6 +660,29 @@ object EventQueries extends QueryPack {
       s"(CASE WHEN $metric > $pfx$q THEN 1 ELSE 0 END)").mkString(" + ")} AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "e22_activity_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         brk AS (
+           SELECT user_id, day,
+                  CASE WHEN day - lag(day) OVER (PARTITION BY user_id
+                    ORDER BY day) = 1 THEN 0 ELSE 1 END AS b
+           FROM days),
+         isl AS (
+           SELECT user_id, day,
+                  CAST(sum(b) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island
+           FROM brk),
+         st AS (
+           SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS max_streak
+         FROM st GROUP BY user_id ORDER BY user_id""",
+
     "e21_rfm_scores" ->
       s"""WITH pu AS (
             SELECT user_id,

@@ -264,6 +264,60 @@ object WindowQueries extends QueryPack {
         .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
         .select("n_days", "n_pairs", "slope_med")
     }),
+
+    // Seasonal STRENGTH per event type — the one-number readout that
+    // closes the time-series family (e18 detects the weekly period, e16
+    // corrects for it, w10 forecasts, w11 fits the robust trend; this
+    // quantifies how much of the detrended variance the day-of-week
+    // pattern explains): F = max(0, 1 − SS_resid/SS_detrended), the
+    // Hyndman seasonal-strength form on an STL-lite decomposition.
+    // Exactness: the centered 7-day moving average is removed as the
+    // INTEGER X = 7·v − Σ₇v (never a rational trend column), so all
+    // moments are integer/decimal aggregates; the dow sum-of-squares
+    // terms Sw²/nw are 7 fixed double trees folded in sorted dow order
+    // (w10's list discipline — never an unordered double sum); the
+    // final ratio is one guarded tree, decimal-pinned. Full-window gate
+    // (nw = 7) per e15.
+    "w12_seasonal_strength" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts DIV $dayNs").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("nw", count(lit(1)).over(w7))
+        .withColumn("s7", sum(col("v")).over(w7))
+        .filter(col("nw") === 7)
+        .select(col("event_type"), (col("day") % 7).as("dow"),
+          (col("v") * 7 - col("s7")).as("x"))
+      val tot = det.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+      val seas = det.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("nw"), sum(col("x")).as("sw"))
+        .select(col("event_type"), col("dow"),
+          (col("sw").cast("double") * col("sw").cast("double") /
+            col("nw").cast("double")).as("term"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("dow"), col("term"))))
+          .as("ts"))
+        .select(col("event_type"),
+          aggregate(col("ts"), lit(0.0),
+            (acc, t) => acc + t.getField("term")).as("sst"))
+      tot.join(seas, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          when(col("q").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double") > 0.0,
+            greatest(lit(0.0), lit(1.0) -
+              (col("q").cast("double") - col("sst")) /
+                (col("q").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double") /
+                    col("n").cast("double"))))
+            .cast("decimal(18,6)").cast("double").as("seasonal_strength"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,5 +478,48 @@ object WindowQueries extends QueryPack {
                 CAST(max(totw) AS BIGINT) AS n_pairs,
                 min(slope) AS slope_med
          FROM cum WHERE cumw * 2 >= totw""",
+
+    // same integer detrend X = 7v − Σ₇v, same ordered dow-term fold
+    "w12_seasonal_strength" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         det AS (
+           SELECT event_type, day % 7 AS dow, v * 7 - s7 AS x
+           FROM (SELECT event_type, day, v,
+                        CAST(count(*) OVER w7 AS BIGINT) AS nw,
+                        CAST(sum(v) OVER w7 AS BIGINT) AS s7
+                 FROM daily
+                 WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+           WHERE nw = 7),
+         tot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+           FROM det GROUP BY event_type),
+         seas AS (
+           SELECT event_type,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                           / CAST(nw AS DOUBLE) ORDER BY dow)),
+                    (a, b) -> a + b) AS sst
+           FROM (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nw,
+                        CAST(sum(x) AS BIGINT) AS sw
+                 FROM det GROUP BY 1, 2)
+           GROUP BY event_type)
+         SELECT t.event_type, t.n,
+                CAST(CAST(CASE WHEN CAST(q AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE) > 0.0
+                     THEN greatest(0.0, 1.0 -
+                       (CAST(q AS DOUBLE) - sst) /
+                         (CAST(q AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+                     END AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_strength
+         FROM tot t JOIN seas s ON t.event_type = s.event_type
+         ORDER BY t.event_type""",
   )
 }

@@ -782,6 +782,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("e22 streaks: every window partitioned by user — no global sort, " +
+    "no join") {
+    val p = plan("e22_activity_streaks")
+    assert(p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join"))
+    val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(w.contains("user_id"), w)
+  }
+
+  test("w12 seasonal strength: the MA window partitions by event_type; " +
+    "the dow-term fold joins the 1-row-per-type frames without shuffle " +
+    "joins at data scale") {
+    val p = plan("w12_seasonal_strength")
+    assert(p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(w.contains("event_type"), w)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ao7 nearest asof: two partitioned window passes + one keyed join " +
+    "of error-scale frames — no nested loop, no cartesian") {
+    val p = plan("ao7_asof_nearest")
+    assert(p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"))
+  }
+
   test("sr2 mrr: scoring joins the broadcast query side; label joins stay " +
     "broadcast; no cartesian") {
     val p = plan("sr2_mrr")
