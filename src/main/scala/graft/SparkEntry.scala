@@ -16,7 +16,7 @@ object SparkEntry {
     TextQueries, DedupQueries, SimilarityQueries, EventQueries, PipelineQueries,
     MultimodalQueries, DomainQueries, ParityQueries, AsOfQueries, CubeQueries,
     RangeQueries, WindowQueries, GraphQueries, TpchQueries, TpchQueries2,
-    StatsQueries, SketchQueries, PrivacyQueries)
+    StatsQueries, SketchQueries, PrivacyQueries, MiningQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full screening-pipeline shape: fan-out, broadcast cross join,

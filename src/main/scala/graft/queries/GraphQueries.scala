@@ -331,6 +331,42 @@ object GraphQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Personalized PageRank — gr1's loop with teleport mass restricted to
+    // a SEED set (the "related to these accounts" recommendation /
+    // fraud-neighborhood primitive; unnormalized seed indicator, so ranks
+    // are proportional to the standard e_S-teleport PPR). Identical scale
+    // contract to gr1: edges shuffled once (by src, persisted), each of
+    // the 3 unrolled rounds reshuffles only the O(|V|) mass table, decimal
+    // accumulation for partition-order-independent sums, and the |E|-scale
+    // caches are freed inside the call behind an eager checkpoint of the
+    // O(|V|) result. Seeds are a deterministic id residue both engines
+    // reproduce (node id % 50 = 0 — customer nodes whose custkey is a
+    // multiple of 25).
+    "gr8_personalized_pagerank" -> ((s, d) => {
+      val e = edges(s, d).repartition(col("src")).persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = e.join(deg, "src").persist()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      val seed = when(col("id") % 50 === 0, lit(1.0)).otherwise(lit(0.0))
+      var mass = nodes.withColumn("mass", seed)
+      for (_ <- 1 to 3) {
+        val incoming = ed.join(mass, col("src") === col("id"))
+          .select(col("dst"), (col("mass") / col("outdeg")).as("contrib"))
+          .groupBy("dst").agg(Num.dsum(col("contrib")).as("m_in"))
+        mass = nodes.join(incoming, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(Teleport) * seed +
+              lit(D) * coalesce(col("m_in"), lit(0.0))).as("mass"))
+      }
+      val ranked =
+        try mass.localCheckpoint(true)
+        finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
+      ranked.select(col("id").as("node_id"), col("mass").as("ppr_mass"))
+        .orderBy(col("ppr_mass").desc, col("node_id"))
+        .limit(50)
+    }),
+
     // Synchronous label propagation, 3 unrolled rounds over the symmetric
     // co-purchase graph: most-frequent neighbor label, ties to the
     // smallest — the deterministic LPA variant (async LPA is
@@ -700,6 +736,29 @@ object GraphQueries extends QueryPack {
           m3 AS (${iterSql("m2")})
           SELECT id AS node_id, mass AS pr_mass FROM m3
           ORDER BY pr_mass DESC, node_id LIMIT 50""",
+    "gr8_personalized_pagerank" -> {
+      def pprIter(prev: String): String =
+        s"""SELECT n.id,
+                   0.15 * (CASE WHEN n.id % 50 = 0 THEN 1.0 ELSE 0.0 END)
+                     + 0.85 * coalesce(s.m_in, 0.0) AS mass
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst, ${Num.sqlSum(s"$prev.mass / deg.outdeg")} AS m_in
+              FROM edges e
+              JOIN $prev ON e.src = $prev.id
+              JOIN deg ON e.src = deg.src
+              GROUP BY e.dst) s ON n.id = s.dst"""
+      s"""WITH edges AS ($edgesSql),
+          nodes AS (SELECT src AS id FROM edges
+                    UNION SELECT dst FROM edges),
+          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          m0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1.0 ELSE 0.0 END
+                   AS mass FROM nodes),
+          m1 AS (${pprIter("m0")}),
+          m2 AS (${pprIter("m1")}),
+          m3 AS (${pprIter("m2")})
+          SELECT id AS node_id, mass AS ppr_mass FROM m3
+          ORDER BY ppr_mass DESC, node_id LIMIT 50"""
+    },
     "gr2_label_prop" -> {
       def round(i: Int, prev: String): String =
         s"""c$i AS (SELECT s.a, l.lbl, count(*) AS n

@@ -189,6 +189,80 @@ object JoinQueries extends QueryPack {
         .orderBy("o_custkey")
     }),
 
+    // Two-sided delta-JOIN maintenance — the incremental-view-maintenance
+    // identity cdc3 leaves open (cdc3 maintains an aggregate; this
+    // maintains a JOIN view): for insert-only deltas on both sides,
+    // Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB, so the refreshed
+    // view is the old view plus three delta branches — and the DuckDB
+    // oracle recomputes the full join from scratch, making the gate an
+    // incremental ≡ full equivalence proof. Splits are deterministic key
+    // residues so both engines reproduce them. Scale shape: at 100 TB the
+    // A_old ⋈ B_old branch is the PERSISTED view (never recomputed — here
+    // it stands in, cdc3's convention); the three live branches touch only
+    // delta-scale inputs (ΔA is a day's orders, ΔB a day's dim changes),
+    // and each branch pre-aggregates to domain-bounded (segment) partials
+    // before the final merge — the shuffles carry partials, not rows.
+    "cdc4_delta_join" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val aOld = ords.filter(col("o_orderkey") % 10 =!= 7)
+      val dA = ords.filter(col("o_orderkey") % 10 === 7)
+      val bOld = cust.filter(col("c_custkey") % 9 =!= 4)
+      val dB = cust.filter(col("c_custkey") % 9 === 4)
+      def branch(o: DataFrame, c: DataFrame): DataFrame =
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      branch(aOld, bOld) // stands in for the persisted view partials
+        .unionByName(branch(dA, bOld))
+        .unionByName(branch(aOld, dB))
+        .unionByName(branch(dA, dB))
+        .groupBy("seg")
+        .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"))
+        .orderBy("seg")
+    }),
+
+    // SCD2 temporal join — the "which dimension version was current when
+    // the fact happened" operator every warehouse event pipeline runs:
+    // each event picks up the attribute of its user's dim version whose
+    // [valid_from, valid_to) interval covers the event day. The versioned
+    // dim derives deterministically from the observed user set (two
+    // versions per user, the tier changing at a per-user breakpoint day)
+    // so the oracle rebuilds it exactly. Plan: the version table is
+    // dim-scale → BROADCAST range join; the fact scan never shuffles (the
+    // rj1 binning path is the fallback when the dim outgrows broadcast).
+    // Exactly one version matches per event by construction, so the join
+    // is inner and row-preserving.
+    "cdc5_temporal_join" -> ((s, d) => {
+      val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts DIV $DayNs").as("day"))
+      val users = ev.select("user_id").distinct()
+      // breakpoint: day 19728 + (user % 20); v1 tier = user % 3 before
+      // it, v2 tier = (user + 1) % 3 from it on (sentinel horizon 1e9)
+      val vers = users.select(col("user_id").as("vu"),
+          (lit(19728L) + col("user_id") % 20).as("mid"))
+        .select(col("vu"), explode(array(
+          struct(lit(0L).as("valid_from"), col("mid").as("valid_to"),
+            (col("vu") % 3).as("tier"), lit(1).as("version")),
+          struct(col("mid").as("valid_from"),
+            lit(1000000000L).as("valid_to"),
+            ((col("vu") + 1) % 3).as("tier"), lit(2).as("version"))))
+          .as("v"))
+        .select(col("vu"), col("v.valid_from"), col("v.valid_to"),
+          col("v.tier"), col("v.version"))
+      ev.join(broadcast(vers),
+          col("user_id") === col("vu") &&
+            col("day") >= col("valid_from") && col("day") < col("valid_to"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          col("tier"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // Referential-integrity audit — the warehouse-health operator: for
     // each FK relationship, how many child rows point at a missing parent
     // (orphans) and how many parents are never referenced. Orphans are a
@@ -509,6 +583,31 @@ object JoinQueries extends QueryPack {
                   AS total_cents
          FROM orders WHERE o_orderkey % 17 <> 0
          GROUP BY o_custkey ORDER BY o_custkey""",
+    // full-join recompute: hash-matching the three-branch union proves
+    // the delta identity exact
+    "cdc4_delta_join" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY seg""",
+    "cdc5_temporal_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+          users AS (SELECT DISTINCT user_id FROM ev),
+          vers AS (
+            SELECT user_id AS vu, 0 AS valid_from,
+                   19728 + user_id % 20 AS valid_to,
+                   user_id % 3 AS tier, 1 AS version FROM users
+            UNION ALL
+            SELECT user_id, 19728 + user_id % 20, 1000000000,
+                   (user_id + 1) % 3, 2 FROM users)
+          SELECT event_id, user_id, day,
+                 CAST(tier AS BIGINT) AS tier, CAST(version AS INT) AS version
+          FROM ev JOIN vers ON user_id = vu
+            AND day >= valid_from AND day < valid_to
+          ORDER BY event_id""",
     "dq3_referential_integrity" ->
       """SELECT 'lineitem.partkey->part' AS relationship,
                 CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,

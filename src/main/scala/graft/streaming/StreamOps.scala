@@ -805,4 +805,62 @@ object StreamOps {
           }
       }
   }
+
+  case class BsOut(hour_start_ms: Long, b: Int, n_eff: Long,
+                   sum_wcents: Long, rep_mean_cents: Double)
+  case class BsState(neff: Array[Long], sums: Array[Long])
+
+  /** Streaming Poisson-bootstrap replicate accumulation per tumbling hour
+    * — the streaming twin of the batch `ab3_bootstrap_ci` gate. The
+    * Poisson bootstrap is the ONE resampling scheme a stream can run at
+    * all: every replicate weight is a pure row-local function of
+    * (event_id, replicate), so folding a row into all B replicate
+    * accumulators needs no sampling coordination and no buffering — state
+    * is exactly 2·B longs per open window at ANY event volume (the
+    * fixed-grid-quantile bounded-state property, for resampling).
+    * Weights come from [[graft.ops.Bootstrap.weightLocal]], the same
+    * thresholds the batch Column expression and its DuckDB oracle use, so
+    * in-order streams produce replicate sums BIT-IDENTICAL to the batch
+    * fold over the same rows (BootstrapSpec pins this). Emission is
+    * watermark-final; each replicate mean is one double division of two
+    * exact integers.
+    */
+  def bootstrapReplicates(spark: SparkSession, events: Dataset[Evt],
+                          watermarkDelay: String = "1 minute"
+                         ): Dataset[BsOut] = {
+    import spark.implicits._
+    val B = graft.ops.Bootstrap.B
+    events.filter(_.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L))
+      .flatMapGroupsWithState[BsState, BsOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourMs: Long, rows: Iterator[Evt], state: GroupState[BsState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            (0 until B).iterator.map { b =>
+              BsOut(hourMs, b, st.neff(b), st.sums(b),
+                st.sums(b).toDouble / st.neff(b).toDouble)
+            }
+          } else {
+            val st = state.getOption.getOrElse(
+              BsState(new Array[Long](B), new Array[Long](B)))
+            rows.foreach { e =>
+              val cents = Math.round(e.value * 100)
+              var b = 0
+              while (b < B) {
+                val w = graft.ops.Bootstrap.weightLocal(e.event_id, b)
+                st.neff(b) += w
+                st.sums(b) += w * cents
+                b += 1
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(hourMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the three synchronized Poisson-bootstrap weight implementations
+  * to each other (Column expression, JVM-local fold, and — via the ab3
+  * oracle gate — the DuckDB SQL twin), plus the distributional sanity the
+  * statistic rests on.
+  */
+class BootstrapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("weightCol and weightLocal agree on every (id, replicate)") {
+    val ids = (1L to 200L) ++ Seq(0L, 999999937L, Long.MaxValue / 3)
+    val rows = for (id <- ids; b <- 0 until Bootstrap.B) yield (id, b)
+    val got = rows.toDF("id", "b")
+      .select(col("id"), col("b"),
+        Bootstrap.weightCol(col("id"), col("b")).cast("int").as("w"))
+      .as[(Long, Int, Int)].collect()
+    assert(got.length == rows.length)
+    got.foreach { case (id, b, w) =>
+      assert(w == Bootstrap.weightLocal(id, b), s"id=$id b=$b")
+    }
+  }
+
+  test("thresholds are strictly increasing and the weight range is 0..5") {
+    assert(Bootstrap.cuts.size == 5)
+    assert(Bootstrap.cuts == Bootstrap.cuts.sorted)
+    assert(Bootstrap.cuts.distinct.size == 5)
+    val ws = for (id <- 1L to 500L; b <- 0 until Bootstrap.B)
+      yield Bootstrap.weightLocal(id, b)
+    assert(ws.forall(w => w >= 0 && w <= 5))
+  }
+
+  test("weights are Poisson(1)-shaped: mean ~1, P(0) ~ 1/e (deterministic)") {
+    val n = 20000
+    val ws = for (id <- 1L to (n / Bootstrap.B).toLong;
+                  b <- 0 until Bootstrap.B)
+      yield Bootstrap.weightLocal(id, b)
+    val mean = ws.sum.toDouble / ws.size
+    val p0 = ws.count(_ == 0).toDouble / ws.size
+    assert(math.abs(mean - 1.0) < 0.03, s"mean=$mean")
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.02, s"p0=$p0")
+  }
+
+  test("replicate sums concentrate: each replicate's n_eff is near n") {
+    val n = 2000
+    val byB = (0 until Bootstrap.B).map { b =>
+      (1L to n.toLong).map(id => Bootstrap.weightLocal(id, b).toLong).sum
+    }
+    byB.foreach { s =>
+      assert(math.abs(s - n) < 5 * math.sqrt(n.toDouble), s"n_eff=$s vs n=$n")
+    }
+  }
+}

@@ -817,4 +817,67 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("w13 changepoint: every window pass is user-partitioned and the " +
+    "argmax rides a WindowGroupLimit, never a global sort") {
+    val p = plan("w13_changepoint")
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("user_id")), w.mkString("\n"))
+    assert(p.contains("WindowGroupLimit"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("ab3 bootstrap: a narrow 32x Generate folded into a partial agg — " +
+    "the only exchanges are the 32-group final agg and the output sort") {
+    val p = plan("ab3_bootstrap_ci")
+    assert(p.contains("Generate explode"),
+      p.linesIterator.take(8).mkString("\n"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 2, ex.mkString("\n"))
+    assert(!p.contains("Join"), "bootstrap must not join anything")
+  }
+
+  test("t34 inverted index: map-side dedup before the one term shuffle; " +
+    "cap via WindowGroupLimit; list assembly adds no exchange") {
+    val p = plan("t34_inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      p.linesIterator.take(8).mkString("\n"))
+    // exchanges: pair-dedup, term partitioning, output range sort — the
+    // groupBy must reuse the window's term partitioning (no 4th)
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 3, ex.mkString("\n"))
+  }
+
+  test("cdc4 delta join: all four branches join the dim by broadcast and " +
+    "pre-aggregate to segment partials — no shuffle join") {
+    val p = plan("cdc4_delta_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cdc5 temporal join: the versioned dim broadcasts; the fact scan " +
+    "never shuffles before the validity-interval join") {
+    val p = plan("cdc5_temporal_join")
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("st13 mutual info: marginal windows run over the domain-bounded " +
+    "cell table, after the one data-scale keyed aggregate") {
+    val p = plan("st13_mutual_info")
+    // the data-scale shuffle is the (type, dow) cell aggregate; windows
+    // above it operate on <=35 rows so SinglePartition there is by design
+    assert(p.contains("hashpartitioning(event_type"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("zm1 zone maps: one keyed aggregate per layout, no join, no window") {
+    val p = plan("zm1_zonemap_prune")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 3, ex.mkString("\n")) // two zone aggs + output sort
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
 }

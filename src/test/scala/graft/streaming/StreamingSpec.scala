@@ -904,6 +904,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bootstrap: watermark-final, cross-batch replicate sums " +
+      "bit-identical to the local fold; non-purchases ignored") {
+    // hour 0: 80 purchases split across two batches (batch 2 above
+    // batch 1's watermark — the staging rule), plus clicks that must not
+    // enter any replicate
+    val buys = (1 to 80).map(i => StreamOps.Evt(i.toLong,
+      ts(if (i <= 50) i % 28 else 30 + i % 28), (i % 7).toLong, "purchase",
+      (i * 1.37) % 50.0))
+    val noise = (81 to 99).map(i => StreamOps.Evt(i.toLong,
+      ts(i % 28), 1L, "click", 5.0))
+    val (b1, b2) = buys.splitAt(50)
+    val ms = mkEvents(b1 ++ noise)
+    val q = StreamOps.bootstrapReplicates(spark, ms.toDS())
+      .writeStream.format("memory").queryName("bs_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bs_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(StreamOps.Evt(9999, ts(6000), 9999, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("bs_out").as[StreamOps.BsOut].collect()
+        .filter(_.hour_start_ms == ts(0).getTime)
+      assert(got.length == graft.ops.Bootstrap.B,
+        s"one row per replicate: ${got.length}")
+      // independent fold with the shared weight core — must be bit-equal
+      got.foreach { r =>
+        var ne = 0L; var sw = 0L
+        buys.foreach { e =>
+          val w = graft.ops.Bootstrap.weightLocal(e.event_id, r.b)
+          ne += w; sw += w * Math.round(e.value * 100)
+        }
+        assert(r.n_eff == ne && r.sum_wcents == sw, s"replicate ${r.b}: $r")
+        assert(r.rep_mean_cents == sw.toDouble / ne.toDouble)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming bootstrap state is rows = f(open windows), not events") {
+    val evts = (1 to 3000).map(i =>
+      StreamOps.Evt(i.toLong, ts(i % 50), i.toLong, "purchase",
+        (i % 370).toDouble))
+    val ms = mkEvents(evts)
+    val q = StreamOps.bootstrapReplicates(spark, ms.toDS())
+      .writeStream.format("memory").queryName("bs_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"bootstrap state must be one row per open hour: $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: watermark-final, classic guarantee holds " +
       "across batches") {
     // hour-0 type mix: N = 100, capacity 3 ⇒ threshold N/(cap+1) = 25.
