@@ -619,6 +619,59 @@ object EventQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Burstiness (Fano factor) of each user's daily event counts —
+    // variance-to-mean over OBSERVED days (absent days are "no visit",
+    // not zero-activity, and counting them would make the statistic
+    // depend on the corpus span; documented choice). F≈1 is Poisson
+    // arrivals, >1 bursty, <1 regular — the bot-vs-human cadence signal.
+    // INTEGER-exact: F = (n·Σx² − (Σx)²) / ((n−1)·Σx) in ppm, products
+    // in decimal(38,0)/HUGEINT (Σx² crosses 2^63 at 100-TB per-user
+    // volumes). ONE keyed aggregate over the daily cells; no window.
+    "e23_fano_burstiness" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("x"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total_events"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
+        .filter(col("n_days") >= 2)
+        .select(col("user_id"), col("n_days"), col("total_events"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                    (n_days * sx2 - CAST(total_events AS DECIMAL(38,0))
+                       * total_events))
+                  div ((n_days - 1) *
+                    CAST(total_events AS DECIMAL(38,0))) AS BIGINT)""")
+            .as("fano_ppm"))
+        .orderBy("user_id")),
+
+    // Activity-tier transition matrix between consecutive 10-day periods
+    // — the lifecycle Markov readout (how many low-activity users climb
+    // to high, how many churn toward low) a retention team watches.
+    // Tiers are count bins per (user, period); transitions pair each
+    // observed period with the user's NEXT observed period via ONE
+    // self-join on (user, period+1) — user-keyed, so at 100 TB it rides
+    // the same partitioning as the tier aggregate; the matrix is
+    // domain-bounded (tiers²) and the share-of-row ppm is a window over
+    // ≤9 cells. Absent periods drop (e23's observed-only rule).
+    "e24_tier_transitions" -> ((s, d) => {
+      val tiers = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts DIV $DAY_NS DIV 10").as("period"))
+        .groupBy("user_id", "period").agg(count(lit(1)).as("x"))
+        .select(col("user_id"), col("period"),
+          when(col("x") < 18, "low").when(col("x") < 26, "mid")
+            .otherwise("high").as("tier"))
+      val nxt = tiers.select(col("user_id"),
+        (col("period") - 1).as("period"), col("tier").as("tier_to"))
+      val m = tiers.join(nxt, Seq("user_id", "period"))
+        .groupBy(col("tier").as("tier_from"), col("tier_to"))
+        .agg(count(lit(1)).as("n_users"))
+      m.withColumn("row_total",
+          sum(col("n_users")).over(Window.partitionBy("tier_from")))
+        .select(col("tier_from"), col("tier_to"), col("n_users"),
+          expr("(1000000 * n_users) div row_total").as("share_ppm"))
+        .orderBy("tier_from", "tier_to")
+    }),
+
     // Conversion lag: seconds from a user's FIRST click to their first
     // purchase at-or-after it — the time-to-convert distribution every
     // growth dashboard plots next to the e13 funnel (which gates on a
@@ -682,6 +735,43 @@ object EventQueries extends QueryPack {
                 CAST(count(*) AS BIGINT) AS n_streaks,
                 CAST(max(len) AS BIGINT) AS max_streak
          FROM st GROUP BY user_id ORDER BY user_id""",
+
+    "e23_fano_burstiness" ->
+      """WITH cells AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(x) AS BIGINT) AS total_events,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2
+           FROM cells GROUP BY user_id)
+         SELECT user_id, n_days, total_events,
+                CAST((CAST(1000000 AS HUGEINT) *
+                       (n_days * sx2 - CAST(total_events AS HUGEINT)
+                          * total_events))
+                     // ((n_days - 1) * CAST(total_events AS HUGEINT))
+                  AS BIGINT) AS fano_ppm
+         FROM agg WHERE n_days >= 2 ORDER BY user_id""",
+
+    "e24_tier_transitions" ->
+      """WITH tiers AS (
+           SELECT user_id, (epoch_us(ts) // 86400000000) // 10 AS period,
+                  CASE WHEN count(*) < 18 THEN 'low'
+                       WHEN count(*) < 26 THEN 'mid'
+                       ELSE 'high' END AS tier
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT a.tier AS tier_from, b.tier AS tier_to,
+                  CAST(count(*) AS BIGINT) AS n_users
+           FROM tiers a JOIN tiers b
+             ON a.user_id = b.user_id AND b.period = a.period + 1
+           GROUP BY 1, 2)
+         SELECT tier_from, tier_to, n_users,
+                CAST((1000000 * n_users) //
+                  CAST(sum(n_users) OVER (PARTITION BY tier_from) AS BIGINT)
+                  AS BIGINT) AS share_ppm
+         FROM m ORDER BY tier_from, tier_to""",
 
     "e21_rfm_scores" ->
       s"""WITH pu AS (

@@ -47,6 +47,9 @@ object SimilarityQueries extends QueryPack {
   private val RRF_K = 50
   private val RRF_Q = 42
 
+  // sim13's truncated-prefix width (the matryoshka first-stage budget)
+  private val TRUNC_DIM = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -207,6 +210,37 @@ object SimilarityQueries extends QueryPack {
           qPred, nprobe = 2, k = TOPK)
         .select(col("query_id"), col("neighbor_id"))
       val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_ppm", expr(s"(1000000 * n_hits) div $TOPK"))
+        .orderBy("query_id")
+    }),
+
+    // Matryoshka truncation-recall report — the dimension-budget advisor:
+    // recall@k of exact cosine search over the FIRST 16 dims against the
+    // full-64-dim exact top-k (MRL-style embeddings front-load signal, so
+    // a truncated first pass at 1/4 the FLOPs/bytes is the standard
+    // two-stage retrieval prefilter; this measures what that truncation
+    // costs BEFORE committing to it). sim10's calibration shape verbatim
+    // — query sample capped (Q_CAP) so both exhaustive baselines stay
+    // linear in the corpus; overlap = one (query, neighbor)-keyed
+    // semi-join; truncation is a narrow slice projection, never a second
+    // embedding copy on disk.
+    "sim13_truncation_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qPred = col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP
+      val exact = Similarity.bruteForceTopK(emb,
+          emb.filter(qPred), "vec_id", "embedding", TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, TRUNC_DIM).as("embedding"))
+      val approx = Similarity.bruteForceTopK(tr,
+          tr.filter(qPred), "vec_id", "embedding", TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"),
+          "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
       exact.select("query_id").distinct()
         .join(hits, Seq("query_id"), "left")
@@ -627,6 +661,41 @@ object SimilarityQueries extends QueryPack {
     },
     // sim1's exhaustive CTE ∩ sim5's IVF CTE, counted per query; '//'
     // floor division mirrors Spark's `div` (n_hits >= 0, so they agree).
+    // exact∩exact-on-prefix: the truncated CTE is the SAME exhaustive
+    // ranking with the cosine fold stopped at TRUNC_DIM (1-based series
+    // 1..16 ≡ the Spark-side slice)
+    "sim13_truncation_recall" -> {
+      val cosT = Similarity.cosineSql("q.embedding", "n.embedding", TRUNC_DIM)
+      s"""WITH fscored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+              FROM fscored) WHERE rank <= $TOPK),
+          tscored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosT AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
+          approx AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+              FROM tscored) WHERE rank <= $TOPK),
+          hits AS (
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM approx a JOIN exact e
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY a.query_id)
+          SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+                 CAST((1000000 * coalesce(h.n_hits, 0)) // $TOPK AS BIGINT)
+                   AS recall_ppm
+          FROM (SELECT DISTINCT query_id FROM exact) q
+          LEFT JOIN hits h ON q.query_id = h.query_id
+          ORDER BY q.query_id"""
+    },
     "sim10_recall_report" -> {
       val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
       s"""WITH bscored AS (

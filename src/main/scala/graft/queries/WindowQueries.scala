@@ -231,6 +231,58 @@ object WindowQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Rolling-origin backtest of the w10 Holt forecaster — the evaluation
+    // harness a forecasting deployment runs before trusting forecast_7d:
+    // for every cutoff k in [8, n), fit on the first k observed days
+    // (the SAME fold expression as w10 — one definition would drift is
+    // the risk; the constants and lambda are copied verbatim and the
+    // oracle mirrors w10's list_reduce form) and score the one-step-ahead
+    // prediction level+trend against day k+1's actual. MAE/bias per type
+    // from decimal-pinned per-fold errors (w7's rule — the fold output is
+    // a full-width double). Scale shape: the series is CALENDAR-bounded
+    // (w8's rule), so the k-fold fan-out is O(days²) per type — bounded
+    // by the time domain, never by corpus size; one keyed aggregate
+    // builds each series, one narrow explode scores all cutoffs.
+    "w14_holt_backtest" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val minTrain = 8
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), expr(s"ts DIV $dayNs").as("day"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day").agg(sum(col("cents")).as("v"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("v")))).as("seq"))
+        .withColumn("vals", expr("transform(seq, x -> " +
+          "array(CAST(x.v AS DOUBLE), CAST(0.0 AS DOUBLE)))"))
+        .filter(col("n_days") > minTrain) // sequence() descends if k>stop
+        .select(col("event_type"), col("n_days"), col("vals"),
+          explode(sequence(lit(minTrain.toLong), col("n_days") - 1))
+            .as("k"))
+        .withColumn("st", aggregate(
+          expr("slice(vals, 2, CAST(k - 1 AS INT))"),
+          element_at(col("vals"), 1),
+          (acc, x) => {
+            val l0 = element_at(acc, 1); val b0 = element_at(acc, 2)
+            val nl = element_at(x, 1) * lit(0.5) + (l0 + b0) * lit(0.5)
+            array(nl, (nl - l0) * lit(0.5) + b0 * lit(0.5))
+          }))
+        .withColumn("pred",
+          element_at(col("st"), 1) + element_at(col("st"), 2))
+        .withColumn("err",
+          (col("pred") -
+            element_at(element_at(col("vals"), (col("k") + 1).cast("int")), 1))
+            .cast("decimal(18,6)"))
+        .groupBy("event_type", "n_days")
+        .agg(count(lit(1)).as("n_folds"),
+          (sum(abs(col("err"))).cast("double") / count(lit(1)))
+            .as("mae_cents"),
+          (sum(col("err")).cast("double") / count(lit(1)))
+            .as("bias_cents"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust trend: median of all pairwise slopes of the daily
     // event-count series — the outlier-proof alternative to a5's OLS
     // slope (one corrupt day moves OLS arbitrarily; it moves the slope
@@ -456,6 +508,41 @@ object WindowQueries extends QueryPack {
                 CAST(CAST(f[1] + 7.0 * f[2] AS DECIMAL(18,6)) AS DOUBLE)
                   AS forecast_7d
          FROM st ORDER BY event_type""",
+
+    // w10's list_reduce fold on every prefix vals[1:k]; one-step pred vs
+    // vals[k+1]; errors decimal-pinned before the mean
+    "w14_holt_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2),
+         seqs AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  list_transform(list({'day': day, 'v': v} ORDER BY day),
+                    x -> [CAST(x.v AS DOUBLE), CAST(0.0 AS DOUBLE)]) AS vals
+           FROM daily GROUP BY event_type),
+         folds AS (
+           SELECT event_type, n_days, vals,
+                  unnest(generate_series(8, n_days - 1)) AS k
+           FROM seqs WHERE n_days > 8),
+         scored AS (
+           SELECT event_type, n_days, k,
+                  list_reduce(vals[1:CAST(k AS INT)], (a, x) ->
+                    [x[1] * 0.5 + (a[1] + a[2]) * 0.5,
+                     ((x[1] * 0.5 + (a[1] + a[2]) * 0.5) - a[1]) * 0.5
+                       + a[2] * 0.5]) AS f,
+                  vals[CAST(k + 1 AS INT)][1] AS actual
+           FROM folds),
+         errs AS (
+           SELECT event_type, n_days,
+                  CAST(f[1] + f[2] - actual AS DECIMAL(18,6)) AS err
+           FROM scored)
+         SELECT event_type, n_days, CAST(count(*) AS BIGINT) AS n_folds,
+                CAST(sum(abs(err)) AS DOUBLE) / count(*) AS mae_cents,
+                CAST(sum(err) AS DOUBLE) / count(*) AS bias_cents
+         FROM errs GROUP BY event_type, n_days
+         ORDER BY event_type""",
 
     // same long-pair slopes, same st8 smallest-value median rule
     "w11_theil_sen" ->

@@ -806,6 +806,69 @@ object StreamOps {
       }
   }
 
+  case class CovOut(user_id: Long, n_islands: Long, n_intervals: Long,
+                    covered_us: Long)
+  case class CovState(islandStart: Long, maxEnd: Long, covered: Long,
+                      nIslands: Long, nIntervals: Long, lastTsMs: Long)
+
+  /** Streaming interval-union coverage — the streaming twin of the batch
+    * `rj3_interval_union` gate: each event opens a 5-minute activity
+    * interval; overlapping intervals merge, and the per-user total covered
+    * time accumulates as the sweep advances. The batch sweep-line becomes
+    * a 6-long state row per user: the OPEN island's (start, max end) plus
+    * closed-island totals — merging is associative left-to-right, so the
+    * fold needs only the frontier, never the interval history. In-order
+    * streams produce totals identical to the batch windows over the same
+    * rows (spec-pinned); a straggler below the open island's start would
+    * need retroactive merging, so it DROPS under the gaps monotone-clock
+    * rule (stated trade — at-watermark ordering is the stream contract).
+    * Emission at event-time TTL: one final coverage row per user.
+    */
+  def intervalUnion(spark: SparkSession, events: Dataset[Evt],
+                    lenUs: Long = 300L * 1000000L,
+                    watermarkDelay: String = "1 minute",
+                    ttlMs: Long = 2L * 3600 * 1000): Dataset[CovOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CovState, CovOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[CovState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(CovOut(user, st.nIslands,
+              st.nIntervals, st.covered + (st.maxEnd - st.islandStart)))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(
+              CovState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val t = eventMicros(e.ts)
+              if (st.maxEnd == Long.MinValue) // first interval: open island 1
+                st = CovState(t, t + lenUs, 0L, 1L, 1L, e.ts.getTime)
+              else if (t >= st.islandStart) { // monotone clock: no rewinds
+                if (t > st.maxEnd) // gap: close the island, open a new one
+                  st = CovState(t, t + lenUs,
+                    st.covered + (st.maxEnd - st.islandStart),
+                    st.nIslands + 1, st.nIntervals + 1,
+                    math.max(st.lastTsMs, e.ts.getTime))
+                else // overlap: extend the open island
+                  st = CovState(st.islandStart,
+                    math.max(st.maxEnd, t + lenUs), st.covered,
+                    st.nIslands, st.nIntervals + 1,
+                    math.max(st.lastTsMs, e.ts.getTime))
+              } // else: straggler below the open island start — dropped
+            }
+            state.update(st)
+            if (st.lastTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class BsOut(hour_start_ms: Long, b: Int, n_eff: Long,
                    sum_wcents: Long, rep_mean_cents: Double)
   case class BsState(neff: Array[Long], sums: Array[Long])

@@ -874,6 +874,54 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"))
   }
 
+  test("rj3 interval union: sweep-line windows ride ONE user partitioning, " +
+    "no join anywhere") {
+    val p = plan("rj3_interval_union")
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("user_id")), w.mkString("\n"))
+    assert(!p.contains("Join"))
+    // the only hash exchange is the user partitioning both windows and
+    // both aggregates reuse
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, hashEx.mkString("\n"))
+  }
+
+  test("w14 backtest: calendar-bounded fold fan-out — one narrow Generate, " +
+    "no join, final agg reuses the series partitioning") {
+    val p = plan("w14_holt_backtest")
+    assert(p.contains("Generate explode(sequence"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 3, ex.mkString("\n")) // daily agg, series agg, sort
+  }
+
+  test("e23 fano: two keyed aggregates, no window, no join") {
+    val p = plan("e23_fano_burstiness")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 3, ex.mkString("\n"))
+  }
+
+  test("e24 tier transitions: the period self-join is keyed (equi), the " +
+    "share window runs over the domain-bounded matrix") {
+    val p = plan("e24_tier_transitions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("tier_from")), w.mkString("\n"))
+  }
+
+  test("sim13 truncation recall: both exhaustive sides broadcast the query " +
+    "sample; overlap is a keyed semi-join — no unbounded nested loop") {
+    val p = plan("sim13_truncation_recall")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins are the sim1-style broadcast query sides
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoop")).toSeq
+    assert(bnl.forall(_.contains("BuildRight")), bnl.mkString("\n"))
+  }
+
   test("zm1 zone maps: one keyed aggregate per layout, no join, no window") {
     val p = plan("zm1_zonemap_prune")
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq

@@ -943,6 +943,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming interval union: cross-batch totals match the batch " +
+      "sweep-line; within-island stragglers fold, below-island ones drop") {
+    // user 1, 5-min intervals: minutes 0,2,4 merge into one island
+    // [0, 9); minute 20 opens island 2 [20, 25); minute 22 extends it to
+    // [20, 27). Batch totals: covered = 9 + 7 = 16 min, 2 islands, 5 ivs.
+    val b1 = Seq(
+      StreamOps.Evt(1, ts(0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(2), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(4), 1, "click", 1.0))
+    val b2 = Seq(
+      StreamOps.Evt(4, ts(20), 1, "click", 1.0),
+      StreamOps.Evt(5, ts(22), 1, "click", 1.0))
+    val ms = mkEvents(b1)
+    val q = StreamOps.intervalUnion(spark, ms.toDS())
+      .writeStream.format("memory").queryName("cov_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      // TTL flush: advance the watermark far past user 1's last event
+      ms.addData(StreamOps.Evt(99, ts(6000), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cov_out").as[StreamOps.CovOut].collect()
+        .filter(_.user_id == 1L)
+      assert(got.length == 1, s"one final row per user: ${got.toSeq}")
+      assert(got.head == StreamOps.CovOut(1L, 2L, 5L, 16L * 60000000L),
+        s"${got.head}")
+    } finally q.stop()
+  }
+
   test("streaming bootstrap state is rows = f(open windows), not events") {
     val evts = (1 to 3000).map(i =>
       StreamOps.Evt(i.toLong, ts(i % 50), i.toLong, "purchase",
