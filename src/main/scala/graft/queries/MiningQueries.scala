@@ -39,6 +39,16 @@ object MiningQueries extends QueryPack {
   // is noise; the filter also bounds the emitted row count by active users
   private val MinDays = 8
 
+  // fh1's hashed feature dimension (2^6 — collisions are the design, the
+  // sign bit debiases them); t35's shingle width and the corpus-DF cut
+  // above which a shingle counts as boilerplate (production uses a
+  // corpus-RELATIVE cut like DF > f*N; a constant keeps oracle parity —
+  // >2 of 500 docs matches this corpus's heavy-tail knee: max DF 7,
+  // median 1)
+  private val FhDim = 64
+  private val ShK = 3
+  private val BoilerDf = 2
+
   private val DAY_NS = 24L * 3600 * 1000 * 1000 * 1000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -229,6 +239,74 @@ object MiningQueries extends QueryPack {
     // but its emitted row is K ids — output bounded by |vocab|·K. Posting
     // heads compare byte-exact as ordered comma-joined strings (pd1's
     // discipline).
+    // Feature hashing (the "hashing trick") — the vocab-free featurizer
+    // every 100-TB text pipeline uses when a fitted vocabulary is itself
+    // a scale problem: feature index = hash(token) mod D, a sign bit from
+    // the hash's high bits debiases collisions (Weinberger et al.'s
+    // signed variant), values are signed occurrence counts. No vocab
+    // table, no fit pass, no join — ONE narrow explode into ONE
+    // (doc, index)-keyed aggregate with map-side combine; output bounded
+    // by |docs|·D. Portable polyHash on both engines.
+    "fh1_feature_hashing" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .select(col("doc_id"),
+          graft.functions.StableHash.polyHash(col("term")).as("h"))
+        .select(col("doc_id"), (col("h") % FhDim).as("feat_idx"),
+          when(expr(s"(h div $FhDim) % 2") === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(sum(col("sgn")).as("val"))
+        .filter(col("val") =!= 0)
+        .orderBy("doc_id", "feat_idx")
+    }),
+
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // featurizer (encode a category by the target mean of the OTHER rows
+    // in it; including the row's own target leaks the label into the
+    // feature). LOO collapses to row-local arithmetic over broadcast
+    // per-category stats: (S_cat − x_i)/(n_cat − 1) — no per-row
+    // exclusion join, which is what makes it viable at 100 TB. Stats are
+    // domain-bounded (|event types|) → broadcast; the fact scan never
+    // shuffles; each encoded value is ONE double division of two exact
+    // integers — correctly rounded, bit-identical cross-engine.
+    "fe1_target_encoding_loo" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cat"), sum(col("cents")).as("s_cat"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(col("n_cat") > 1)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          ((col("s_cat") - col("cents")).cast("double") /
+            (col("n_cat") - 1).cast("double")).as("loo_mean_cents"))
+        .orderBy("event_id")
+    }),
+
+    // Boilerplate share per document — CCNet's "fraction of this doc
+    // made of corpus-common n-grams" quality signal (a doc whose
+    // shingles all have high document frequency is template/boilerplate,
+    // not content; the d-tier finds duplicate PAIRS, this scores every
+    // doc against the corpus-wide shingle DF). Two posting-scale keyed
+    // shuffles, t34's discipline: per-doc shingles pre-dedup NARROWLY
+    // (array_distinct inside the generator), the DF count rides a
+    // shingle partition, the share aggregate a doc partition; threshold
+    // and ratio are integers.
+    "t35_boilerplate_share" -> ((s, d) => {
+      val wS = Window.partitionBy("shingle")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.shingles(col("text"), ShK)).as("shingle"))
+        .withColumn("df", count(lit(1)).over(wS))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          expr("(1000000 * n_boiler) div n_shingles").as("boiler_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "t34_inverted_index" -> ((s, d) => {
       val wT = Window.partitionBy("term")
       val postings = Tables.documents(s, d)
@@ -353,6 +431,52 @@ object MiningQueries extends QueryPack {
                  CAST(term AS DOUBLE) AS term,
                  CAST(sum(term) OVER () AS DOUBLE) AS mi_nats
           FROM t ORDER BY event_type, dow""",
+
+    "fh1_feature_hashing" -> {
+      val h = graft.functions.StableHash.polyHashSql("term")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          hashed AS (
+            SELECT doc_id, ($h) % $FhDim AS feat_idx,
+                   CASE WHEN (($h) // $FhDim) % 2 = 0 THEN 1 ELSE -1 END
+                     AS sgn
+            FROM toks)
+          SELECT doc_id, feat_idx, CAST(sum(sgn) AS BIGINT) AS val
+          FROM hashed GROUP BY 1, 2 HAVING sum(sgn) <> 0
+          ORDER BY doc_id, feat_idx"""
+    },
+
+    "fe1_target_encoding_loo" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cat,
+                           CAST(sum(cents) AS BIGINT) AS s_cat
+                    FROM ev GROUP BY 1)
+          SELECT event_id, ev.event_type, cents,
+                 CAST(s_cat - cents AS DOUBLE) / CAST(n_cat - 1 AS DOUBLE)
+                   AS loo_mean_cents
+          FROM ev JOIN stats USING (event_type)
+          WHERE n_cat > 1 ORDER BY event_id""",
+
+    "t35_boilerplate_share" -> {
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                     FROM documents),
+          sgl AS (SELECT doc_id, ${graft.ops.Dedup.shinglesSql("ts", ShK)}
+                    AS sh FROM t),
+          postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sgl),
+          wdf AS (SELECT doc_id,
+                         count(*) OVER (PARTITION BY shingle) AS df
+                  FROM postings)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN df > $BoilerDf THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_boiler,
+                 CAST((1000000 * sum(CASE WHEN df > $BoilerDf
+                         THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                   AS boiler_ppm
+          FROM wdf GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "t34_inverted_index" ->
       s"""WITH postings AS (

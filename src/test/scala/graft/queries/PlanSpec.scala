@@ -922,6 +922,31 @@ class PlanSpec extends SparkTestBase {
     assert(bnl.forall(_.contains("BuildRight")), bnl.mkString("\n"))
   }
 
+  test("fh1 feature hashing: vocab-free — no join, one keyed aggregate") {
+    val p = plan("fh1_feature_hashing")
+    assert(!p.contains("Join"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 2, ex.mkString("\n")) // (doc,idx) agg + output sort
+  }
+
+  test("fe1 LOO target encoding: category stats broadcast, fact scan " +
+    "never shuffled") {
+    val p = plan("fe1_target_encoding_loo")
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t35 boilerplate share: DF window on the shingle partition, share " +
+    "aggregate on the doc partition, no join") {
+    val p = plan("t35_boilerplate_share")
+    assert(!p.contains("Join"))
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("shingle")), w.mkString("\n"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 3, ex.mkString("\n")) // shingle, doc, output sort
+  }
+
   test("zm1 zone maps: one keyed aggregate per layout, no join, no window") {
     val p = plan("zm1_zonemap_prune")
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
