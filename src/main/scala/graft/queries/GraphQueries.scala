@@ -334,37 +334,47 @@ object GraphQueries extends QueryPack {
     // Personalized PageRank — gr1's loop with teleport mass restricted to
     // a SEED set (the "related to these accounts" recommendation /
     // fraud-neighborhood primitive; unnormalized seed indicator, so ranks
-    // are proportional to the standard e_S-teleport PPR). Identical scale
-    // contract to gr1: edges shuffled once (by src, persisted), each of
-    // the 3 unrolled rounds reshuffles only the O(|V|) mass table, decimal
-    // accumulation for partition-order-independent sums, and the |E|-scale
-    // caches are freed inside the call behind an eager checkpoint of the
-    // O(|V|) result. Seeds are a deterministic id residue both engines
-    // reproduce (node id % 50 = 0 — customer nodes whose custkey is a
-    // multiple of 25).
+    // are proportional to the standard e_S-teleport PPR). Arithmetic is
+    // SCALED-INTEGER with floor division — mass in units of 10^-12,
+    // contrib = m div outdeg, m' = (15·10^12·s + 85·m_in) div 100, all in
+    // decimal(38,0)/HUGEINT — because gr8's float spelling hit the exact
+    // Num decimal-pin caveat at sf0.001 (seed masses are CLEAN constants,
+    // and 0.15/outdeg can land on a scale-6 rounding tie the two engines
+    // break differently; gr1's all-ones start never fed the pin a clean
+    // short-decimal). Integer masses make every round exact and the sum
+    // order-independent WITHOUT any pin. Same scale contract as gr1:
+    // edges shuffled once (by src, persisted), each unrolled round
+    // reshuffles only the O(|V|) mass table, |E|-scale caches freed
+    // behind the eager O(|V|) checkpoint. Seeds are a deterministic id
+    // residue (node id % 50 = 0 — custkey multiples of 25).
     "gr8_personalized_pagerank" -> ((s, d) => {
       val e = edges(s, d).repartition(col("src")).persist()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val ed = e.join(deg, "src").persist()
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct().persist()
-      val seed = when(col("id") % 50 === 0, lit(1.0)).otherwise(lit(0.0))
-      var mass = nodes.withColumn("mass", seed)
+      val seedScaled = when(col("id") % 50 === 0, lit(1000000000000L))
+        .otherwise(lit(0L)).cast("decimal(38,0)")
+      var mass = nodes.withColumn("m", seedScaled)
       for (_ <- 1 to 3) {
         val incoming = ed.join(mass, col("src") === col("id"))
-          .select(col("dst"), (col("mass") / col("outdeg")).as("contrib"))
-          .groupBy("dst").agg(Num.dsum(col("contrib")).as("m_in"))
+          .select(col("dst"), floor(col("m") / col("outdeg")).as("contrib"))
+          .groupBy("dst").agg(sum(col("contrib")).as("m_in"))
         mass = nodes.join(incoming, col("id") === col("dst"), "left")
           .select(col("id"),
-            (lit(Teleport) * seed +
-              lit(D) * coalesce(col("m_in"), lit(0.0))).as("mass"))
+            floor((lit(15) * seedScaled + lit(85) *
+              coalesce(col("m_in"), lit(0).cast("decimal(38,0)"))) /
+              lit(100)).as("m"))
       }
       val ranked =
         try mass.localCheckpoint(true)
         finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
-      ranked.select(col("id").as("node_id"), col("mass").as("ppr_mass"))
-        .orderBy(col("ppr_mass").desc, col("node_id"))
+      // rank by the EXACT scaled mass; emit micros (div 10^6) — bigint-
+      // safe up to ~9e12 seeds
+      ranked.orderBy(col("m").desc, col("id"))
         .limit(50)
+        .select(col("id").as("node_id"),
+          expr("CAST(m div 1000000 AS BIGINT)").as("ppr_micro"))
     }),
 
     // Synchronous label propagation, 3 unrolled rounds over the symmetric
@@ -736,13 +746,17 @@ object GraphQueries extends QueryPack {
           m3 AS (${iterSql("m2")})
           SELECT id AS node_id, mass AS pr_mass FROM m3
           ORDER BY pr_mass DESC, node_id LIMIT 50""",
+    // scaled-integer twin: HUGEINT masses, // floor division — exact
     "gr8_personalized_pagerank" -> {
       def pprIter(prev: String): String =
         s"""SELECT n.id,
-                   0.15 * (CASE WHEN n.id % 50 = 0 THEN 1.0 ELSE 0.0 END)
-                     + 0.85 * coalesce(s.m_in, 0.0) AS mass
+                   (15 * (CASE WHEN n.id % 50 = 0
+                          THEN CAST(1000000000000 AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END)
+                    + 85 * coalesce(s.m_in, CAST(0 AS HUGEINT))) // 100 AS m
             FROM nodes n LEFT JOIN (
-              SELECT e.dst, ${Num.sqlSum(s"$prev.mass / deg.outdeg")} AS m_in
+              SELECT e.dst, CAST(sum($prev.m // deg.outdeg) AS HUGEINT)
+                       AS m_in
               FROM edges e
               JOIN $prev ON e.src = $prev.id
               JOIN deg ON e.src = deg.src
@@ -751,13 +765,14 @@ object GraphQueries extends QueryPack {
           nodes AS (SELECT src AS id FROM edges
                     UNION SELECT dst FROM edges),
           deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-          m0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1.0 ELSE 0.0 END
-                   AS mass FROM nodes),
+          m0 AS (SELECT id, CASE WHEN id % 50 = 0
+                   THEN CAST(1000000000000 AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END AS m FROM nodes),
           m1 AS (${pprIter("m0")}),
           m2 AS (${pprIter("m1")}),
           m3 AS (${pprIter("m2")})
-          SELECT id AS node_id, mass AS ppr_mass FROM m3
-          ORDER BY ppr_mass DESC, node_id LIMIT 50"""
+          SELECT id AS node_id, CAST(m // 1000000 AS BIGINT) AS ppr_micro
+          FROM m3 ORDER BY m DESC, node_id LIMIT 50"""
     },
     "gr2_label_prop" -> {
       def round(i: Int, prev: String): String =

@@ -218,6 +218,68 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // IVF nprobe sweep — the tuning report that completes for IVF what
+    // d24's band sweep does for LSH: pooled recall@k AND candidate volume
+    // (the cost axis: candidates scanned ∝ probe fan-out) at nprobe ∈
+    // {1, 2, 4}, measured against the sim1 exhaustive baseline BEFORE a
+    // deployment commits to a probe budget. The centroid-scored ranked
+    // frame is built ONCE and persisted — assignment and all three probe
+    // tiers are filters over it (d24's share-the-signature discipline);
+    // the 3-row report is eagerly checkpointed and the corpus-scale
+    // blocks freed inside the call (gr1's lifecycle).
+    "sim14_nprobe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb
+        .filter(col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val ranked = graft.ops.Dedup.parallelize(
+          emb.select(col("vec_id"), col("embedding")))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
+        .withColumn("crn", row_number().over(byVec))
+        .persist()
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv"), col("cid"))
+      val exact = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding",
+          TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val nQ = exact.select("query_id").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      val tiers = Seq(1, 2, 4).map { np =>
+        val probes = ranked
+          .filter(col("vec_id") % QMOD === 0 && col("crn") <= np)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"), col("cid"))
+        val cands = probes.join(assign, Seq("cid"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+        val nCand = cands.agg(count(lit(1)).as("n_cands"))
+        val byQuery = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val hits = cands
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosine(col("qv"), col("nv")).as("cos"))
+          .withColumn("rank", row_number().over(byQuery))
+          .filter(col("rank") <= TOPK)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        broadcast(nCand).join(broadcast(hits)).join(broadcast(nQ))
+          .select(lit(np).as("nprobe"), col("n_cands"), col("n_hits"),
+            col("n_queries"),
+            expr(s"(1000000 * n_hits) div (n_queries * $TOPK)")
+              .as("recall_ppm"))
+      }
+      val report = tiers.reduce(_.unionByName(_))
+      val out =
+        try report.localCheckpoint(true)
+        finally ranked.unpersist()
+      out.orderBy("nprobe")
+    }),
+
     // Matryoshka truncation-recall report — the dimension-budget advisor:
     // recall@k of exact cosine search over the FIRST 16 dims against the
     // full-64-dim exact top-k (MRL-style embeddings front-load signal, so
@@ -661,6 +723,64 @@ object SimilarityQueries extends QueryPack {
     },
     // sim1's exhaustive CTE ∩ sim5's IVF CTE, counted per query; '//'
     // floor division mirrors Spark's `div` (n_hits >= 0, so they agree).
+    // sim5's CTE chain, swept at three probe depths; the exact baseline
+    // is sim1's; pooled recall = hits over |Q|·k
+    "sim14_nprobe_sweep" -> {
+      val ccos = Similarity.cosineSql("e.embedding", "c.cv", DIM)
+      val pcos = Similarity.cosineSql("p.qv", "a.nv", DIM)
+      def tier(np: Int): String =
+        s"""SELECT $np AS nprobe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cands$np) AS n_cands,
+                   (SELECT CAST(count(*) AS BIGINT) FROM hits$np) AS n_hits,
+                   (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                    FROM exact) AS n_queries,
+                   CAST((1000000 * (SELECT count(*) FROM hits$np))
+                        // ((SELECT count(DISTINCT query_id) FROM exact)
+                           * $TOPK) AS BIGINT) AS recall_ppm"""
+      def tierCtes(np: Int): String =
+        s"""cands$np AS (
+              SELECT p.query_id, a.neighbor_id, $pcos AS cos
+              FROM probes p JOIN assign a ON p.cid = a.cid
+              WHERE p.query_id <> a.neighbor_id AND p.crn <= $np),
+            rr$np AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM cands$np),
+            hits$np AS (
+              SELECT r.query_id, r.neighbor_id FROM rr$np r
+              JOIN exact x ON r.query_id = x.query_id
+                AND r.neighbor_id = x.neighbor_id
+              WHERE r.rank <= $TOPK)"""
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id % 100 = 7 AND vec_id < $CENT_CAP),
+          ranked AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   CAST(row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $ccos DESC, c.cid) AS INT) AS crn
+            FROM embeddings e CROSS JOIN cent c),
+          assign AS (
+            SELECT vec_id AS neighbor_id, embedding AS nv, cid
+            FROM ranked WHERE crn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, embedding AS qv, cid, crn
+            FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 4),
+          escored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   $cosQN AS cos
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id % $QMOD = 0),
+          exact AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+              FROM escored) WHERE rank <= $TOPK),
+          ${tierCtes(1)}, ${tierCtes(2)}, ${tierCtes(4)}
+          ${tier(1)} UNION ALL ${tier(2)} UNION ALL ${tier(4)}
+          ORDER BY nprobe"""
+    },
+
     // exact∩exact-on-prefix: the truncated CTE is the SAME exhaustive
     // ranking with the cosine fold stopped at TRUNC_DIM (1-based series
     // 1..16 ≡ the Spark-side slice)

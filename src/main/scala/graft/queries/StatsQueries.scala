@@ -521,6 +521,48 @@ object StatsQueries extends QueryPack {
               (col("n_pairs") - col("tied_y")).cast("double")))
             .as("tau_b"))
     }),
+
+    // p-chart (attribute control chart) on the daily error rate — the
+    // SPC monitor an operations team runs on a pipeline's failure
+    // fraction: centerline p̄ from the whole window, per-day 3σ limits
+    // p̄ ± 3·√(p̄(1−p̄)/n_day) (limits tighten on busy days — the p-chart's
+    // defining feature vs a fixed threshold), out-of-control days
+    // flagged. Day cells are exact integers from ONE keyed aggregate;
+    // the 1-row global stats broadcast back; σ is one fixed sqrt tree
+    // (st12's discipline), limits decimal-pinned for the readout, and
+    // the flag compares the SAME fixed trees both engines evaluate.
+    "st15_p_chart" -> ((s, d) => {
+      val dayNs = 86400L * 1000000000L
+      val daily = Tables.events(s, d)
+        .select(expr(s"ts DIV $dayNs").as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("isErr"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("isErr")).as("x"))
+      val tot = daily.agg(sum(col("n")).as("tn"), sum(col("x")).as("tx"))
+      daily.crossJoin(broadcast(tot))
+        .withColumn("pbar", col("tx").cast("double") / col("tn").cast("double"))
+        .withColumn("sigma",
+          sqrt(col("pbar") * (lit(1.0) - col("pbar")) /
+            col("n").cast("double")))
+        .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+        .select(col("day"), col("n"), col("x"),
+          expr("(1000000 * x) div n").as("rate_ppm"),
+          (col("pbar") + lit(3.0) * col("sigma"))
+            .cast("decimal(18,6)").cast("double").as("ucl"),
+          greatest(col("pbar") - lit(3.0) * col("sigma"), lit(0.0))
+            .cast("decimal(18,6)").cast("double").as("lcl"),
+          (col("p") > col("pbar") + lit(3.0) * col("sigma")).as("above"),
+          (col("p") < greatest(col("pbar") - lit(3.0) * col("sigma"),
+            lit(0.0))).as("below"),
+          // Western Electric zone-A warning: outside ±2σ but inside 3σ
+          // — the early signal a chart watcher acts on before a hard
+          // violation (and, on this in-control corpus, the tier that
+          // actually varies: 3σ flags are honestly all-false here)
+          (col("p") > col("pbar") + lit(2.0) * col("sigma") ||
+            col("p") < greatest(col("pbar") - lit(2.0) * col("sigma"),
+              lit(0.0))).as("warn_2s"))
+        .orderBy("day")
+    }),
   )
 
   private def uSql(keyExpr: String, prefix: String): String =
@@ -880,5 +922,34 @@ object StatsQueries extends QueryPack {
                   sqrt(CAST(n_pairs - tied_x AS DOUBLE) *
                        CAST(n_pairs - tied_y AS DOUBLE)) AS tau_b
          FROM agg""",
+
+    "st15_p_chart" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                        CAST(sum(x) AS BIGINT) AS tx FROM daily),
+         m AS (
+           SELECT day, n, x,
+                  CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
+                  sqrt((CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)) *
+                       (1.0 - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)) /
+                       CAST(n AS DOUBLE)) AS sigma,
+                  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p
+           FROM daily CROSS JOIN tot)
+         SELECT day, n, x,
+                CAST((1000000 * x) // n AS BIGINT) AS rate_ppm,
+                CAST(CAST(pbar + 3.0 * sigma AS DECIMAL(18,6)) AS DOUBLE)
+                  AS ucl,
+                CAST(CAST(greatest(pbar - 3.0 * sigma, 0.0) AS DECIMAL(18,6))
+                  AS DOUBLE) AS lcl,
+                p > pbar + 3.0 * sigma AS above,
+                p < greatest(pbar - 3.0 * sigma, 0.0) AS below,
+                (p > pbar + 2.0 * sigma OR
+                 p < greatest(pbar - 2.0 * sigma, 0.0)) AS warn_2s
+         FROM m ORDER BY day""",
   )
 }

@@ -947,6 +947,14 @@ class PlanSpec extends SparkTestBase {
     assert(ex.size == 3, ex.mkString("\n")) // shingle, doc, output sort
   }
 
+  test("st15 p-chart: one daily keyed aggregate, 1-row stats broadcast " +
+    "back — no shuffle join, no window") {
+    val p = plan("st15_p_chart")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
   test("zm1 zone maps: one keyed aggregate per layout, no join, no window") {
     val p = plan("zm1_zonemap_prune")
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
