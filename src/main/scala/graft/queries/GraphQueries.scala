@@ -335,46 +335,52 @@ object GraphQueries extends QueryPack {
     // a SEED set (the "related to these accounts" recommendation /
     // fraud-neighborhood primitive; unnormalized seed indicator, so ranks
     // are proportional to the standard e_S-teleport PPR). Arithmetic is
-    // SCALED-INTEGER with floor division — mass in units of 10^-12,
-    // contrib = m div outdeg, m' = (15·10^12·s + 85·m_in) div 100, all in
-    // decimal(38,0)/HUGEINT — because gr8's float spelling hit the exact
-    // Num decimal-pin caveat at sf0.001 (seed masses are CLEAN constants,
-    // and 0.15/outdeg can land on a scale-6 rounding tie the two engines
+    // SCALED-INTEGER with floor division — mass in units of 10^-9,
+    // contrib = m div outdeg, m' = (15·10^9·s + 85·m_in) div 100, all in
+    // plain BIGINT — because gr8's float spelling hit the exact Num
+    // decimal-pin caveat at sf0.001 (seed masses are CLEAN constants, and
+    // 0.15/outdeg can land on a scale-6 rounding tie the two engines
     // break differently; gr1's all-ones start never fed the pin a clean
     // short-decimal). Integer masses make every round exact and the sum
-    // order-independent WITHOUT any pin. Same scale contract as gr1:
-    // edges shuffled once (by src, persisted), each unrolled round
-    // reshuffles only the O(|V|) mass table, |E|-scale caches freed
-    // behind the eager O(|V|) checkpoint. Seeds are a deterministic id
-    // residue (node id % 50 = 0 — custkey multiples of 25).
+    // order-independent WITHOUT any pin — and LONG keeps the loop inside
+    // whole-stage codegen: the first integer spelling used decimal(38,0),
+    // whose precision leaves Spark's compact-long Decimal path, and the
+    // BigDecimal boxing on the |E|-scale round measured 19.4× sf1→sf10
+    // where gr1 reads 4.3×. Overflow headroom: the 85·m_in term needs
+    // |S|·10^9·85 < 2^63, i.e. |S| ≲ 10^8 seeds — a personalized seed
+    // set is orders below that (decimal is the fallback if one ever
+    // isn't). Same scale contract as gr1: edges shuffled once (by src,
+    // persisted), each unrolled round reshuffles only the O(|V|) mass
+    // table, |E|-scale caches freed behind the eager O(|V|) checkpoint.
+    // Seeds: deterministic id residue (node id % 50 = 0).
     "gr8_personalized_pagerank" -> ((s, d) => {
       val e = edges(s, d).repartition(col("src")).persist()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val ed = e.join(deg, "src").persist()
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct().persist()
-      val seedScaled = when(col("id") % 50 === 0, lit(1000000000000L))
-        .otherwise(lit(0L)).cast("decimal(38,0)")
+      val seedScaled = when(col("id") % 50 === 0, lit(1000000000L))
+        .otherwise(lit(0L))
       var mass = nodes.withColumn("m", seedScaled)
       for (_ <- 1 to 3) {
         val incoming = ed.join(mass, col("src") === col("id"))
-          .select(col("dst"), floor(col("m") / col("outdeg")).as("contrib"))
+          .select(col("dst"), expr("m div outdeg").as("contrib"))
           .groupBy("dst").agg(sum(col("contrib")).as("m_in"))
         mass = nodes.join(incoming, col("id") === col("dst"), "left")
           .select(col("id"),
-            floor((lit(15) * seedScaled + lit(85) *
-              coalesce(col("m_in"), lit(0).cast("decimal(38,0)"))) /
-              lit(100)).as("m"))
+            (lit(15) * seedScaled + lit(85) *
+              coalesce(col("m_in"), lit(0L))).as("t"))
+          .select(col("id"), expr("t div 100").as("m"))
       }
       val ranked =
         try mass.localCheckpoint(true)
         finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
-      // rank by the EXACT scaled mass; emit micros (div 10^6) — bigint-
-      // safe up to ~9e12 seeds
+      // rank by the EXACT scaled mass; emit micros (div 10^3 at 1e-9
+      // scale)
       ranked.orderBy(col("m").desc, col("id"))
         .limit(50)
         .select(col("id").as("node_id"),
-          expr("CAST(m div 1000000 AS BIGINT)").as("ppr_micro"))
+          expr("m div 1000").as("ppr_micro"))
     }),
 
     // Synchronous label propagation, 3 unrolled rounds over the symmetric
@@ -746,16 +752,16 @@ object GraphQueries extends QueryPack {
           m3 AS (${iterSql("m2")})
           SELECT id AS node_id, mass AS pr_mass FROM m3
           ORDER BY pr_mass DESC, node_id LIMIT 50""",
-    // scaled-integer twin: HUGEINT masses, // floor division — exact
+    // scaled-integer twin: BIGINT masses, // floor division — exact
     "gr8_personalized_pagerank" -> {
       def pprIter(prev: String): String =
         s"""SELECT n.id,
                    (15 * (CASE WHEN n.id % 50 = 0
-                          THEN CAST(1000000000000 AS HUGEINT)
-                          ELSE CAST(0 AS HUGEINT) END)
-                    + 85 * coalesce(s.m_in, CAST(0 AS HUGEINT))) // 100 AS m
+                          THEN CAST(1000000000 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END)
+                    + 85 * coalesce(s.m_in, CAST(0 AS BIGINT))) // 100 AS m
             FROM nodes n LEFT JOIN (
-              SELECT e.dst, CAST(sum($prev.m // deg.outdeg) AS HUGEINT)
+              SELECT e.dst, CAST(sum($prev.m // deg.outdeg) AS BIGINT)
                        AS m_in
               FROM edges e
               JOIN $prev ON e.src = $prev.id
@@ -766,12 +772,12 @@ object GraphQueries extends QueryPack {
                     UNION SELECT dst FROM edges),
           deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
           m0 AS (SELECT id, CASE WHEN id % 50 = 0
-                   THEN CAST(1000000000000 AS HUGEINT)
-                   ELSE CAST(0 AS HUGEINT) END AS m FROM nodes),
+                   THEN CAST(1000000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS m FROM nodes),
           m1 AS (${pprIter("m0")}),
           m2 AS (${pprIter("m1")}),
           m3 AS (${pprIter("m2")})
-          SELECT id AS node_id, CAST(m // 1000000 AS BIGINT) AS ppr_micro
+          SELECT id AS node_id, m // 1000 AS ppr_micro
           FROM m3 ORDER BY m DESC, node_id LIMIT 50"""
     },
     "gr2_label_prop" -> {

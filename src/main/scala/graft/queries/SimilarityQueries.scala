@@ -244,15 +244,18 @@ object SimilarityQueries extends QueryPack {
       val assign = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").as("nv"), col("cid"))
+      // Q_CAP (sim10's rule): the exhaustive baseline and probe set stay
+      // |Q|-bounded at any corpus size; covers the full gate id range
       val exact = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding",
-          TOPK)
+          emb.filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP),
+          "vec_id", "embedding", TOPK)
         .select(col("query_id"), col("neighbor_id"))
       val nQ = exact.select("query_id").distinct()
         .agg(count(lit(1)).as("n_queries"))
       val tiers = Seq(1, 2, 4).map { np =>
         val probes = ranked
-          .filter(col("vec_id") % QMOD === 0 && col("crn") <= np)
+          .filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP &&
+            col("crn") <= np)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("qv"), col("cid"))
         val cands = probes.join(assign, Seq("cid"))
@@ -765,12 +768,13 @@ object SimilarityQueries extends QueryPack {
             FROM ranked WHERE crn = 1),
           probes AS (
             SELECT vec_id AS query_id, embedding AS qv, cid, crn
-            FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 4),
+            FROM ranked
+            WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP AND crn <= 4),
           escored AS (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    $cosQN AS cos
             FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-            WHERE q.vec_id % $QMOD = 0),
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
           exact AS (
             SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

@@ -941,8 +941,9 @@ class PlanSpec extends SparkTestBase {
     "aggregate on the doc partition, no join") {
     val p = plan("t35_boilerplate_share")
     assert(!p.contains("Join"))
+    // the DF window partitions on the shingle FINGERPRINT column `sh`
     val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(w.nonEmpty && w.forall(_.contains("shingle")), w.mkString("\n"))
+    assert(w.nonEmpty && w.forall(_.contains("sh#")), w.mkString("\n"))
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(ex.size == 3, ex.mkString("\n")) // shingle, doc, output sort
   }
