@@ -87,7 +87,10 @@ object MiningQueries extends QueryPack {
           col("np").as("n_b"))), Seq("p_b"))
         .join(broadcast(nOrders))
         .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
-          expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
+          // decimal(38,0) like lift_ppm: 1e6·n_ab passes 2^63 once pair
+          // support exceeds ~9.2e12 — real at 100-TB basket counts
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab) div n_a AS BIGINT)")
+            .as("conf_ppm"),
           expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_orders)
                   div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
             .as("lift_ppm"))
@@ -178,7 +181,10 @@ object MiningQueries extends QueryPack {
     // exact integers — correctly rounded, bit-identical cross-engine.
     "ab3_bootstrap_ci" -> ((s, d) => {
       Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
+        // null values are excluded from BOTH the sum and n_eff (the
+        // repo-wide `value IS NOT NULL` rule) — without the filter a null
+        // cents row still carries weight into n_eff and biases the mean
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
         .select(col("event_id"),
           round(col("value") * 100).cast("bigint").as("cents"))
         .select(col("event_id"), col("cents"),
@@ -190,7 +196,10 @@ object MiningQueries extends QueryPack {
           sum(col("w") * col("cents").cast("decimal(38,0)"))
             .cast("bigint").as("sum_wcents"))
         .select(col("b"), col("n_eff"), col("sum_wcents"),
-          (col("sum_wcents").cast("double") / col("n_eff").cast("double"))
+          // a replicate's n_eff is 0 with prob e^-n per group — certain
+          // somewhere at scale; emit null, never 0/0
+          when(col("n_eff") > 0,
+            col("sum_wcents").cast("double") / col("n_eff").cast("double"))
             .as("rep_mean_cents"))
         .orderBy("b")
     }),
@@ -272,6 +281,8 @@ object MiningQueries extends QueryPack {
     // integers — correctly rounded, bit-identical cross-engine.
     "fe1_target_encoding_loo" -> ((s, d) => {
       val ev = Tables.events(s, d)
+        // rows without a target can't be encoded OR counted in n_cat
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           round(col("value") * 100).cast("bigint").as("cents"))
       val stats = ev.groupBy("event_type")
@@ -346,7 +357,8 @@ object MiningQueries extends QueryPack {
                  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
                  GROUP BY 1, 2 HAVING count(*) >= $MinSup)
           SELECT p_a, p_b, n_ab, sa.np AS n_a, sb.np AS n_b,
-                 CAST((1000000 * n_ab) // sa.np AS BIGINT) AS conf_ppm,
+                 CAST((CAST(1000000 AS HUGEINT) * n_ab) // sa.np AS BIGINT)
+                   AS conf_ppm,
                  CAST((CAST(1000000 AS HUGEINT) * n_ab * n_orders)
                       // (CAST(sa.np AS HUGEINT) * sb.np) AS BIGINT)
                    AS lift_ppm
@@ -402,7 +414,8 @@ object MiningQueries extends QueryPack {
       val w = Bootstrap.weightSql("event_id", "b")
       s"""WITH ev AS (SELECT event_id,
                              CAST(round(value * 100) AS BIGINT) AS cents
-                      FROM events WHERE event_type = 'purchase'),
+                      FROM events
+                      WHERE event_type = 'purchase' AND value IS NOT NULL),
           rep AS (SELECT event_id, cents, b
                   FROM ev CROSS JOIN
                     (SELECT unnest(range(0, ${Bootstrap.B})) AS b)),
@@ -411,8 +424,10 @@ object MiningQueries extends QueryPack {
           SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
                  CAST(sum(CAST(w AS HUGEINT) * cents) AS BIGINT)
                    AS sum_wcents,
-                 CAST(sum(CAST(w AS HUGEINT) * cents) AS DOUBLE)
-                   / CAST(sum(w) AS DOUBLE) AS rep_mean_cents
+                 CASE WHEN sum(w) > 0 THEN
+                   CAST(sum(CAST(w AS HUGEINT) * cents) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE)
+                 ELSE NULL END AS rep_mean_cents
           FROM wt GROUP BY b ORDER BY b"""
     },
 
@@ -457,7 +472,7 @@ object MiningQueries extends QueryPack {
     "fe1_target_encoding_loo" ->
       """WITH ev AS (SELECT event_id, event_type,
                             CAST(round(value * 100) AS BIGINT) AS cents
-                     FROM events),
+                     FROM events WHERE value IS NOT NULL),
           stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cat,
                            CAST(sum(cents) AS BIGINT) AS s_cat
                     FROM ev GROUP BY 1)

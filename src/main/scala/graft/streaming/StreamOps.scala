@@ -870,7 +870,7 @@ object StreamOps {
   }
 
   case class BsOut(hour_start_ms: Long, b: Int, n_eff: Long,
-                   sum_wcents: Long, rep_mean_cents: Double)
+                   sum_wcents: Long, rep_mean_cents: Option[Double])
   case class BsState(neff: Array[Long], sums: Array[Long])
 
   /** Streaming Poisson-bootstrap replicate accumulation per tumbling hour
@@ -903,8 +903,13 @@ object StreamOps {
             val st = state.get
             state.remove()
             (0 until B).iterator.map { b =>
+              // P(n_eff = 0) = e^-n per replicate — routine for sparse
+              // hours (1-2 purchases); emit null, never 0/0 NaN (the
+              // batch ab3 gate applies the same guard)
               BsOut(hourMs, b, st.neff(b), st.sums(b),
-                st.sums(b).toDouble / st.neff(b).toDouble)
+                if (st.neff(b) > 0)
+                  Some(st.sums(b).toDouble / st.neff(b).toDouble)
+                else None)
             }
           } else {
             val st = state.getOption.getOrElse(

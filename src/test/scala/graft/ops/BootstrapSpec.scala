@@ -53,4 +53,40 @@ class BootstrapSpec extends SparkTestBase {
       assert(math.abs(s - n) < 5 * math.sqrt(n.toDouble), s"n_eff=$s vs n=$n")
     }
   }
+
+  test("cross-replicate independence: adjacent-replicate weight corr ~ 0") {
+    // the affine-in-b mixing this guards against had corr(w_b, w_{b+1})
+    // ≈ -0.35 for EVERY adjacent pair (constant inter-replicate step)
+    val n = 5000
+    val w = Array.tabulate(Bootstrap.B)(b =>
+      (1L to n.toLong).map(id => Bootstrap.weightLocal(id, b).toDouble).toArray)
+    def corr(x: Array[Double], y: Array[Double]): Double = {
+      val mx = x.sum / n; val my = y.sum / n
+      val cov = (0 until n).map(i => (x(i) - mx) * (y(i) - my)).sum
+      val vx = x.map(v => (v - mx) * (v - mx)).sum
+      val vy = y.map(v => (v - my) * (v - my)).sum
+      cov / math.sqrt(vx * vy)
+    }
+    (0 until Bootstrap.B - 1).foreach { b =>
+      val c = corr(w(b), w(b + 1))
+      assert(math.abs(c) < 0.08, s"corr(w_$b, w_${b + 1}) = $c")
+    }
+  }
+
+  test("replicate n_eff spread is Poisson-like (~sqrt(n)), not degenerate") {
+    // the affine-in-b scheme made each replicate's weight multiset a
+    // constant-shift permutation of the same sequence — sd(n_eff) ~ 100x
+    // below the sqrt(n) a true Poisson bootstrap needs for count CIs
+    val n = 5000
+    val byB = (0 until Bootstrap.B).map { b =>
+      (1L to n.toLong).map(id => Bootstrap.weightLocal(id, b).toLong).sum
+        .toDouble
+    }
+    val mean = byB.sum / byB.size
+    val sd = math.sqrt(byB.map(s => (s - mean) * (s - mean)).sum /
+      (byB.size - 1))
+    val expect = math.sqrt(n.toDouble) // Var(n_eff) = n for Poisson(1)
+    assert(sd > 0.4 * expect && sd < 2.5 * expect,
+      s"sd(n_eff)=$sd vs sqrt(n)=$expect — replicate distribution degenerate")
+  }
 }

@@ -938,7 +938,8 @@ class StreamingSpec extends SparkTestBase {
           ne += w; sw += w * Math.round(e.value * 100)
         }
         assert(r.n_eff == ne && r.sum_wcents == sw, s"replicate ${r.b}: $r")
-        assert(r.rep_mean_cents == sw.toDouble / ne.toDouble)
+        val want = if (ne > 0) Some(sw.toDouble / ne.toDouble) else None
+        assert(r.rep_mean_cents == want)
       }
     } finally q.stop()
   }
