@@ -285,16 +285,43 @@ object GraphQueries extends QueryPack {
           .agg(agg.toColumn)
           .toDF("c", "ns")
       }
-      val cand = capped
-        .select(posexplode(col("ns")).as(Seq("i", "u")), col("ns"))
-        .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
-      val edges = tb.oriented.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      cand.join(edges, Seq("u", "v"), "left_anti")
-        .orderBy(col("n_common").desc, col("u"), col("v"))
+      // The tail (count pair multiplicity → drop existing edges → top 20)
+      // is ONE sort-based streaming pass instead of the earlier
+      // hash-aggregate + anti-join + global sort. The earlier shape paid
+      // three data-scale stages on a ~40M-row (sf0.1) / ~4G-row (sf10)
+      // pair stream with ~1.3 rows/group: a partial hash aggregate that
+      // barely reduced, a second full exchange to re-key the counted
+      // pairs for the (u, v) anti-join, and a TakeOrdered over every
+      // surviving group. Here every pair instance ships ONCE as a single
+      // packed BIGINT — k = (u·2^32 + v)·2 + 1, with each existing edge
+      // unioned in once as the marker k = (u·2^32 + v)·2 (part ids <
+      // 2^30 keeps the pack under 2^63 through PB-scale corpora; ns is
+      // sorted ascending so u < v and the pack preserves (u, v) order) —
+      // into ONE uv-keyed exchange, gets radix-sorted within partitions,
+      // and a run-length pass counts each run, skips runs opened by an
+      // edge marker (the anti-join, for free — markers sort first), and
+      // keeps the partition's top 20 in an O(20) buffer. 32×20 rows reach
+      // the final TakeOrdered. Measured at sf1: 42 s → 17 s warm; exact
+      // same rows (oracle hash unchanged at sf0.001/sf0.01). An
+      // ap-threshold endpoint prune (n_common(u,v) ≤ min appearances of
+      // u, v across capped lists) was measured and REJECTED: median
+      // appearance count is 74 at sf0.1 while the top-20 floor is 8, so
+      // the prune kept 98% of pair rows — the common-neighbor signal sits
+      // too close to the noise floor for any safe candidate cut.
+      val pairRows = capped.select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), " +
+          "v -> (x * 4294967296L + v) * 2 + 1)))")).as("k"))
+      val edgeRows = tb.oriented.select(
+        ((least(col("src"), col("dst")) * lit(4294967296L) +
+          greatest(col("src"), col("dst"))) * 2).as("k"))
+      val locals = graft.ops.TopPairs.runLengthTopK(
+        s, pairRows.unionByName(edgeRows), 20)
+      locals.toDF("uv", "n_common")
+        .orderBy(col("n_common").desc, col("uv"))
         .limit(20)
+        .select(expr("uv div 4294967296L").as("u"),
+          (col("uv") % 4294967296L).as("v"), col("n_common"))
     }),
 
     // 3 unrolled PageRank iterations (mass form: avg node mass = 1, so

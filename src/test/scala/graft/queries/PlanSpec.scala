@@ -419,12 +419,22 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.take(8).mkString("\n"))
   }
 
-  test("gt5 link prediction: capped wedge fan-out is a Generate; the 20-row " +
-    "cut is TakeOrdered; no cartesian anywhere") {
+  test("gt5 link prediction: capped wedge fan-out is a Generate; the pair " +
+    "stream crosses ONE exchange into the run-length pass (no hash " +
+    "aggregate, no anti-join re-shuffle); the 20-row cut is TakeOrdered") {
     val p = plan("gt5_link_prediction")
     assert(p.contains("Generate"), p.linesIterator.take(8).mkString("\n"))
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
+    // the sort-based tail replaced the count aggregate + LeftAnti join:
+    // the packed pair/edge union shuffles once and is consumed by the
+    // typed run-length MapPartitions — no join operator remains
+    assert(p.contains("MapPartitions"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("LeftAnti"))
+    val pairExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("(k#"))
+    assert(pairExchanges <= 1, p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n"))
   }
 
   test("t25 bigram cross-entropy: no cartesian; the scoring stream reaches " +
