@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.StableHash
 
 /** Cross-SESSION persistence for expensive shared bases — the tier above
   * [[SharedBase]]'s in-session memo. SharedBase makes the second query of
@@ -15,7 +14,8 @@ import graft.functions.StableHash
   *
   * Invalidation rule: the key is an order-independent fingerprint of the
   * source table's identifying columns (count + sum + xor of a per-row
-  * [[StableHash.polyHash64]]), computed in ONE aggregate pass over only
+  * avalanching `xxhash64` — see [[corpusKey]] on why the polynomial fold
+  * was unsafe here), computed in ONE aggregate pass over only
   * those columns — a column-pruned scan, no payload bytes beyond the
   * named columns. Any insert, delete, or key-column update changes the
   * fingerprint and the store entry is rebuilt; entries for superseded
@@ -48,11 +48,26 @@ private[graft] object PersistedBase {
     * aggregate pass → (row count, wrapping sum, xor) of the row hash,
     * rendered as a hex string. Commutative accumulators make the key
     * independent of partitioning and row order. The sum rides a
-    * decimal(38,0): ~2^60 per-row hashes overflow an ANSI long sum after
+    * decimal(38,0): ~2^63 per-row hashes overflow an ANSI long sum after
     * a handful of rows; decimal holds ~1e18 rows before it would.
+    *
+    * The row hash must be AVALANCHING, not the repo's polynomial fold: a
+    * polynomial hash is affine in each character, so a same-position
+    * character swap across two rows (doc A gains the char doc B loses —
+    * flag flips, text swaps: ordinary corpus edits) cancels EXACTLY in
+    * the commutative sum — h(a)+h(b') = h(a')+h(b) whenever a/a' and
+    * b/b' differ by the same δ at the same position — leaving only the
+    * xor as defense, which collides whenever the carry-flipped bits
+    * happen to agree (GraphPersistedSpec's returnflag-flip pin caught
+    * precisely this as a FULL key collision with the old polyHash64 row
+    * hash). xxhash64's avalanche destroys the affine structure; store
+    * keys are engine-internal so no DuckDB twin is needed (the
+    * StableHash tier-2 rule). Switching the hash retired pre-existing
+    * store entries — dead files under the lazy-sweep rule, never wrong
+    * answers.
     */
   def corpusKey(df: DataFrame, keyCols: Column*): String = {
-    val h = StableHash.polyHash64(concat_ws("\u0001",
+    val h = xxhash64(concat_ws("\u0001",
       keyCols.map(_.cast("string")): _*))
     // coalesce: sum/bit_xor are NULL over zero rows — an empty corpus
     // must yield the stable key "0-0-0", not a driver NPE

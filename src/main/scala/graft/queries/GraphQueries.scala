@@ -593,59 +593,141 @@ object GraphQueries extends QueryPack {
     // the SAME sample so the err readout stays apples-to-apples; the
     // register path itself still covers every node.
     "gr7_hyperball" -> ((s, d) => {
-      import graft.functions.{Hll, StableHash}
       val e = edges(s, d)
+      hyperballReadout(e, hbRegisters(e))
+    }),
+
+    // gr7's CROSS-SESSION form: the propagated register table — the cost
+    // of gr7 (two edge-keyed shuffles over |V|·m register rows) — served
+    // from the content-keyed parquet store, alongside the shared
+    // persisted edge list ([[graft.ops.PersistedBase]], d7b/gt2b
+    // discipline applied to the graph family per the round-9 verdict).
+    // A fresh session pays two key-probe aggregates (one column-pruned
+    // scan each over orders/lineitem — exactly the columns `edges`
+    // derives from) + two parquet reads instead of the join+distinct
+    // edge build and the two propagation rounds. Invalidation: any
+    // change to an order/line key or a return flag changes the key and
+    // both entries rebuild (registers ride the SAME key because they
+    // derive from edges alone — a stale-register store would serve
+    // wrong ball sizes). The readout tail (per-node HLL fold + the
+    // Gr7Cap-sampled exact calibration) recomputes per call.
+    "gr7b_hyperball_persisted" -> ((s, d) => {
+      val key = graphEdgesKey(s, d)
+      val e = graft.ops.PersistedBase.getOrBuild(s, "graph_edges", key) {
+        edges(s, d)
+      }
+      val regs = graft.ops.PersistedBase.getOrBuild(s, "hb_registers", key) {
+        hbRegisters(e)
+      }
+      hyperballReadout(e, regs)
+    }),
+
+    // gr4's CROSS-SESSION form: the BFS rides the persisted edge list
+    // (same store entry and content key as gr7b — one edge build serves
+    // the whole graph family across sessions). The traversal itself
+    // recomputes per call: it is seed-dependent and O(rounds · |E|)
+    // joins over the already-built edges, while the join+distinct edge
+    // construction is what every cold session was paying for.
+    "gr4b_bfs_hops_persisted" -> ((s, d) => {
+      val key = graphEdgesKey(s, d)
+      val e = graft.ops.PersistedBase.getOrBuild(s, "graph_edges", key) {
+          edges(s, d)
+        }.repartition(col("src")).persist()
       val nodes = e.select(col("src").as("id"))
-        .unionAll(e.select(col("dst").as("id"))).distinct()
-      val h = StableHash.polyHash64(
-        concat(lit("n"), col("id").cast("string")))
-      val r0 = nodes.select(col("id"),
-        Hll.regCol(h).as("reg"), Hll.rhoCol(h).as("rho"))
-      def propagate(r: DataFrame): DataFrame =
-        r.unionAll(
-            e.join(r.withColumnRenamed("id", "nbr"),
-              col("dst") === col("nbr"))
-              .select(col("src").as("id"), col("reg"), col("rho")))
-          .groupBy("id", "reg").agg(max(col("rho")).as("rho"))
-      val s2 = propagate(propagate(r0))
-      val M = Hll.M.toLong
-      val perNode = s2.groupBy("id").agg(
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.W + 1} - rho)"))
-            .as("sp"),
-          count(lit(1)).as("used"))
-        .select(col("id"), col("used"), (lit(M) - col("used")).as("zeros"),
-          (col("sp") + (lit(M) - col("used")) * lit(Hll.MaxTerm)).as("ssum"))
-        .withColumn("raw_est",
-          lit(Hll.Alpha) * lit((M * M).toDouble) * lit(Hll.MaxTerm.toDouble)
-            / col("ssum").cast("double"))
-        .withColumn("est",
-          when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
-            lit(M.toDouble) *
-              (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
-          .otherwise(col("raw_est")))
-      val e1 = e.filter(col("src") < Gr7Cap) // first hop from sampled starts
-      val b1 = nodes.filter(col("id") < Gr7Cap)
-        .select(col("id").as("v"), col("id").as("u"))
-        .unionAll(e1.select(col("src").as("v"), col("dst").as("u")))
-        .distinct()
-      val b2 = b1.unionAll(
-          e1.select(col("src").as("v"), col("dst").as("w"))
-            .join(e.select(col("src").as("w"), col("dst").as("u")), Seq("w"))
-            .select(col("v"), col("u")))
-        .distinct()
-      val exact = b2.groupBy(col("v")).agg(count(lit(1)).as("ball"))
-      perNode.join(exact, col("id") === col("v"))
-        .groupBy((col("id") % 2).as("part"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("ball")).as("exact_pairs"),
-          Num.dsum(col("est")).as("est_sum"))
-        .withColumn("err_ppm",
-          floor(lit(1000000.0) * abs(col("est_sum")
-              - col("exact_pairs").cast("double"))
-            / col("exact_pairs").cast("double")).cast("bigint"))
-        .select("part", "n_nodes", "exact_pairs", "est_sum", "err_ppm")
-        .orderBy("part")
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === BfsNation)
+        .select((col("c_custkey") * 2).as("id"))
+        .join(nodes, Seq("id"), "left_semi")
+      val visited = graft.ops.Bfs.reach(e, seeds, 3)
+      val out =
+        try visited.localCheckpoint(true)
+        finally { e.unpersist(); nodes.unpersist() }
+      out.select(col("id").as("node_id"), col("hops").cast("int").as("hops"))
+        .orderBy("node_id")
     }),
   )
+
+  /** Shared content key for the persisted graph-family bases: one
+    * order-independent fingerprint per source table, over EXACTLY the
+    * columns [[edges]] derives from (two column-pruned aggregate scans —
+    * the probe cost a warm session pays instead of the build).
+    */
+  private[graft] def graphEdgesKey(s: SparkSession, d: String): String = {
+    val ok = graft.ops.PersistedBase.corpusKey(Tables.orders(s, d),
+      col("o_orderkey"), col("o_custkey"))
+    val lk = graft.ops.PersistedBase.corpusKey(Tables.lineitem(s, d),
+      col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    s"$ok.$lk"
+  }
+
+  /** gr7's propagated register table (id, reg, rho after 2 rounds): the
+    * HLL registers of every node's ≤2-hop out-ball, built by two rounds
+    * of edge-keyed max-combine propagation — the data-scale cost of the
+    * hyperball family and therefore the piece gr7b persists.
+    */
+  private def hbRegisters(e: DataFrame): DataFrame = {
+    import graft.functions.{Hll, StableHash}
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val h = StableHash.polyHash64(
+      concat(lit("n"), col("id").cast("string")))
+    val r0 = nodes.select(col("id"),
+      Hll.regCol(h).as("reg"), Hll.rhoCol(h).as("rho"))
+    def propagate(r: DataFrame): DataFrame =
+      r.unionAll(
+          e.join(r.withColumnRenamed("id", "nbr"),
+            col("dst") === col("nbr"))
+            .select(col("src").as("id"), col("reg"), col("rho")))
+        .groupBy("id", "reg").agg(max(col("rho")).as("rho"))
+    propagate(propagate(r0))
+  }
+
+  /** gr7's readout tail: per-node HLL estimate from the register table
+    * + the Gr7Cap-sampled exact calibration side, aggregated per
+    * bipartite part (see gr7's scaladoc for the sampling rule).
+    */
+  private def hyperballReadout(e: DataFrame, s2: DataFrame): DataFrame = {
+    import graft.functions.Hll
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val M = Hll.M.toLong
+    val perNode = s2.groupBy("id").agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.W + 1} - rho)"))
+          .as("sp"),
+        count(lit(1)).as("used"))
+      .select(col("id"), col("used"), (lit(M) - col("used")).as("zeros"),
+        (col("sp") + (lit(M) - col("used")) * lit(Hll.MaxTerm)).as("ssum"))
+      .withColumn("raw_est",
+        lit(Hll.Alpha) * lit((M * M).toDouble) * lit(Hll.MaxTerm.toDouble)
+          / col("ssum").cast("double"))
+      .withColumn("est",
+        when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
+          lit(M.toDouble) *
+            (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
+        .otherwise(col("raw_est")))
+    val e1 = e.filter(col("src") < Gr7Cap) // first hop from sampled starts
+    val b1 = nodes.filter(col("id") < Gr7Cap)
+      .select(col("id").as("v"), col("id").as("u"))
+      .unionAll(e1.select(col("src").as("v"), col("dst").as("u")))
+      .distinct()
+    val b2 = b1.unionAll(
+        e1.select(col("src").as("v"), col("dst").as("w"))
+          .join(e.select(col("src").as("w"), col("dst").as("u")), Seq("w"))
+          .select(col("v"), col("u")))
+      .distinct()
+    val exact = b2.groupBy(col("v")).agg(count(lit(1)).as("ball"))
+    perNode.join(exact, col("id") === col("v"))
+      .groupBy((col("id") % 2).as("part"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("ball")).as("exact_pairs"),
+        Num.dsum(col("est")).as("est_sum"))
+      .withColumn("err_ppm",
+        floor(lit(1000000.0) * abs(col("est_sum")
+            - col("exact_pairs").cast("double"))
+          / col("exact_pairs").cast("double")).cast("bigint"))
+      .select("part", "n_nodes", "exact_pairs", "est_sum", "err_ppm")
+      .orderBy("part")
+  }
 
   private def edgesSql: String =
     """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -675,7 +757,11 @@ object GraphQueries extends QueryPack {
                JOIN edges e2 ON e2.u = e1.v
                JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
 
-  val oracles: Map[String, String] = Map(
+  // the persisted forms are SEMANTICALLY the same queries (the store only
+  // changes where the base comes from), so they share one oracle each —
+  // the hash gates prove the cold build, the warm serve, and the direct
+  // computation all agree (appended below the literal)
+  private val baseOracles: Map[String, String] = Map(
     "gr6_assortativity" ->
       s"""WITH e AS ($edgesSql),
           deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
@@ -970,4 +1056,8 @@ object GraphQueries extends QueryPack {
           FROM ag ORDER BY part"""
     },
   )
+
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "gr4b_bfs_hops_persisted" -> baseOracles("gr4_bfs_hops"),
+    "gr7b_hyperball_persisted" -> baseOracles("gr7_hyperball"))
 }

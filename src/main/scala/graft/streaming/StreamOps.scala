@@ -512,6 +512,90 @@ object StreamOps {
       }
   }
 
+  case class PairEvt(pair_ms: Long, in_a: Boolean, user_id: Long,
+                     ts: Timestamp)
+  case class OverlapOut(hour_a_ms: Long, hour_b_ms: Long, est_a: Double,
+                        est_b: Double, est_union: Double, est_inter: Double,
+                        est_new: Double)
+  case class OverlapState(regsA: Array[Byte], regsB: Array[Byte])
+
+  /** HLL set algebra between consecutive hours — the streaming twin of
+    * the batch sketch set-algebra tier (`sk6_hll_intersection`'s
+    * inclusion-exclusion and `sk5_bottomk_new_users`' difference
+    * readout), sharing the register/rho/estimator core with the batch
+    * queries through [[graft.functions.Hll]] (one definition — the
+    * approxDistinct rule), so identical inputs yield bit-identical
+    * registers and estimates (the spec pins the cross-batch fold).
+    *
+    * One state row per OPEN consecutive-hour pair: each event lands its
+    * hour's register update in TWO pair groups — as side b of (h−1, h)
+    * and side a of (h, h+1) — so the pair's state is exactly two
+    * 256-byte register arrays (512 bytes regardless of cardinality; the
+    * spec asserts rows = f(open pairs)). The readout is the full set
+    * algebra from those registers alone: union = element-wise register
+    * max (the hll2 merge law), intersection = est_a + est_b − est_union
+    * (sk6's I-E, same error-compounding caveat), new users = est_union −
+    * est_a (sk5's question answered from registers instead of bottom-k
+    * minima). Emission is watermark-final — one row per pair, after the
+    * watermark passes the SECOND hour's end; pairs missing a side (the
+    * stream's first/last hours) stay silent, matching the batch queries'
+    * valid-pair join.
+    */
+  def approxOverlap(spark: SparkSession, events: Dataset[Evt],
+                    watermarkDelay: String = "1 minute")
+      : Dataset[OverlapOut] = {
+    import spark.implicits._
+    import graft.functions.{Hll, StableHash}
+    events
+      .flatMap { e =>
+        val h = e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L)
+        Seq(PairEvt(h - 3600000L, in_a = false, e.user_id, e.ts),
+          PairEvt(h, in_a = true, e.user_id, e.ts))
+      }
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.pair_ms)
+      .flatMapGroupsWithState[OverlapState, OverlapOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (pairMs: Long, rows: Iterator[PairEvt],
+         state: GroupState[OverlapState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // a side with zero nonzero registers had NO events in its
+            // hour: emit nothing (the batch tier's valid-pair rule)
+            if (st.regsA.exists(_ > 0) && st.regsB.exists(_ > 0)) {
+              val (ea, _, _) = Hll.estimate(st.regsA)
+              val (eb, _, _) = Hll.estimate(st.regsB)
+              val u = new Array[Byte](Hll.M)
+              var i = 0
+              while (i < Hll.M) {
+                u(i) = if (st.regsA(i) >= st.regsB(i)) st.regsA(i)
+                       else st.regsB(i)
+                i += 1
+              }
+              val (eu, _, _) = Hll.estimate(u)
+              Iterator.single(OverlapOut(pairMs, pairMs + 3600000L,
+                ea, eb, eu, ea + eb - eu, eu - ea))
+            } else Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(OverlapState(
+              new Array[Byte](Hll.M), new Array[Byte](Hll.M)))
+            rows.foreach { e =>
+              val h = StableHash.polyHash64Local("u" + e.user_id)
+              val r = Hll.register(h)
+              val rho = Hll.rho(h).toByte
+              val regs = if (e.in_a) st.regsA else st.regsB
+              if (rho > regs(r)) regs(r) = rho
+            }
+            state.update(st)
+            // the pair closes when the watermark passes hour b's END
+            state.setTimeoutTimestamp(math.max(pairMs + 2 * 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class QuotaOut(event_id: Long, user_id: Long, quota_rank: Int)
   case class QuotaState(n: Int, lastTsMs: Long)
 

@@ -45,6 +45,22 @@ class PersistedBaseSpec extends SparkTestBase {
     assert(builds == 2, "a new content key must rebuild")
   }
 
+  test("corpusKey: a same-position character SWAP across two rows must " +
+    "invalidate (the affine-cancellation regression)") {
+    // rows 1/2 trade their last characters: with a polynomial row hash
+    // the commutative sum is IDENTICAL by algebra (h(a)+h(b') =
+    // h(a')+h(b) for a same-position same-δ edit pair) and the xor
+    // collided in practice (GraphPersistedSpec's returnflag flip) —
+    // the avalanching row hash must see the swap
+    val swapped = docs.withColumn("text",
+      when(col("id") === 1L, lit("aa bd"))
+        .when(col("id") === 2L, lit("cc db"))
+        .otherwise(col("text")))
+    assert(PersistedBase.corpusKey(swapped, col("id"), col("text")) !=
+      PersistedBase.corpusKey(docs, col("id"), col("text")),
+      "a cross-row character swap must change the key")
+  }
+
   test("corpusKey: empty corpus yields the stable 0-0-0 key, not an NPE") {
     assert(PersistedBase.corpusKey(docs.filter(col("id") < 0L),
       col("id"), col("text")) == "0-0-0")

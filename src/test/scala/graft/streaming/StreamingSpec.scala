@@ -1113,4 +1113,83 @@ class StreamingSpec extends SparkTestBase {
         s"straggler must drop and the fold must not reorder: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming set algebra: watermark-final pair readouts identical " +
+    "to the shared register cores, cross-batch merge included") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.{Hll, StableHash}
+    val ms = MemoryStream[StreamOps.Evt]
+    // hour 0: users 1..40 split ACROSS two batches (side-a registers of
+    // pair (h0,h1) must merge in state); hour 1: users 21..70 (overlap
+    // 21..40); hour 2: users 60..80 (overlap 60..70). Expected emissions:
+    // pairs (h0,h1) and (h1,h2) — the boundary pairs (−1h,h0)/(h2,+1h)
+    // are one-sided and must stay silent.
+    val h0a = (1 to 25).map(u =>
+      StreamOps.Evt(u.toLong, ts(u % 50), u.toLong, "view", 1.0))
+    val h0b = (26 to 40).map(u =>
+      StreamOps.Evt(100L + u, ts(u % 50), u.toLong, "view", 1.0))
+    val h1 = (21 to 70).map(u =>
+      StreamOps.Evt(200L + u, ts(60 + u % 50), u.toLong, "view", 1.0))
+    val h2 = (60 to 80).map(u =>
+      StreamOps.Evt(300L + u, ts(120 + u % 50), u.toLong, "view", 1.0))
+    val q = StreamOps.approxOverlap(spark, ms.toDS())
+      .writeStream.format("memory").queryName("ovl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(h0a: _*); q.processAllAvailable()
+      ms.addData(h0b ++ h1: _*); q.processAllAvailable()
+      assert(spark.table("ovl_out").count() == 0,
+        "no pair may emit before the watermark passes its SECOND hour")
+      ms.addData(h2: _*); q.processAllAvailable()
+      assert(spark.table("ovl_out").count() == 1,
+        "only the (h0,h1) pair is closed after hour-2 data arrives")
+      ms.addData(StreamOps.Evt(999, ts(6000), 999, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ovl_out").as[StreamOps.OverlapOut]
+        .collect().sortBy(_.hour_a_ms)
+      def regsOf(users: Range): Array[Byte] = {
+        val regs = new Array[Byte](Hll.M)
+        users.foreach { u =>
+          val h = StableHash.polyHash64Local("u" + u)
+          val r = Hll.register(h)
+          if (Hll.rho(h) > regs(r)) regs(r) = Hll.rho(h).toByte
+        }
+        regs
+      }
+      def expected(a: Range, b: Range, hourA: Long) = {
+        val (ra, rb) = (regsOf(a), regsOf(b))
+        val (ea, _, _) = Hll.estimate(ra)
+        val (eb, _, _) = Hll.estimate(rb)
+        val (eu, _, _) = Hll.estimate(
+          ra.zip(rb).map { case (x, y) => if (x >= y) x else y })
+        StreamOps.OverlapOut(hourA, hourA + 3600000L,
+          ea, eb, eu, ea + eb - eu, eu - ea)
+      }
+      val hour0 = ts(0).getTime
+      assert(got.toSeq == Seq(
+        expected(1 to 40, 21 to 70, hour0),
+        expected(21 to 70, 60 to 80, hour0 + 3600000L)),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming set algebra state is rows = f(open pairs), not users") {
+    // 3000 distinct users across two adjacent hours touch three pair
+    // groups — (−1h,h0), (h0,h1), (h1,+1h) — of which the first has
+    // already timed out (silently: side a empty) once the watermark
+    // passed hour 0's end, so state settles at TWO 2×256-byte register
+    // rows no matter the cardinality.
+    val evts = (1 to 3000).map(u => StreamOps.Evt(u.toLong,
+      ts(if (u % 2 == 0) u % 50 else 60 + u % 50), 100000L + u, "view", 1.0))
+    val ms = mkEvents(evts)
+    val q = StreamOps.approxOverlap(spark, ms.toDS())
+      .writeStream.format("memory").queryName("ovl_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L,
+        s"set-algebra state must be one row per open pair (2): $stateRows")
+    } finally q.stop()
+  }
 }
