@@ -399,8 +399,77 @@ case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
+/** Packed unordered pairs of a sorted BIGINT array: for every i < j emits
+  * `(a(i)·2^32 + a(j))·2 + 1` — gt5's common-neighbor pair key with the
+  * [[graft.ops.TopPairs]] instance tag already applied. One primitive
+  * `long[n(n−1)/2]` per input row, evaluated inside whole-stage codegen and
+  * fed to the BUILT-IN `explode` (which keeps its own codegen path over
+  * collection generators). Replaces the
+  * `flatten(transform(ns, (x,i) -> transform(slice(ns,i+2,…), …)))` chain,
+  * whose interpreted higher-order lambdas built ~n²/2 boxed Longs inside
+  * n fresh nested GenericArrayData per center — measured on gt5 at sf1:
+  * map-stage CPU dominated by allocation/GC of those temporaries (see
+  * GraphQueries' gt5 comment for the before/after).
+  *
+  * Caller contract (same as the SQL chain it replaces): elements are
+  * non-null, sorted ascending, and < 2^30 — the pack is then
+  * order-preserving on (u, v) and fits a BIGINT through PB-scale corpora.
+  */
+case class PackedPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_packed_pairs requires ARRAY<BIGINT> input, got ${other.sql}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      val hi = a.getLong(i) * 4294967296L
+      var j = i + 1
+      while (j < n) {
+        out(k) = (hi + a.getLong(j)) * 2 + 1
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      int ${ev.value}_n = $c.numElements();
+      long[] ${ev.value}_o = new long[${ev.value}_n * (${ev.value}_n - 1) / 2];
+      int ${ev.value}_k = 0;
+      for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n - 1; ${ev.value}_i++) {
+        long ${ev.value}_hi = $c.getLong(${ev.value}_i) * 4294967296L;
+        for (int ${ev.value}_j = ${ev.value}_i + 1; ${ev.value}_j < ${ev.value}_n;
+             ${ev.value}_j++) {
+          ${ev.value}_o[${ev.value}_k++] =
+            (${ev.value}_hi + $c.getLong(${ev.value}_j)) * 2 + 1;
+        }
+      }
+      ${ev.value} =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_o);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairsExpr =
+    copy(child = newChild)
+}
+
 object Exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
+  def packedPairs(c: Column): Column = column(PackedPairsExpr(expression(c)))
   def polyHash(c: Column): Column = column(PolyHashExpr(expression(c)))
   def polyHash64(c: Column): Column = column(PolyHash64Expr(expression(c)))
   def minHash(c: Column, n: Int): Column = {

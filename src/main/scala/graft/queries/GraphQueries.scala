@@ -308,10 +308,14 @@ object GraphQueries extends QueryPack {
       // appearance count is 74 at sf0.1 while the top-20 floor is 8, so
       // the prune kept 98% of pair rows — the common-neighbor signal sits
       // too close to the noise floor for any safe candidate cut.
-      val pairRows = capped.select(explode(expr(
-        "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns)), " +
-          "v -> (x * 4294967296L + v) * 2 + 1)))")).as("k"))
+      // pair generation is a codegen'd native expression emitting ONE
+      // primitive long[C(|ns|,2)] per center + the built-in (codegen)
+      // explode — the earlier flatten(transform(slice)) spelling built
+      // ~C(|ns|,2) boxed Longs inside |ns| nested temporaries per center
+      // through interpreted lambdas (measured isolated, 3-iter medians:
+      // sf1 66.8 → 40.3 s, sf10 611.6 → 342.6 s, same oracle hashes)
+      val pairRows = capped.select(
+        explode(graft.functions.Exprs.packedPairs(col("ns"))).as("k"))
       val edgeRows = tb.oriented.select(
         ((least(col("src"), col("dst")) * lit(4294967296L) +
           greatest(col("src"), col("dst"))) * 2).as("k"))

@@ -51,10 +51,15 @@ object SimilarityQueries extends QueryPack {
   private val TRUNC_DIM = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // query set = absolute sample (% QMOD, capped at Q_CAP): exhaustive
+    // scoring is Q·N by definition, so Q must NOT scale with the corpus
+    // (the sim10/sim14 rule — and the round-10 probe measured its
+    // absence on the sibling sr2 at 33× per 10× data before the cap)
     "sim1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb,
-        emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+        emb.filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP),
+        "vec_id", "embedding", TOPK)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
     }),
@@ -423,10 +428,18 @@ object SimilarityQueries extends QueryPack {
     // integer-exact; the final mean is one double division. Misses score
     // 0 and stay in the denominator — the honest MRR. Plan: sim1's
     // broadcast-query scoring, a keyed label join, one global aggregate.
+    // Query set capped at Q_CAP (the sim10/sim14 absolute-sample rule):
+    // the round-10 sf10 probe measured the uncapped % QMOD spelling at
+    // 33.1× per 10× data (Q ∝ N turns the exhaustive side into N²/QMOD);
+    // an MRR estimate's precision depends on |Q|, not the sampled
+    // fraction, and Q_CAP covers every gate corpus's full id range so
+    // the sf0.001/sf0.01 hashes are unchanged. Post-cap: 2.08 s → 1.20 s
+    // at sf1, 68.7 s → 1.59 s at sf10 (1.3× — the corpus-side scan).
     "sr2_mrr" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val qPred = col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP
       val topk = Similarity.bruteForceTopK(emb,
-        emb.filter(col("vec_id") % QMOD === 0), "vec_id", "embedding", TOPK)
+        emb.filter(qPred), "vec_id", "embedding", TOPK)
       val lbl = emb.select(col("vec_id"), col("label"))
       val firsts = topk
         .join(lbl.select(col("vec_id").as("query_id"),
@@ -435,7 +448,7 @@ object SimilarityQueries extends QueryPack {
           col("label").as("nlab")), "neighbor_id")
         .filter(col("qlab") === col("nlab"))
         .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
-      emb.filter(col("vec_id") % QMOD === 0)
+      emb.filter(qPred)
         .select(col("vec_id").as("query_id"))
         .join(firsts, Seq("query_id"), "left")
         .select(expr(s"coalesce($RrPpmSql, CAST(0 AS BIGINT))").as("rr_ppm"),
@@ -464,7 +477,7 @@ object SimilarityQueries extends QueryPack {
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    $cosQN AS cos
             FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-            WHERE q.vec_id % $QMOD = 0),
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
           ranked AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                              ORDER BY cos DESC, neighbor_id) AS INT) AS rank
@@ -945,7 +958,7 @@ object SimilarityQueries extends QueryPack {
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    q.label AS qlab, n.label AS nlab, $cosQN AS cos
             FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-            WHERE q.vec_id % $QMOD = 0),
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
           ranked AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                              ORDER BY cos DESC, neighbor_id) AS INT) AS rank
@@ -958,7 +971,7 @@ object SimilarityQueries extends QueryPack {
             SELECT coalesce($RrPpmSql, CAST(0 AS BIGINT)) AS rr_ppm,
                    first_rank
             FROM (SELECT vec_id AS query_id FROM embeddings
-                  WHERE vec_id % $QMOD = 0) q
+                  WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP) q
             LEFT JOIN firsts f ON q.query_id = f.query_id)
           SELECT CAST(count(*) AS BIGINT) AS n_queries,
                  CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)

@@ -403,6 +403,30 @@ class CustomExprSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("PackedPairsExpr equals the flatten/transform/slice reference") {
+    // sorted ascending < 2^30 (the caller contract); sizes 0..4 cover the
+    // empty, single (no pairs), and multi-pair branches
+    val df = Seq(
+      Seq.empty[Long],
+      Seq(7L),
+      Seq(3L, 9L),
+      Seq(1L, 2L, 5L, 1000000L)).toDF("ns")
+    val ref = "flatten(transform(ns, (x, i) -> " +
+      "transform(slice(ns, i + 2, size(ns)), v -> (x * 4294967296L + v) * 2 + 1)))"
+    val diff = df.select(
+        graft.functions.Exprs.packedPairs(col("ns")).as("fast"),
+        expr(ref).as("refv"))
+      .filter(col("fast") =!= col("refv")).count()
+    assert(diff == 0)
+    // and the packed values decode to the expected (u, v) pairs in order
+    val got = df.filter(size(col("ns")) === 4)
+      .select(explode(graft.functions.Exprs.packedPairs(col("ns"))).as("k"))
+      .select(expr("k div 2 div 4294967296L"), expr("(k div 2) % 4294967296L"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 5L), (1L, 1000000L),
+      (2L, 5L), (2L, 1000000L), (5L, 1000000L)))
+  }
+
   test("MinHashExpr equals the n-pass array_min reference, incl. empty") {
     val df = Seq(
       Seq(5L, 999999999L, 0L, 123456789L),
