@@ -41,4 +41,15 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregate partials (gt5's smallest-k neighborhood
+      // cap) run under ObjectHashAggregateExec, whose hash map falls back
+      // to sort-based aggregation after this many distinct keys — the 128
+      // default predates wide use and would sort nearly every partition
+      // of a center-keyed aggregate. 256k keys × a lazily-grown O(k)
+      // buffer keeps the worst-case map ≈ low hundreds of MB per task;
+      // past that the sort fallback is the spill-safe right answer (both
+      // paths still map-side combine to ≤k values per group before the
+      // exchange).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
 }

@@ -412,8 +412,15 @@ case class MinHashExpr(child: Expression, as: Array[Long], bs: Array[Long])
   * GraphQueries' gt5 comment for the before/after).
   *
   * Caller contract (same as the SQL chain it replaces): elements are
-  * non-null, sorted ascending, and < 2^30 — the pack is then
+  * non-null, strictly ascending, and in [0, 2^30) — the pack is then
   * order-preserving on (u, v) and fits a BIGINT through PB-scale corpora.
+  * The contract is ENFORCED at runtime (round-11 hardening): the
+  * expression is exposed generically via [[Exprs.packedPairs]], and a
+  * violating caller would otherwise get silently corrupted pair keys
+  * (unsorted/out-of-range ids) or a negative-size array crash
+  * (n ≥ 65536 overflows n(n−1)/2 in 32-bit). The guard is one O(n)
+  * preamble pass per row against the O(n²) pair work — free — and the
+  * hot pair loop is untouched.
   */
 case class PackedPairsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -428,6 +435,7 @@ case class PackedPairsExpr(child: Expression) extends UnaryExpression {
   protected override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    PackedPairsExpr.checkContract(a, n)
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
     var i = 0
@@ -448,6 +456,7 @@ case class PackedPairsExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       s"""
       int ${ev.value}_n = $c.numElements();
+      graft.functions.PackedPairsExpr.checkContract($c, ${ev.value}_n);
       long[] ${ev.value}_o = new long[${ev.value}_n * (${ev.value}_n - 1) / 2];
       int ${ev.value}_k = 0;
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n - 1; ${ev.value}_i++) {
@@ -465,6 +474,40 @@ case class PackedPairsExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PackedPairsExpr =
     copy(child = newChild)
+}
+
+object PackedPairsExpr {
+  /** Cap above which n(n−1)/2 no longer fits an `int` array size. Any
+    * real caller is far below it (gt5 caps neighborhoods at 64); hitting
+    * it means the caller forgot its own cap — fail loudly, per the
+    * Q_CAP/MaxNbrs "cap from birth" rule.
+    */
+  val MaxElems = 65535
+
+  /** Shared eval/codegen contract check: strictly ascending, in
+    * [0, 2^30), and few enough elements that the pair count fits an
+    * `int`. Called from generated code, so it must stay a public static
+    * (Java-visible) method with primitive-friendly arguments.
+    */
+  def checkContract(a: ArrayData, n: Int): Unit = {
+    if (n > MaxElems) throw new IllegalArgumentException(
+      s"graft_packed_pairs: $n elements would generate " +
+        s"${n.toLong * (n - 1) / 2} pairs (max $MaxElems elements); " +
+        "cap the input list (gt5 caps neighborhoods at 64)")
+    var prev = -1L
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v < 0L || v >= 1073741824L) throw new IllegalArgumentException(
+        s"graft_packed_pairs: element $v out of [0, 2^30) — the packed " +
+          "BIGINT key would overflow or collide")
+      if (v <= prev) throw new IllegalArgumentException(
+        s"graft_packed_pairs: input not strictly ascending ($prev then " +
+          s"$v) — packed (u, v) keys would be order-corrupted")
+      prev = v
+      i += 1
+    }
+  }
 }
 
 object Exprs {

@@ -82,10 +82,21 @@ private[graft] object PersistedBase {
   /** Serve `name` for content key `key` from the store, building and
     * persisting it first if absent. The returned frame is always the
     * parquet read-back (cold and warm paths yield byte-identical data).
+    *
+    * `version` is the DERIVATION version — the content key fingerprints
+    * the source DATA, not the build closure, so a logic change to the
+    * builder (or to anything it calls: edge construction, Hll constants,
+    * dedup banding) with an unchanged corpus would otherwise warm-serve
+    * stale, now-wrong rows out of a pre-existing store. Every call site
+    * declares its version and MUST bump it when the build closure's
+    * semantics change; the old entries become dead files under the lazy
+    * sweep rule, never wrong answers. (Round-11 hardening — the xxhash64
+    * corpusKey switch retired stale entries only by accident of changing
+    * every key.)
     */
-  def getOrBuild(s: SparkSession, name: String, key: String)
+  def getOrBuild(s: SparkSession, name: String, key: String, version: Int)
                 (build: => DataFrame): DataFrame = {
-    val dir = new Path(s"$root/$name-$key")
+    val dir = new Path(s"$root/$name-v$version-$key")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     def complete = fs.exists(new Path(dir, "_SUCCESS"))
     if (!complete) {
@@ -93,7 +104,7 @@ private[graft] object PersistedBase {
       // (a killed attempt's orphan is a dead file, swept lazily — never
       // eagerly, which could delete a LIVE concurrent builder's tmp)
       val tmp = new Path(
-        s"$root/$name-$key.tmp-${java.util.UUID.randomUUID}")
+        s"$root/$name-v$version-$key.tmp-${java.util.UUID.randomUUID}")
       build.write.mode("overwrite").parquet(tmp.toString)
       // re-check: NEVER delete a complete entry another builder landed
       // while we were building; an incomplete leftover (pre-protocol

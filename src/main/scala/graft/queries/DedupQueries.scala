@@ -118,7 +118,9 @@ object DedupQueries extends QueryPack {
         col("doc_id"), col("text"))
       // cold build goes THROUGH the in-session memo, so a session running
       // both d7 and d7b builds the CC labels exactly once
-      graft.ops.PersistedBase.getOrBuild(s, "dup_labels", key) {
+      // version 1 = the r9 dupLabels closure (MinHash banding + CC);
+      // bump on ANY semantic change to that chain (PersistedBase rule)
+      graft.ops.PersistedBase.getOrBuild(s, "dup_labels", key, version = 1) {
         dupLabels(s, d)
       }.orderBy("doc_id")
     }),

@@ -178,10 +178,14 @@ object GraphQueries extends QueryPack {
     "gt2b_triangle_top_persisted" -> ((s, d) => {
       val key = graft.ops.PersistedBase.corpusKey(
         Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"))
-      val oriented = graft.ops.PersistedBase.getOrBuild(s, "tri_oriented", key) {
+      // version 1 = the r9 triBase closure; bump on any semantic change
+      // to the co-purchase edge/adjacency derivation (PersistedBase rule)
+      val oriented = graft.ops.PersistedBase.getOrBuild(
+          s, "tri_oriented", key, version = 1) {
         triBase(s, d).oriented
       }
-      val adj = graft.ops.PersistedBase.getOrBuild(s, "tri_adj", key) {
+      val adj = graft.ops.PersistedBase.getOrBuild(
+          s, "tri_adj", key, version = 1) {
         triBase(s, d).adj
       }
       graft.ops.Triangles.enumerate(oriented, adj)
@@ -268,23 +272,23 @@ object GraphQueries extends QueryPack {
             struct(col("src").as("c"), col("dst").as("n")),
             struct(col("dst").as("c"), col("src").as("n")))).as("e"))
         .select(col("e.c").as("c"), col("e.n").as("n"))
-      // cap INSIDE the aggregation buffer (TopKAggregator.SmallestLongs):
-      // per-center state is a hard O(64) list on ANY hub degree, and
-      // map-side combine ships ≤64 ids per (center, partition) into the
-      // exchange. Rejected alternatives, both measured: collect_list-
-      // then-slice buffers the FULL neighborhood pre-slice (O(degree) on
-      // hot centers — the r7 ADVICE finding); a row_number window caps
-      // memory but pays a full sort of the 2|E| symmetric edge list and
-      // ships every row (sf1: 56 s → 104 s — the sort dominates at scale).
-      val capped = {
-        import s.implicits._
-        val agg = new graft.functions.TopKAggregator.SmallestLongs(MaxNbrs)
-        sym.as[(Long, Long)]
-          .groupByKey(_._1)
-          .mapValues(_._2)
-          .agg(agg.toColumn)
-          .toDF("c", "ns")
-      }
+      // cap INSIDE the aggregation buffer (SmallestKLongsAgg, the native
+      // TypedImperativeAggregate): per-center state is a hard O(64)
+      // primitive array on ANY hub degree, and map-side combine ships
+      // ≤64 ids per (center, partition) into the exchange. Rejected
+      // alternatives, all measured: collect_list-then-slice buffers the
+      // FULL neighborhood pre-slice (O(degree) on hot centers — the r7
+      // ADVICE finding); a row_number window caps memory but pays a full
+      // sort of the 2|E| symmetric edge list and ships every row (sf1:
+      // 56 s → 104 s); the r8–r10 typed Aggregator spelling
+      // (groupByKey + TopKAggregator.SmallestLongs) kept the state bound
+      // but paid a DeserializeToObject codegen break plus an
+      // ExpressionEncoder List[Long] round-trip per partial output row —
+      // the round-10 profile attributed 18.5 s of gt5's 40.3 s sf1 total
+      // to it (see PLANS.md r11 for the native-agg before/after).
+      val capped = sym.groupBy(col("c"))
+        .agg(graft.functions.SmallestKLongsAgg
+          .smallestK(col("n"), MaxNbrs).as("ns"))
       // The tail (count pair multiplicity → drop existing edges → top 20)
       // is ONE sort-based streaming pass instead of the earlier
       // hash-aggregate + anti-join + global sort. The earlier shape paid
@@ -617,10 +621,15 @@ object GraphQueries extends QueryPack {
     // Gr7Cap-sampled exact calibration) recomputes per call.
     "gr7b_hyperball_persisted" -> ((s, d) => {
       val key = graphEdgesKey(s, d)
-      val e = graft.ops.PersistedBase.getOrBuild(s, "graph_edges", key) {
+      // versions = the r10 edges()/hbRegisters() closures; hb_registers
+      // must ALSO bump whenever Hll's register constants change — the
+      // key fingerprints source data only (PersistedBase rule)
+      val e = graft.ops.PersistedBase.getOrBuild(
+          s, "graph_edges", key, version = 1) {
         edges(s, d)
       }
-      val regs = graft.ops.PersistedBase.getOrBuild(s, "hb_registers", key) {
+      val regs = graft.ops.PersistedBase.getOrBuild(
+          s, "hb_registers", key, version = 1) {
         hbRegisters(e)
       }
       hyperballReadout(e, regs)
@@ -634,7 +643,8 @@ object GraphQueries extends QueryPack {
     // construction is what every cold session was paying for.
     "gr4b_bfs_hops_persisted" -> ((s, d) => {
       val key = graphEdgesKey(s, d)
-      val e = graft.ops.PersistedBase.getOrBuild(s, "graph_edges", key) {
+      val e = graft.ops.PersistedBase.getOrBuild(
+          s, "graph_edges", key, version = 1) {
           edges(s, d)
         }.repartition(col("src")).persist()
       val nodes = e.select(col("src").as("id"))

@@ -36,10 +36,15 @@ object SimilarityQueries extends QueryPack {
   // opposite knob — C ∝ N keeps within-cluster pair work N²/C linear.
   private val CENT_CAP = 2000
 
-  // sim10's absolute query-sample cap (CENT_CAP's rationale applied to the
-  // calibration tier): covers every gate corpus's full id range — the gate
+  // The absolute query-sample cap (CENT_CAP's rationale applied to query
+  // sets), on EVERY query-set derivation in this file as of round 11 —
+  // calibration tier AND the ANN top-k queries (sim4/5/7/8/9), whose
+  // bare % QMOD sets were broadcast and so grew the broadcast side AND
+  // the candidate join linearly with the corpus (the sim10/sim14/sr2
+  // defect class; RegistrySpec's plan lint now enforces the rule
+  // mechanically). Covers every gate corpus's full id range — gate
   // results are bit-identical with or without it — while pinning |Q| at
-  // scale so the exhaustive recall baseline stays linear in the corpus
+  // scale so every exhaustive/broadcast side stays linear in the corpus
   private val Q_CAP = 2000
 
   // sr1 rank-fusion knobs: fusion depth (ranks past RRF_K contribute
@@ -125,7 +130,11 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"),
           Similarity.hyperplaneBucket(col("embedding"), DIM, PLANES).as("bucket"),
           col("embedding"))
-      val q = b.filter(col("vec_id") % QMOD === 0)
+      // Q_CAP from birth (the sim10/sim14/sr2 rule, applied to every
+      // broadcast query-set derivation): a bare % QMOD set grows with the
+      // corpus, so the broadcast side and the candidate join both scale
+      // superlinearly. Covers the full gate id range — hashes unchanged.
+      val q = b.filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP)
         .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qv"))
       val cand = b.select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("embedding").as("nv"))
@@ -152,7 +161,7 @@ object SimilarityQueries extends QueryPack {
     "sim5_ivf_ann_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
-        col("vec_id") % QMOD === 0,
+        col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP,
         nprobe = 2, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
@@ -163,7 +172,7 @@ object SimilarityQueries extends QueryPack {
     "sim7_lsh_multitable" -> ((s, d) =>
       Similarity.lshAnnMultiTable(Tables.embeddings(s, d), "vec_id",
         "embedding", DIM, nPlanes = 4, nTables = 4,
-        col("vec_id") % QMOD === 0, k = TOPK)
+        col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")),
 
@@ -175,7 +184,8 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP,
         col("vec_id") % CMOD === 7 && col("vec_id") < CENT_CAP,
-        col("vec_id") % QMOD === 0, DIM, nSub = NSUB, nprobe = 2, k = TOPK)
+        col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP,
+        DIM, nSub = NSUB, nprobe = 2, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
 
@@ -185,7 +195,7 @@ object SimilarityQueries extends QueryPack {
     "sim8_pq_ann_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") % CMOD === 7 && col("vec_id") < CENT_CAP,
-        col("vec_id") % QMOD === 0,
+        col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP,
         DIM, nSub = NSUB, k = TOPK)
         .select("query_id", "neighbor_id", "rank", "adist")
         .orderBy("query_id", "rank")),
@@ -566,7 +576,7 @@ object SimilarityQueries extends QueryPack {
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                    $cosQN AS cos
             FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
-            WHERE q.vec_id % $QMOD = 0),
+            WHERE q.vec_id % $QMOD = 0 AND q.vec_id < $Q_CAP),
           ranked AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                              ORDER BY cos DESC, neighbor_id) AS INT) AS rank
@@ -607,7 +617,8 @@ object SimilarityQueries extends QueryPack {
             FROM ranked WHERE crn = 1),
           probes AS (
             SELECT vec_id AS query_id, embedding AS qv, cid
-            FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+            FROM ranked
+            WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP AND crn <= 2),
           cands AS (
             SELECT p.query_id, a.neighbor_id,
                    ${Similarity.cosineSql("p.qv", "a.nv", DIM)} AS cos
@@ -628,7 +639,7 @@ object SimilarityQueries extends QueryPack {
       }.mkString("\nUNION ALL\n")
       s"""WITH b AS ($tables),
           q AS (SELECT vec_id AS query_id, tbl, bucket FROM b
-                WHERE vec_id % $QMOD = 0),
+                WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP),
           p AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
                 FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
                 WHERE q.query_id <> c.vec_id),
@@ -680,7 +691,9 @@ object SimilarityQueries extends QueryPack {
           codes AS ($codeArms),
           probes AS (SELECT vec_id AS query_id, cid,
                        ${resid("embedding", "cv")} AS res
-                     FROM ranked WHERE vec_id % $QMOD = 0 AND crn <= 2),
+                     FROM ranked
+                     WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP
+                       AND crn <= 2),
           qsc AS (SELECT p.query_id, p.cid, cb.ccid,
                     ${dCols("p.res", "cb.cbres")}
                   FROM probes p CROSS JOIN cb),
@@ -724,7 +737,7 @@ object SimilarityQueries extends QueryPack {
           codes AS ($codeArms),
           qsc AS (SELECT vec_id AS query_id, cid,
                     ${(0 until nSub).map(mm => s"d$mm").mkString(", ")}
-                  FROM sc WHERE vec_id % $QMOD = 0),
+                  FROM sc WHERE vec_id % $QMOD = 0 AND vec_id < $Q_CAP),
           qd AS ($qdArms),
           p AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
                    $slots

@@ -40,6 +40,11 @@ object SketchQueries extends QueryPack {
 
   private val DAY_NS = 24L * 3600 * 1000 * 1000 * 1000
   private val DAY_US = DAY_NS / 1000
+  // sk7's pair granularity (the streaming twin's): hour index from the
+  // nanos ts, hour START in epoch ms like StreamOps.OverlapOut
+  private val HOUR_NS = 3600L * 1000 * 1000 * 1000
+  private val HOUR_US = HOUR_NS / 1000
+  private val HOUR_MS = 3600000L
   private val P = StableHash.P
   private val P2 = StableHash.P2
 
@@ -309,6 +314,71 @@ object SketchQueries extends QueryPack {
         .select(col("p").as("day_a"), (col("p") + 1).as("day_b"),
           col("n_inter_exact"), col("est_inter"), col("err_ppm"))
         .orderBy("day_a")
+    }),
+
+    // The batch gate for the STREAMING HLL set algebra
+    // ([[graft.streaming.StreamOps.approxOverlap]]): the identical
+    // pair/union/intersection/new-users readout between consecutive
+    // HOURS, from the events table, computed with the same
+    // [[graft.functions.Hll]] register/rho/estimator core the stream
+    // folds in state — polyHash64("u"+user_id) → regCol/rhoCol → max-rho
+    // registers → union-by-register-max → I-E intersection → difference.
+    // The DuckDB oracle therefore pins the streaming estimator END TO
+    // END (the stream's spec separately pins register-level equality to
+    // this core on hand-built batches; the sk6 day-level query pins the
+    // same algebra on a different hash derivation). Output row shape =
+    // StreamOps.OverlapOut, one row per consecutive-hour pair where both
+    // hours have events. Scale shape: ONE (hour, reg)-keyed aggregate to
+    // bounded cells, then algebra over ≤ 3·256 cells per pair.
+    "sk7_hourly_overlap" -> ((s, d) => {
+      import graft.functions.Hll
+      val h = StableHash.polyHash64(
+        concat(lit("u"), col("user_id").cast("string")))
+      val regs = Tables.events(s, d)
+        .select((expr(s"ts div $HOUR_NS") * HOUR_MS).as("hour_ms"),
+          Hll.regCol(h).as("reg"), Hll.rhoCol(h).as("rho"))
+        .groupBy("hour_ms", "reg").agg(max(col("rho")).as("mr"))
+      val hours = regs.select("hour_ms").distinct()
+      val valid = hours.select(col("hour_ms").as("p"))
+        .join(hours.select((col("hour_ms") - HOUR_MS).as("p")), Seq("p"))
+      val a = regs.select(col("hour_ms").as("p"), col("reg"), col("mr"))
+        .join(broadcast(valid), Seq("p"))
+      val b = regs
+        .select((col("hour_ms") - HOUR_MS).as("p"), col("reg"), col("mr"))
+        .join(broadcast(valid), Seq("p"))
+      val tagged = a
+        .select(col("p"), lit("a").as("tier"), col("reg"), col("mr"))
+        .unionAll(b.select(col("p"), lit("b").as("tier"), col("reg"),
+          col("mr")))
+        .unionAll(a.select(col("p"), col("reg"), col("mr"))
+          .unionAll(b.select(col("p"), col("reg"), col("mr")))
+          .groupBy("p", "reg").agg(max(col("mr")).as("mr"))
+          .select(col("p"), lit("u").as("tier"), col("reg"), col("mr")))
+      val est = tagged.groupBy("p", "tier").agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mr)")).as("sp"),
+          count(lit(1)).as("used"))
+        .select(col("p"), col("tier"),
+          (lit(M.toLong) - col("used")).as("zeros"),
+          (col("sp") + (lit(M.toLong) - col("used")) * lit(MaxTerm))
+            .as("ssum"))
+        .withColumn("raw_est",
+          lit(Alpha256) * lit((M.toLong * M).toDouble) * lit(MaxTerm.toDouble)
+            / col("ssum").cast("double"))
+        .withColumn("est",
+          when(col("zeros") > 0 && col("raw_est") <= lit(2.5 * M),
+            lit(M.toDouble) *
+              (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
+          .otherwise(col("raw_est")))
+      def tier(t: String, out: String) =
+        est.filter(col("tier") === t).select(col("p"), col("est").as(out))
+      tier("a", "est_a").join(tier("b", "est_b"), "p")
+        .join(tier("u", "est_union"), "p")
+        .select(col("p").as("hour_a_ms"),
+          (col("p") + HOUR_MS).as("hour_b_ms"),
+          col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+          (col("est_union") - col("est_a")).as("est_new"))
+        .orderBy("hour_a_ms")
     }),
 
     // KMV set-DIFFERENCE estimate — the growth-accounting readout ("how
@@ -651,6 +721,66 @@ object SketchQueries extends QueryPack {
                              / CAST(n_inter_exact AS DOUBLE)) AS BIGINT)
                  END AS err_ppm
           FROM fin ORDER BY day_a""",
+
+    "sk7_hourly_overlap" -> {
+      val ph = StableHash.polyHash64Sql("('u' || CAST(user_id AS VARCHAR))")
+      s"""WITH hr AS (SELECT hour_ms, h // 2147483648 AS hp,
+                             h % 2147483648 AS hp2
+                      FROM (SELECT (epoch_us(ts) // $HOUR_US) * $HOUR_MS
+                                     AS hour_ms,
+                                   $ph AS h
+                            FROM events)),
+          rr AS (SELECT hour_ms,
+                        (hp * hp % $P + $rA * hp + $rB) % $P % $M AS reg,
+                        (hp2 * hp2 % $P2 + $vA * hp2 + $vB) % $P2
+                          % $SentBit + $SentBit AS vv
+                 FROM hr),
+          regs AS (SELECT hour_ms, reg,
+                          CAST(max(length(bin(vv & -vv))) AS INT) AS mr
+                   FROM rr GROUP BY hour_ms, reg),
+          hours AS (SELECT DISTINCT hour_ms FROM regs),
+          valid AS (SELECT h1.hour_ms AS p FROM hours h1
+                    JOIN hours h2 ON h2.hour_ms = h1.hour_ms + $HOUR_MS),
+          a AS (SELECT r.hour_ms AS p, reg, mr
+                FROM regs r JOIN valid v ON v.p = r.hour_ms),
+          b AS (SELECT r.hour_ms - $HOUR_MS AS p, reg, mr
+                FROM regs r JOIN valid v ON v.p = r.hour_ms - $HOUR_MS),
+          uu AS (SELECT p, reg, max(mr) AS mr
+                 FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+                 GROUP BY p, reg),
+          tg AS (SELECT p, 'a' AS tier, reg, mr FROM a
+                 UNION ALL SELECT p, 'b', reg, mr FROM b
+                 UNION ALL SELECT p, 'u', reg, mr FROM uu),
+          cells AS (SELECT p, tier,
+                           CAST(sum(CAST(1 AS BIGINT) << (${W + 1} - mr))
+                             AS BIGINT) AS sp,
+                           CAST(count(*) AS BIGINT) AS used
+                    FROM tg GROUP BY p, tier),
+          stt AS (SELECT p, tier, $M - used AS zeros,
+                         sp + ($M - used) * $MaxTerm AS ssum
+                  FROM cells),
+          pe AS (SELECT p, tier, zeros,
+                        CAST($Alpha256 AS DOUBLE)
+                          * CAST(${M.toLong * M} AS DOUBLE)
+                          * CAST($MaxTerm AS DOUBLE) / CAST(ssum AS DOUBLE)
+                          AS raw_est
+                 FROM stt),
+          fe AS (SELECT p, tier,
+                        CASE WHEN zeros > 0 AND raw_est <= ${2.5 * M}
+                             THEN CAST($M AS DOUBLE)
+                                  * (ln(CAST($M AS DOUBLE))
+                                     - ln(CAST(zeros AS DOUBLE)))
+                             ELSE raw_est END AS est
+                 FROM pe)
+          SELECT ea.p AS hour_a_ms, ea.p + $HOUR_MS AS hour_b_ms,
+                 ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+                 ea.est + eb.est - eu.est AS est_inter,
+                 eu.est - ea.est AS est_new
+          FROM (SELECT p, est FROM fe WHERE tier = 'a') ea
+          JOIN (SELECT p, est FROM fe WHERE tier = 'b') eb ON eb.p = ea.p
+          JOIN (SELECT p, est FROM fe WHERE tier = 'u') eu ON eu.p = ea.p
+          ORDER BY hour_a_ms"""
+    },
 
     "sk5_bottomk_new_users" ->
       s"""WITH du AS ($uniformSql),

@@ -427,6 +427,47 @@ class CustomExprSpec extends SparkTestBase {
       (2L, 5L), (2L, 1000000L), (5L, 1000000L)))
   }
 
+  test("PackedPairsExpr guard: unsorted input fails loudly, never " +
+    "corrupts keys (ADVICE r10)") {
+    val bad = Seq(Seq(9L, 3L)).toDF("ns")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.Exprs.packedPairs(col("ns"))).collect()
+    }
+    assert(e.getMessage.contains("strictly ascending")
+      || Option(e.getCause).exists(_.getMessage.contains("strictly ascending")),
+      s"wanted the contract message, got: ${e.getMessage}")
+    // duplicates violate strict ascent too (they'd pack u == v keys)
+    val dup = Seq(Seq(3L, 3L)).toDF("ns")
+    intercept[Exception] {
+      dup.select(graft.functions.Exprs.packedPairs(col("ns"))).collect()
+    }
+  }
+
+  test("PackedPairsExpr guard: out-of-range elements fail loudly") {
+    val big = Seq(Seq(1L, 1L << 30)).toDF("ns") // 2^30 is first invalid id
+    val e = intercept[Exception] {
+      big.select(graft.functions.Exprs.packedPairs(col("ns"))).collect()
+    }
+    assert(e.getMessage.contains("2^30")
+      || Option(e.getCause).exists(_.getMessage.contains("2^30")))
+    val neg = Seq(Seq(-1L, 5L)).toDF("ns")
+    intercept[Exception] {
+      neg.select(graft.functions.Exprs.packedPairs(col("ns"))).collect()
+    }
+  }
+
+  test("PackedPairsExpr guard: element counts past the int-pair-count " +
+    "bound fail fast instead of allocating a negative-size array") {
+    // interpreted-eval path, directly — building a 70k-element DF column
+    // just to trip the first check is wasted work
+    val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](0))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PackedPairsExpr.checkContract(a, 70000)
+    }
+    assert(e.getMessage.contains("70000"))
+  }
+
   test("MinHashExpr equals the n-pass array_min reference, incl. empty") {
     val df = Seq(
       Seq(5L, 999999999L, 0L, 123456789L),

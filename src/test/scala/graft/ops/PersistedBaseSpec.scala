@@ -33,16 +33,23 @@ class PersistedBaseSpec extends SparkTestBase {
   test("getOrBuild: builds once per key, rebuilds on key change") {
     val name = s"pbspec-${System.nanoTime()}"
     var builds = 0
-    def serve(key: String) = PersistedBase.getOrBuild(spark, name, key) {
-      builds += 1
-      docs.select(col("id"), length(col("text")).as("len"))
-    }
+    def serve(key: String, version: Int = 1) =
+      PersistedBase.getOrBuild(spark, name, key, version) {
+        builds += 1
+        docs.select(col("id"), length(col("text")).as("len"))
+      }
     val cold = serve("k1").orderBy("id").as[(Long, Int)].collect().toSeq
     val warm = serve("k1").orderBy("id").as[(Long, Int)].collect().toSeq
     assert(builds == 1, "second call must be a store read, not a rebuild")
     assert(cold == warm)
     serve("k2").collect()
     assert(builds == 2, "a new content key must rebuild")
+    // the ADVICE-r10 stale-logic hole: the content key fingerprints the
+    // SOURCE DATA, so a build-closure change with an unchanged corpus
+    // must be invalidated by the derivation version instead
+    serve("k1", version = 2).collect()
+    assert(builds == 3,
+      "a bumped derivation version must rebuild under an unchanged key")
   }
 
   test("corpusKey: a same-position character SWAP across two rows must " +
@@ -76,16 +83,16 @@ class PersistedBaseSpec extends SparkTestBase {
     // complete entry at the keyed path. B's post-build re-check must see
     // it, discard B's own result, and serve A's rows — never delete or
     // overwrite the complete entry.
-    val served = PersistedBase.getOrBuild(spark, name, "k") {
+    val served = PersistedBase.getOrBuild(spark, name, "k", 1) {
       docs.select(col("id"), lit("winner").as("who"))
-        .write.mode("overwrite").parquet(s"$storeRoot/$name-k")
+        .write.mode("overwrite").parquet(s"$storeRoot/$name-v1-k")
       docs.select(col("id"), lit("loser").as("who"))
     }
     assert(served.select("who").distinct().as[String].collect().toSeq
       == Seq("winner"),
       "the losing builder must fall through to the winner's entry")
     // and a later cold probe still serves the winner (entry intact)
-    assert(PersistedBase.getOrBuild(spark, name, "k") { fail("no rebuild") }
+    assert(PersistedBase.getOrBuild(spark, name, "k", 1) { fail("no rebuild") }
       .select("who").distinct().as[String].collect().toSeq == Seq("winner"))
   }
 }

@@ -39,6 +39,143 @@ class RegistrySpec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // The Q_CAP plan lint — mechanizing the rule the sf10 probes had to
+  // re-discover THREE times (sim10 r8, sim14 r9, sr2 r10, latent in
+  // sim1/sim4/sim5/sim7/sim8/sim9): a query set sampled with a bare
+  // `id % MOD == r` grows proportionally to the corpus, and when that
+  // set feeds a join (broadcast query set × corpus scan) the query goes
+  // quadratic at scale. The rule: every modulo-SAMPLE filter (modulus
+  // ≥ 10 — parity/small-bucket splits are linear partitions, not
+  // samples) that sits under a join must be accompanied by an absolute
+  // cap (`attr < K`) on the same attribute somewhere in the plan.
+  // Runs on the ANALYZED plan, so any spelling (Column DSL, expr(),
+  // SQL) is caught at birth.
+  // ---------------------------------------------------------------------
+
+  private object SampleCapLint {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+
+    private def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    private def attrName(e: Expression): Option[String] = stripCast(e) match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    private def litLong(e: Expression): Option[Long] =
+      if (e.foldable) e.eval() match {
+        case n: java.lang.Number => Some(n.longValue)
+        case _ => None
+      } else None
+
+    /** Attribute names filtered by `attr % m == r` with a sampling-rate
+      * modulus (m ≥ 10) against a constant residue.
+      */
+    private def samples(cond: Expression): Seq[String] = cond.collect {
+      case EqualTo(l, r) =>
+        Seq((l, r), (r, l)).flatMap { case (x, v) =>
+          stripCast(x) match {
+            case m: Remainder =>
+              for (a <- attrName(m.left); mod <- litLong(m.right)
+                   if mod >= 10; _ <- litLong(v)) yield a
+            case m: Pmod =>
+              for (a <- attrName(m.left); mod <- litLong(m.right)
+                   if mod >= 10; _ <- litLong(v)) yield a
+            case _ => None
+          }
+        }
+    }.flatten
+
+    /** Attribute names bounded above by a constant (`a < K`, `a <= K`,
+      * `K > a`, `K >= a`) — the absolute-cap side of the rule.
+      */
+    private def caps(cond: Expression): Seq[String] = cond.collect {
+      case LessThan(l, r) if litLong(r).isDefined => attrName(l)
+      case LessThanOrEqual(l, r) if litLong(r).isDefined => attrName(l)
+      case GreaterThan(l, r) if litLong(l).isDefined => attrName(r)
+      case GreaterThanOrEqual(l, r) if litLong(l).isDefined => attrName(r)
+    }.flatten
+
+    /** Violations: sampled-but-uncapped attribute names on Filters that
+      * sit under (are descendants of) a Join — the exhaustive-side shape.
+      * The cap may live in any Filter of the plan (the cap and the sample
+      * are often separate conjuncts after pushdown).
+      */
+    def violations(plan: LogicalPlan): Seq[String] = {
+      val capped: Set[String] =
+        plan.collect { case f: Filter => caps(f.condition) }.flatten.toSet
+      def walk(p: LogicalPlan, underJoin: Boolean): Seq[String] = {
+        val here = p match {
+          case f: Filter if underJoin =>
+            samples(f.condition).distinct.filterNot(capped)
+              .map(a => s"'$a' is %-sampled under a join with no absolute cap")
+          case _ => Nil
+        }
+        val childUnder = underJoin || p.isInstanceOf[Join]
+        here ++ p.children.flatMap(walk(_, childUnder))
+      }
+      walk(plan, underJoin = false).distinct
+    }
+  }
+
+  test("plan lint: modulo-sampled query sets under a join carry an " +
+    "absolute cap (the Q_CAP rule, mechanized)") {
+    // deliberate exceptions, each with the documented linearity argument
+    val allow: Map[String, String] = Map(
+      // SemDeDup's recipe NEEDS C ∝ N seeds: within-cluster pair work is
+      // N²/C, so a GROWING cluster count is what keeps the query linear
+      // (SimilarityQueries' CENT_CAP scaladoc documents the measurement)
+      "d11b_semdedup_kmeans" -> "C ∝ N is the SemDeDup linearity recipe",
+      "d11_semdedup_apply" -> "same k-means seed recipe as d11b",
+      // Deterministic corpus PARTITIONS (not query samples): both halves
+      // of the split flow into a KEYED equi-join whose cost is
+      // output-bounded, so a split growing with the corpus is the
+      // intended linear semantics. The defect class the lint hunts is a
+      // sampled set × corpus-scan (broadcast/exhaustive scoring).
+      "cdc2_snapshot_diff" -> ("residue splits SIMULATE two snapshots; " +
+        "one keyed full-outer join"),
+      "cdc4_delta_join" -> ("residue splits SIMULATE insert deltas; " +
+        "keyed dim joins, partials merged"),
+      "dq4_profile_drift" -> ("residue splits SIMULATE two versions; " +
+        "profiles are single aggregates, join is O(columns)"),
+      "t8_decontaminate" -> ("bench slice is a corpus partition; " +
+        "gram-keyed posting join is output-bounded"),
+      "t22_contamination_report" -> "same bench-slice partition as t8",
+      "t17_bloom_decontaminate" -> ("bench slice feeds a BOUNDED Bloom " +
+        "bitset aggregate, never a row join"),
+      "mm6_payload_neardup" -> ("residue INJECTS retouched twin fixtures " +
+        "(near-dups scale with the corpus by design); banded simhash join"))
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if allow.contains(name) => Nil
+      case (name, fn) =>
+        SampleCapLint.violations(fn(spark, sf).queryExecution.analyzed)
+          .map(v => s"$name: $v")
+    }
+    assert(failures.isEmpty,
+      "uncapped modulo samples under a join (add `attr < CAP` per the " +
+        "Q_CAP rule):\n" + failures.mkString("\n"))
+  }
+
+  test("plan lint is failing-by-construction on the pre-fix sr2 spelling") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    // sr2's round-9 query-set derivation: bare % QMOD, no absolute cap —
+    // the exact shape the round-10 sf10 probe measured at 33.1× per 10×
+    val preFix = graft.ops.Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+    assert(SampleCapLint.violations(preFix.queryExecution.analyzed).nonEmpty,
+      "the lint must flag the pre-fix sr2 query-set spelling")
+    // and the fixed spelling (absolute cap alongside the sample) passes
+    val postFix = graft.ops.Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000),
+      "vec_id", "embedding", 5)
+    assert(SampleCapLint.violations(postFix.queryExecution.analyzed).isEmpty,
+      "the lint must accept the capped spelling")
+  }
+
   test("every query is run-to-run deterministic (hash of sorted rows)") {
     def fingerprint(name: String): Int = {
       val df = SparkEntry.queries(name)(spark, sf)
