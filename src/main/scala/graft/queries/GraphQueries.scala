@@ -88,7 +88,7 @@ object GraphQueries extends QueryPack {
     * arrays derived from it (also checkpointed — both feed every
     * invocation of gt1/gt2).
     */
-  private final case class TriBase(oriented: DataFrame, adj: DataFrame)
+  private[graft] final case class TriBase(oriented: DataFrame, adj: DataFrame)
 
   // Memoized triangle base ([[graft.ops.SharedBase]] cache-and-release) —
   // built ONCE per (session, dir), reused by gt1, gt2, and every bench
@@ -122,7 +122,7 @@ object GraphQueries extends QueryPack {
     // count() forces the blocks inside the timed build window
     materialize = tb => { tb.oriented.count(); tb.adj.count(); () })
 
-  private def triBase(s: SparkSession, d: String): TriBase =
+  private[graft] def triBase(s: SparkSession, d: String): TriBase =
     triBaseCache.get(s, d)
 
   /** Triangles by degree orientation + edge-centric adjacency
