@@ -95,26 +95,47 @@ object GraphQueries extends QueryPack {
   // iteration; round 5's per-invocation checkpoints were never unpersisted
   // and their accumulated blocks' GC pressure surfaced in UNRELATED
   // queries' timed windows (t1_langid ~1.0 s → ~1.9 s full-registry,
-  // while unchanged standalone). localCheckpoint both frames: `oriented`
+  // while unchanged standalone). Both frames are cached: `oriented`
   // feeds the enumeration joins AND gt1's edge census, `adj` feeds two
-  // join sides — without the checkpoints the whole lineitem self-join
+  // join sides — without the caching the whole lineitem self-join
   // chain re-executes per consumer (exchange reuse only spans one job).
   // ~2 longs × |edges| plus the m-entry adjacency arrays, modest.
-  // eager=false: blocks materialize under the first consumer's
-  // (full-partition) action, so constructing the plan — a plan dump, an
-  // explain — runs no jobs (ADVICE round-5 finding).
+  //
+  // r11: persist() instead of localCheckpoint — a checkpoint under a
+  // not-yet-final AQE plan records UnknownPartitioning into its
+  // LogicalRDD (verified: the adjacency groupBy re-exchanged over the
+  // checkpointed repartition), while InMemoryRelation keeps the cached
+  // plan's outputPartitioning visible to Catalyst. With `oriented`
+  // repartitioned by src BEFORE the cache, (a) the adjacency
+  // groupBy("src") plans with NO exchange, and (b) the enumeration's
+  // first join (on src) sees both sides — oriented, and adj which
+  // inherits the same clustering through its alias — already
+  // co-partitioned. The repartition replaces the adjacency aggregation's
+  // exchange 1:1 on the build side (same m narrow rows shuffled) and
+  // deletes exchanges from every enumerate consumer. Measured
+  // (ProfileTriBase sf1, interleaved): adjacency stage 3.5-4.5 s
+  // boxed/unpartitioned → 0.26 s native/pre-partitioned. A packed-pairs
+  // rewrite of coEdges (collect_set → PackedPairsExpr → distinct on one
+  // BIGINT) was measured and REJECTED: 4.5-6.4 s vs 3.2-5.8 s for the
+  // self-join — AQE's plan for the (o,p) self-join already beats the
+  // per-order array buffering.
+  //
+  // Laziness contract unchanged: persist is lazy, blocks materialize
+  // under the first consumer's action — a plan dump runs no jobs
+  // (ADVICE round-5 finding).
   private val triBaseCache = new graft.ops.SharedBase[TriBase](
     name = "tri_base",
     build = (s, d) => {
       val oriented = graft.ops.Triangles.orient(coEdges(s, d), "u", "v")
-        .localCheckpoint(eager = false)
+        .repartition(col("src"))
+        .persist()
       val adj = graft.ops.Triangles.adjacency(oriented)
-        .localCheckpoint(eager = false)
+        .persist()
       TriBase(oriented, adj)
     },
     release = tb => {
-      graft.ops.Blocks.unpersist(tb.oriented)
-      graft.ops.Blocks.unpersist(tb.adj)
+      tb.oriented.unpersist(blocking = false)
+      tb.adj.unpersist(blocking = false)
     },
     // bench-only (graft.bench.timeBuilds): both frames are lazy
     // checkpoints, so the honest build cost — the lineitem self-join,
@@ -147,13 +168,52 @@ object GraphQueries extends QueryPack {
     graft.ops.Triangles.enumerate(tb.oriented, tb.adj)
   }
 
+  // Per-node triangle participation — the SECOND memoized family base
+  // (r11): gt1, gt2, and gt4 all consumed the full enumeration
+  // independently, so a bench pass paid the O(m^1.5) intersection sweep
+  // THREE times (sf10: ~140-150 s each, the three heaviest non-gt5
+  // entries in BENCH_sf10.json). Every one of those consumers only needs
+  // per-corner counts: gt1's census is Σn_tri/3 (each triangle credits
+  // exactly 3 corners), gt2 is the top-20 of this frame, gt4 left-joins
+  // it to degrees. The |V'|-row counts frame is what gets checkpointed —
+  // the triangle rows themselves never persist (at sf10 they are ~40×
+  // the node count). Build cost is timed and disclosed via SharedBase
+  // (`tri_counts` in the bench builds dict), same discipline as
+  // tri_base/dup_labels.
+  private val triCountsCache = new graft.ops.SharedBase[DataFrame](
+    name = "tri_counts",
+    build = (s, d) => {
+      triangles(s, d)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+        .localCheckpoint(eager = false)
+    },
+    release = df => graft.ops.Blocks.unpersist(df),
+    materialize = df => { df.count(); () })
+
+  private def triCounts(s: SparkSession, d: String): DataFrame =
+    triCountsCache.get(s, d)
+
+  /** Test hook (PlanSpec): the tri_counts build's physical plan. The
+    * adjacency-intersection shape the gt2 plan test used to pin on the
+    * query now lives here — one enumeration shared by gt1/gt2/gt4.
+    */
+  private[graft] def triCountsBuildPlan(s: SparkSession, d: String): String =
+    triangles(s, d)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .queryExecution.executedPlan.toString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Global edge + triangle census of the co-purchase graph. The edge
     // count reads the cached oriented list (1:1 with co-edges — every edge
     // orients to exactly one row) instead of re-running the lineitem
     // self-join chain a second time.
     "gt1_triangle_count" -> ((s, d) => {
-      val tri = triangles(s, d).agg(count(lit(1)).as("n_triangles"))
+      // Σ per-node participation = 3 × triangle count (each triangle
+      // credits its 3 corners exactly once in the tri_counts base)
+      val tri = triCounts(s, d)
+        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_triangles"))
       triBase(s, d).oriented.agg(count(lit(1)).as("n_edges"))
         .join(broadcast(tri)) // two 1-row sides
     }),
@@ -161,9 +221,7 @@ object GraphQueries extends QueryPack {
     // Per-node triangle participation, top 20 — each triangle credits all
     // three corners; ties broken by part id for a total order.
     "gt2_triangle_top_nodes" -> ((s, d) =>
-      triangles(s, d)
-        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
-        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      triCounts(s, d)
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)),
 
@@ -206,9 +264,7 @@ object GraphQueries extends QueryPack {
     // cross-engine float rounding to pin. deg==1 nodes have no neighbor
     // pair — coefficient defined as 0.
     "gt4_clustering_coeff" -> ((s, d) => {
-      val tri = triangles(s, d)
-        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
-        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      val tri = triCounts(s, d)
       triBase(s, d).oriented
         .select(explode(array(col("src"), col("dst"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("deg"))

@@ -505,7 +505,11 @@ object StatsQueries extends QueryPack {
         col("y").as("y1"))
       val b = daily.select(col("day").as("d2"), col("x").as("x2"),
         col("y").as("y2"))
-      a.join(b, col("d1") < col("d2"))
+      // day-pair self-join: |daily| is CALENDAR-bounded (days of span,
+      // not data volume — sf10 probe: 0.65× per 10× data), so the d1<d2
+      // nested-loop join broadcasts the build side explicitly per the
+      // cross-join lint rule
+      a.join(broadcast(b), col("d1") < col("d2"))
         .select(((col("x2") - col("x1")).cast("decimal(38,0)") *
             (col("y2") - col("y1")).cast("decimal(38,0)")).as("prod"),
           (col("x1") === col("x2")).cast("long").as("tx"),

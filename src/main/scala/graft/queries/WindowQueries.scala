@@ -302,7 +302,9 @@ object WindowQueries extends QueryPack {
         .agg(count(lit(1)).as("c"))
       val a = daily.select(col("day").as("d1"), col("c").as("c1"))
       val b = daily.select(col("day").as("d2"), col("c").as("c2"))
-      val slopes = a.join(b, col("d1") < col("d2"))
+      // calendar-bounded day-pair self-join (sf10 probe: 0.74× per 10×
+      // data) — broadcast the build side per the cross-join lint rule
+      val slopes = a.join(broadcast(b), col("d1") < col("d2"))
         .select(((col("c2") - col("c1")).cast("double") /
           (col("d2") - col("d1")).cast("double")).as("slope"))
         .groupBy("slope").agg(count(lit(1)).as("w"))

@@ -50,6 +50,29 @@ class GraphPlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Class names of every operator the query EXECUTES, unwrapping AQE
+    * stages. An `InMemoryRelation`'s stored build plan is deliberately
+    * excluded (it is a field of the table scan, not a child): a memoized
+    * base built earlier — possibly with broadcasts, at its own tier — is
+    * read as cached bytes here, so its build-time operators are not part
+    * of the tier under test. (The r11 tri_base persist() surfaced this:
+    * the plan STRING embeds the cached build subtree.)
+    */
+  private def executedNodeNames(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    df.collect()
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q.getClass.getSimpleName +: walk(q.plan)
+      case r: ReusedExchangeExec => r.getClass.getSimpleName +: walk(r.child)
+      case other =>
+        other.getClass.getSimpleName +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("triangle orientation at node scale: degree joins degrade to keyed " +
     "joins — no broadcast of the |V|-row frame — with identical triangles") {
     val expected = Triangles.of(edgeDf, "u", "v").collect()
@@ -76,11 +99,10 @@ class GraphPlanSpec extends SparkTestBase {
     val expected = SparkEntry.queries(name)(spark, sf).collect().toSeq
     withNoBroadcast {
       val df = SparkEntry.queries(name)(spark, sf)
-      val p = finalPlan(df)
-      assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
-          && !p.contains("BroadcastNestedLoop"),
+      val nodes = executedNodeNames(df)
+      assert(!nodes.exists(_.startsWith("Broadcast")),
         "node-scale tier must not broadcast:\n" +
-          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+          nodes.filter(_.contains("Join")).mkString("\n"))
       assert(df.collect().toSeq == expected)
     }
   }

@@ -223,11 +223,18 @@ class PlanSpec extends SparkTestBase {
 
   test("gt2 triangles: edge-centric adjacency intersection — equi-joins " +
     "plus a generate, never a cartesian, no wedge materialization") {
+    // r11: the intersection sweep lives in the shared tri_counts BUILD
+    // (one enumeration serves gt1/gt2/gt4); the gt2 query itself is a
+    // TakeOrdered over the checkpointed counts. Pin both layers: the
+    // build keeps the Generate/array_intersect shape with no cartesian,
+    // and the query plan is the pure top-k readout.
+    val build = graft.queries.GraphQueries.triCountsBuildPlan(spark, sf)
+    assert(build.contains("Generate") && build.contains("array_intersect"),
+      build.linesIterator.take(8).mkString("\n"))
+    assert(!build.contains("CartesianProduct") &&
+      !build.contains("BroadcastNestedLoop"))
     val p = plan("gt2_triangle_top_nodes")
-    // the closing arms come from array_intersect exploded in a Generate —
-    // true triangles only; a wedge-style plan would show a candidate
-    // exchange (or worse, a cartesian) here
-    assert(p.contains("Generate") && p.contains("array_intersect"),
+    assert(p.contains("TakeOrderedAndProject"),
       p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }

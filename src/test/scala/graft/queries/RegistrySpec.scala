@@ -176,6 +176,76 @@ class RegistrySpec extends SparkTestBase {
       "the lint must accept the capped spelling")
   }
 
+  // ---------------------------------------------------------------------
+  // The broadcast-cross-join lint — mechanizing the other standing scale
+  // rule (until now enforced only by per-round grep): a join with NO
+  // equi-key executes as CartesianProduct / BroadcastNestedLoopJoin, and
+  // at 100 TB that is only survivable when one side is a KNOWN-small
+  // frame that actually broadcasts. Every such join in every registered
+  // query must either carry an explicit broadcast hint or have a side
+  // whose row bound is statically ≤ 1 (scalar aggregates). Runs on the
+  // OPTIMIZED plan so pushed-down/rewritten joins (range-join binning,
+  // as-of plans) are judged in their executable shape.
+  // ---------------------------------------------------------------------
+
+  private object CrossJoinLint {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+
+    private def equiKeyed(j: Join): Boolean = j.condition.exists { c =>
+      c.collect {
+        case EqualTo(l, r) => (l, r)
+        case EqualNullSafe(l, r) => (l, r)
+      }.exists { case (l, r) =>
+        (l.references.subsetOf(j.left.outputSet) &&
+          r.references.subsetOf(j.right.outputSet)) ||
+        (r.references.subsetOf(j.left.outputSet) &&
+          l.references.subsetOf(j.right.outputSet))
+      }
+    }
+
+    private def broadcastHinted(j: Join): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+
+    /** A side that cannot exceed one row (scalar aggregate / limit 1)
+      * broadcasts by construction — no hint needed.
+      */
+    private def scalarSide(j: Join): Boolean =
+      j.left.maxRows.exists(_ <= 1L) || j.right.maxRows.exists(_ <= 1L)
+
+    def violations(plan: LogicalPlan): Seq[String] = plan.collect {
+      case j: Join if !equiKeyed(j) && !broadcastHinted(j) && !scalarSide(j) =>
+        s"non-equi ${j.joinType} join with no broadcast hint " +
+          s"(cond: ${j.condition.map(_.sql).getOrElse("none")})"
+    }
+
+    def check(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      violations(df.queryExecution.optimizedPlan)
+  }
+
+  test("plan lint: every non-equi join broadcasts a known-small side " +
+    "(the cross-join rule, mechanized)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        CrossJoinLint.check(fn(spark, sf)).map(v => s"$name: $v")
+    }
+    assert(failures.isEmpty,
+      "non-equi joins without a broadcast side (hint the dimension or " +
+        "re-key the join):\n" + failures.mkString("\n"))
+  }
+
+  test("cross-join lint is failing-by-construction on an unhinted " +
+    "cartesian and green on the hinted spelling") {
+    import org.apache.spark.sql.functions.broadcast
+    val a = graft.Tables.region(spark, sf)
+    val b = graft.Tables.nation(spark, sf)
+    assert(CrossJoinLint.check(a.crossJoin(b)).nonEmpty,
+      "the lint must flag an unhinted cartesian join")
+    assert(CrossJoinLint.check(a.crossJoin(broadcast(b))).isEmpty,
+      "the lint must accept the broadcast-hinted spelling")
+  }
+
   test("every query is run-to-run deterministic (hash of sorted rows)") {
     def fingerprint(name: String): Int = {
       val df = SparkEntry.queries(name)(spark, sf)
