@@ -88,7 +88,19 @@ object GraphQueries extends QueryPack {
     * arrays derived from it (also checkpointed — both feed every
     * invocation of gt1/gt2).
     */
-  private[graft] final case class TriBase(oriented: DataFrame, adj: DataFrame)
+  /** `oriented`/`adj` are persisted WITH their src-hash partitioning
+    * visible (the r11 exchange-elimination contract). `orientedSevered`
+    * is the same rows behind a lazy localCheckpoint — a LogicalRDD leaf
+    * for ITERATIVE consumers: gt3's 3-round unrolled peel references its
+    * edge frame ~3^rounds times in one plan tree, and with the persisted
+    * (full-lineage) frame each occurrence splices the entire lineitem
+    * self-join analyzed subtree — measured 1.6 s → 28.5 s at sf0.1
+    * standalone, pure planning blow-up. The severed leaf restores the
+    * pre-r11 shape (one narrow m-row copy, materialized once per
+    * session, read from the cache).
+    */
+  private[graft] final case class TriBase(oriented: DataFrame, adj: DataFrame,
+                                          orientedSevered: DataFrame)
 
   // Memoized triangle base ([[graft.ops.SharedBase]] cache-and-release) —
   // built ONCE per (session, dir), reused by gt1, gt2, and every bench
@@ -131,9 +143,10 @@ object GraphQueries extends QueryPack {
         .persist()
       val adj = graft.ops.Triangles.adjacency(oriented)
         .persist()
-      TriBase(oriented, adj)
+      TriBase(oriented, adj, oriented.localCheckpoint(eager = false))
     },
     release = tb => {
+      graft.ops.Blocks.unpersist(tb.orientedSevered)
       tb.oriented.unpersist(blocking = false)
       tb.adj.unpersist(blocking = false)
     },
@@ -141,7 +154,8 @@ object GraphQueries extends QueryPack {
     // checkpoints, so the honest build cost — the lineitem self-join,
     // orientation, adjacency aggregation — only exists under an action;
     // count() forces the blocks inside the timed build window
-    materialize = tb => { tb.oriented.count(); tb.adj.count(); () })
+    materialize = tb =>
+      { tb.oriented.count(); tb.adj.count(); tb.orientedSevered.count(); () })
 
   private[graft] def triBase(s: SparkSession, d: String): TriBase =
     triBaseCache.get(s, d)
@@ -296,7 +310,9 @@ object GraphQueries extends QueryPack {
     // committed plan survives a node table too big to broadcast.
     // GraphPlanSpec pins the no-broadcast tier.
     "gt3_kcore_peel" -> ((s, d) => {
-      var edges = triBase(s, d).oriented
+      // severed leaf, NOT the persisted frame: the unrolled loop
+      // references `edges` ~3^3 times in one tree (see TriBase scaladoc)
+      var edges = triBase(s, d).orientedSevered
         .select(col("src").as("u"), col("dst").as("v"))
       for (_ <- 1 to 3) {
         val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
