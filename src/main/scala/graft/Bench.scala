@@ -37,7 +37,10 @@ object Bench {
     // swamped real plan-cost signal in the per-query history.
     for (wq <- Seq("q1_agg", "c1_rollup", "w2_lag_delta",
         "d3_minhash_signatures", "a8_topk_agg",
-        "d7_dup_groups", "sim9_ivfpq_ann_topk", "gt2_triangle_top_nodes"))
+        "d7_dup_groups", "sim9_ivfpq_ann_topk", "gt2_triangle_top_nodes",
+        // r11: gr6 is the cheapest consumer of the shared gr_edges base —
+        // warming it here builds (and discloses) the base like tri_base
+        "gr6_assortativity"))
       try SparkEntry.queries(wq)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }

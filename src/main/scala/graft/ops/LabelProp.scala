@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
-  /** `iters` synchronous LPA rounds over a SYMMETRIC, distinct edge list
-    * with columns (a, b). Returns (id, lbl) for every node with ≥1 edge.
+  /** `iters` synchronous LPA rounds over a SYMMETRIC edge list with
+    * columns (a, b) — deduplicated internally on (a, b), riding the same
+    * exchange (r11: callers used to pre-distinct, paying a second
+    * (a, b)-keyed shuffle; hashpartitioning(b) satisfies the dedup's
+    * clustering, so it is free here). Returns (id, lbl) for every node
+    * with ≥1 edge.
     *
     * Scale contract (pagerank discipline): the edge table shuffles ONCE —
     * repartitioned by the probe side `b` and persisted, so each round
     * reshuffles only the O(|V|) label table against it. The per-round
     * tail pays ONE exchange on `a`: hash partitioning by `a` satisfies
-    * the (a, lbl) count's clustering (subset rule) AND the argmax
-    * window's, so the aggregate and the window ride the same layout.
+    * the (a, lbl) count's clustering (subset rule) AND the packed-max
+    * argmax's, so both aggregates ride the same layout.
     *
     * Lifecycle (CC discipline, not gr1's bounded-by-GC): the final label
     * table is eagerly localCheckpoint'ed (it is O(|V|) — small) and the
@@ -33,18 +37,31 @@ object LabelProp {
     * is a real memory tax on whatever runs next in the session.
     */
   def propagate(sym: DataFrame, iters: Int): DataFrame = {
-    val e = sym.select(col("a"), col("b")).repartition(col("b")).persist()
+    val e = sym.select(col("a"), col("b")).repartition(col("b"))
+      .dropDuplicates("a", "b").persist()
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("a").orderBy(col("n").desc, col("lbl").asc)
+      // argmax-with-total-tie-order as a PACKED integer max (r11, guide
+      // §2.3/§2.4): the former row_number window re-SORTED the |E|-scale
+      // (a, lbl, n) frame by (a, n desc, lbl) every round; max over
+      // n·2^31 + (2^31−1−lbl) is strictly monotone in (n, −lbl) — same
+      // winner, same tie to the smallest label — and both aggregates are
+      // primitive-buffer HashAggregates riding the ONE repartition(a)
+      // exchange (hashpartitioning(a) satisfies both clusterings), so the
+      // round's tail is sort-free. Bounds: n ≤ degree < 2^31 and labels
+      // are node ids < 2^31 (the gt5 packed-pair id bound — node ids stay
+      // < 2^30 through PB-scale corpora), so the pack stays under 2^62.
       labels = e.join(labels, col("b") === col("id"))
         .select(col("a"), col("lbl"))
         .repartition(col("a"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("a").as("id"), col("lbl"))
+        .groupBy(col("a"))
+        .agg(max(col("n") * lit(2147483648L) +
+          (lit(2147483647L) - col("lbl"))).as("__packed"))
+        .select(col("a").as("id"),
+          (lit(2147483647L) - pmod(col("__packed"), lit(2147483648L)))
+            .as("lbl"))
     }
     // sever lineage off the edge cache; release the cache even when the
     // eager checkpoint job fails — an exception here would otherwise pin

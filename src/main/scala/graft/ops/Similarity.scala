@@ -132,6 +132,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Nearest-centroid assignment for the IVF family — every vector's
+    * (ccos desc, cid asc)-best centroid, the row_number window's tie
+    * order spelled as an argmax aggregate (r11, guide §2.3/§2.4).
+    *
+    * Why not the window: the C-way centroid fan-out of a vector is
+    * CO-LOCATED by construction (a broadcast crossJoin fans out inside
+    * the vector's own partition), yet `row_number over (partition by id)`
+    * still exchanges AND sorts all N·C scored rows — with the full
+    * embedding duplicated C ways through the shuffle. `max_by` does a
+    * partial aggregate instead: the map side collapses each vector's C
+    * candidates to ONE buffered row before the exchange, so N narrow
+    * rows shuffle and nothing sorts globally. Selection is identical —
+    * max over struct(ccos, −cid) is strictly monotone in the window's
+    * (ccos desc, cid asc) order and (ccos, cid) pairs are distinct per
+    * vector — which the unchanged oracle hashes of every IVF-family
+    * query pin at the gate.
+    *
+    * Returns (id, vec, cid), plus the winning centroid's `cv` when
+    * `carryCv` is set (the IVF-PQ residual path needs it).
+    */
+  def assignNearest(emb: DataFrame, id: String, vec: String,
+                    cent: DataFrame, carryCv: Boolean = false): DataFrame = {
+    val payload =
+      if (carryCv) struct(col(vec), col("cid"), col("cv"))
+      else struct(col(vec), col("cid"))
+    val outCols = Seq(col(id), col(s"__top.$vec").as(vec),
+        col("__top.cid").as("cid")) ++
+      (if (carryCv) Seq(col("__top.cv").as("cv")) else Nil)
+    Dedup.parallelize(emb.select(col(id), col(vec)))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"), col("cv"),
+        cosine(col(vec), col("cv")).as("ccos"))
+      .groupBy(col(id))
+      .agg(max_by(payload,
+        struct(col("ccos"), (-col("cid")).as("__neg"))).as("__top"))
+      .select(outCols: _*)
+  }
+
+  /** Probe lists for an IVF query set: the query SUBSET filters first, so
+    * ranking its C centroid scores is a |Q|·C window — the old spelling
+    * extracted the |Q|·nprobe probe rows from a window over the full N·C
+    * scored frame (r11; pairs with [[assignNearest]]).
+    */
+  def probeLists(emb: DataFrame, id: String, vec: String,
+                 cent: DataFrame, queryPred: Column,
+                 nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy(col(id))
+      .orderBy(col("ccos").desc, col("cid"))
+    emb.filter(queryPred).select(col(id), col(vec))
+      .crossJoin(broadcast(cent))
+      .select(col(id), col(vec), col("cid"), col("cv"),
+        cosine(col(vec), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= nprobe)
+  }
+
   /** Brute-force top-k: broadcast the (small) query side against the full
     * corpus, rank per query by (score desc, neighbor id) — one broadcast
     * join + one window, no cartesian shuffle.
@@ -167,15 +224,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cent = emb.filter(centroidPred)
       .select(col(id).as("cid"), col(vec).as("cv"))
-    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
-      .crossJoin(broadcast(cent))
-      .select(col(id), col(vec), col("cid"),
-        cosine(col(vec), col("cv")).as("ccos"))
-    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-    val ranked = scored.withColumn("crn", row_number().over(byVec))
-    val assign = ranked.filter(col("crn") === 1)
+    // assignment = partial-aggregable argmax, probe lists = a |Q|·C
+    // window over the pre-filtered query subset (r11 — the shared N·C
+    // `ranked` window these both came from shuffled and sorted the whole
+    // scored frame; see [[assignNearest]])
+    val assign = assignNearest(emb, id, vec, cent)
       .select(col(id).as("neighbor_id"), col(vec).as("nv"), col("cid"))
-    val probes = ranked.filter(queryPred && col("crn") <= nprobe)
+    val probes = probeLists(emb, id, vec, cent, queryPred, nprobe)
       .select(col(id).as("query_id"), col(vec).as("qv"), col("cid"))
     val cands = probes.join(assign, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -229,15 +284,12 @@ object Similarity {
     require(dim % nSub == 0,
       s"ivfPqTopKFrom: nSub=$nSub must divide dim=$dim")
     val sub = dim / nSub
-    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
-      .crossJoin(broadcast(cent))
-      .select(col(id), col(vec), col("cid"), col("cv"),
-        cosine(col(vec), col("cv")).as("ccos"))
-    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-    val ranked = scored.withColumn("crn", row_number().over(byVec))
     val res = zip_with(col(vec), col("cv"),
       (a, b) => a.cast("double") - b.cast("double"))
-    val assign = ranked.filter(col("crn") === 1)
+    // assignment carries the winning centroid's cv for the residual;
+    // probe lists come from the pre-filtered query subset (r11 — see
+    // [[assignNearest]]; the shared N·C window is gone)
+    val assign = assignNearest(emb, id, vec, cent, carryCv = true)
       .select(col(id), col("cid"), res.as("res"))
     // untrained residual codebook: FULL residuals of a deterministic
     // subset, one row per subspace; codewords are compared as in-place
@@ -256,7 +308,7 @@ object Similarity {
       .groupBy(col("neighbor_id"), col("cid"), col("m"))
       .agg(min(struct(col("d"), col("ccid"))).getField("ccid").as("code"))
     // probes carry a residual PER probed list (crn <= nprobe rows each)
-    val probes = ranked.filter(queryPred && col("crn") <= nprobe)
+    val probes = probeLists(emb, id, vec, cent, queryPred, nprobe)
       .select(col(id).as("query_id"), col("cid"), res.as("res"))
     val qd = probes.crossJoin(broadcast(cb))
       .select(col("query_id"), col("cid").as("qlist"), col("m").as("qm"),
@@ -294,14 +346,10 @@ object Similarity {
   /** One Lloyd iteration against an explicit centroid frame (cid, cv). */
   def kmeansStepFrom(emb: DataFrame, id: String, vec: String,
                      centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
-      .crossJoin(broadcast(centroids))
-      .select(col(id), col(vec), col("cid"),
-        cosine(col(vec), col("cv")).as("ccos"))
-    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-    val assigned = scored.withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") === 1)
+    // per-iteration assignment is the argmax aggregate (r11 — this is
+    // kmeansTrain's inner loop, so the removed N·C exchange+sort was
+    // paid once per Lloyd round; see [[assignNearest]])
+    val assigned = assignNearest(emb, id, vec, centroids)
     assigned
       .select(col("cid"), posexplode(col(vec)).as(Seq("pos", "v")))
       .groupBy("cid", "pos")
@@ -404,13 +452,8 @@ object Similarity {
     // LAZILY by the returned plan — do not unpersist here (the caller's
     // action would hit truncated lineage); the blocks are tiny (C×dim).
     val cent = kmeansTrain(emb, id, vec, seedPred, iters)
-    val scored = Dedup.parallelize(emb.select(col(id), col(vec)))
-      .crossJoin(broadcast(cent))
-      .select(col(id), col(vec), col("cid"),
-        cosine(col(vec), col("cv")).as("ccos"))
-    val byVec = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-    val assign = scored.withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") === 1)
+    // final assignment rides the same argmax aggregate as training (r11)
+    val assign = assignNearest(emb, id, vec, cent)
       .select(col(id), col(vec), col("cid"))
     val l = assign.select(col("cid"), col(id).as("id1"), col(vec).as("v1"))
     val r = assign.select(col("cid"), col(id).as("id2"), col(vec).as("v2"))

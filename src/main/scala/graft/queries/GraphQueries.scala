@@ -58,7 +58,7 @@ object GraphQueries extends QueryPack {
     * graph has cycles and iteration is non-trivial. Node ids are bipartite
     * encoded (cust→2k, supp→2k+1: the key spaces overlap at 1..100).
     */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private def rawEdges(s: SparkSession, d: String): DataFrame = {
     val oli = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_returnflag"),
@@ -68,8 +68,58 @@ object GraphQueries extends QueryPack {
     val back = oli.filter(col("l_returnflag") === "R")
       .select((col("l_suppkey") * 2 + 1).as("src"),
         (col("o_custkey") * 2).as("dst"))
-    fwd.union(back).distinct()
+    fwd.union(back)
   }
+
+  /** Shared base for the directed-graph family (r11, guide §2.4): the
+    * edge build — orders⋈lineitem + union + distinct — re-ran per
+    * invocation in SEVEN queries (gr1/gr2/gr4/gr5/gr6/gr7/gr8), and
+    * gr1/gr4/gr5/gr8 each re-shuffled the result into their own
+    * short-lived src-partitioned persist while gr1/gr4/gr7/gr8 also
+    * re-derived the node set (gr7 twice — once in hbRegisters, once in
+    * the readout). Memoized once per (session, dir) under the SharedBase
+    * protocol: build timed and disclosed in the bench `builds` dict,
+    * superseded entries released, laziness preserved for explain-only
+    * flows (tri_base discipline).
+    *
+    * Build spelling pays ONE exchange where the old per-query chain paid
+    * two: union → repartition(src) → dropDuplicates (hashpartitioning on
+    * src satisfies the (src, dst) dedup clustering — subset rule), and
+    * the persisted frame keeps hashpartitioning(src) VISIBLE (persist,
+    * not localCheckpoint — the r11 tri_base finding), so every consumer's
+    * src-keyed groupBy/join plans with zero additional exchanges. `ed`
+    * carries the out-degree alongside each edge (gr1/gr8's per-iteration
+    * contribution table — derived from the cache, zero exchanges);
+    * `nodes` is the shared union-distinct.
+    *
+    * Consumers return LAZY plans: the per-query eager localCheckpoint +
+    * unpersist lifecycle existed to release each query's own |E|-scale
+    * cache, which the shared base makes obsolete — its blocks live for
+    * the session like tri_base's (~|E|·(16+24) + |V|·8 bytes).
+    */
+  private[graft] final case class GraphBase(e: DataFrame, ed: DataFrame,
+                                            nodes: DataFrame)
+
+  private val graphBaseCache = new graft.ops.SharedBase[GraphBase](
+    name = "gr_edges",
+    build = (s, d) => {
+      val e = rawEdges(s, d).repartition(col("src"))
+        .dropDuplicates("src", "dst").persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ed = e.join(deg, "src").persist() // co-partitioned: no exchange
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      GraphBase(e, ed, nodes)
+    },
+    release = gb => {
+      gb.e.unpersist(blocking = false)
+      gb.ed.unpersist(blocking = false)
+      gb.nodes.unpersist(blocking = false)
+    },
+    materialize = gb => { gb.e.count(); gb.ed.count(); gb.nodes.count(); () })
+
+  private[graft] def graphBase(s: SparkSession, d: String): GraphBase =
+    graphBaseCache.get(s, d)
 
   /** Undirected co-purchase graph: parts are adjacent iff some order
     * contains both. The per-order self-join's fan-out is C(order size, 2)
@@ -408,14 +458,14 @@ object GraphQueries extends QueryPack {
     // decimal quantization keeps ~5 significant digits; dangling mass is
     // not redistributed — both engines apply the identical convention).
     "gr1_pagerank" -> ((s, d) => {
-      // one shuffle for the edge table's whole lifetime: partitioned by
-      // src, the per-iteration rank join and the outdeg aggregate both
-      // reuse this layout (zero additional exchanges on the edge side)
-      val e = edges(s, d).repartition(col("src")).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ed = e.join(deg, "src").persist() // co-partitioned: no exchange
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct().persist()
+      // edge side comes entirely from the shared family base (one shuffle
+      // per SESSION, not per query): `ed` is src-partitioned with outdeg
+      // attached, so each iteration reshuffles only the O(|V|) mass table
+      // (r11 — before this every invocation rebuilt edges + deg + nodes
+      // and paid its own persist / eager-checkpoint / unpersist jobs)
+      val gb = graphBase(s, d)
+      val ed = gb.ed
+      val nodes = gb.nodes
       var mass = nodes.withColumn("mass", lit(1.0))
       for (_ <- 1 to 3) {
         val incoming = ed.join(mass, col("src") === col("id"))
@@ -425,15 +475,10 @@ object GraphQueries extends QueryPack {
           .select(col("id"),
             (lit(Teleport) + lit(D) * coalesce(col("m_in"), lit(0.0))).as("mass"))
       }
-      // eager checkpoint-and-release (CC/LPA discipline): the O(|V|) mass
-      // table is severed and the |E|-scale caches freed INSIDE the call —
-      // a big persist that waits for GC taxes whatever runs next in the
-      // session (measured: the triangle family's first post-gr iteration
-      // ran 7× its steady state at sf1 before this)
-      val ranked =
-        try mass.localCheckpoint(true)
-        finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
-      ranked.select(col("id").as("node_id"), col("mass").as("pr_mass"))
+      // lazy return (r11): the eager checkpoint-and-release existed to
+      // free this query's own |E|-scale caches; the shared base owns the
+      // blocks now, so the two extra jobs (materialize + checkpoint) go
+      mass.select(col("id").as("node_id"), col("mass").as("pr_mass"))
         .orderBy(col("pr_mass").desc, col("node_id"))
         .limit(50)
     }),
@@ -461,11 +506,10 @@ object GraphQueries extends QueryPack {
     // table, |E|-scale caches freed behind the eager O(|V|) checkpoint.
     // Seeds: deterministic id residue (node id % 50 = 0).
     "gr8_personalized_pagerank" -> ((s, d) => {
-      val e = edges(s, d).repartition(col("src")).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ed = e.join(deg, "src").persist()
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct().persist()
+      // shared family base (gr1's r11 note): ed/nodes are session-cached
+      val gb = graphBase(s, d)
+      val ed = gb.ed
+      val nodes = gb.nodes
       val seedScaled = when(col("id") % 50 === 0, lit(1000000000L))
         .otherwise(lit(0L))
       var mass = nodes.withColumn("m", seedScaled)
@@ -479,12 +523,9 @@ object GraphQueries extends QueryPack {
               coalesce(col("m_in"), lit(0L))).as("t"))
           .select(col("id"), expr("t div 100").as("m"))
       }
-      val ranked =
-        try mass.localCheckpoint(true)
-        finally { e.unpersist(); ed.unpersist(); nodes.unpersist() }
       // rank by the EXACT scaled mass; emit micros (div 10^3 at 1e-9
-      // scale)
-      ranked.orderBy(col("m").desc, col("id"))
+      // scale); lazy return — the base owns the blocks (gr1's r11 note)
+      mass.orderBy(col("m").desc, col("id"))
         .limit(50)
         .select(col("id").as("node_id"),
           expr("m div 1000").as("ppr_micro"))
@@ -497,10 +538,12 @@ object GraphQueries extends QueryPack {
     // engine/partitioning). See ops.LabelProp for the one-edge-shuffle +
     // one-tail-exchange-per-round scale contract.
     "gr2_label_prop" -> ((s, d) => {
-      val e = edges(s, d)
+      // shared base + dedup moved INTO LabelProp's own exchange (r11):
+      // the former .distinct() here paid a full (a, b)-keyed shuffle of
+      // 2|E| rows that propagate's repartition(b) immediately re-shuffled
+      val e = graphBase(s, d).e
       val sym = e.select(col("src").as("a"), col("dst").as("b"))
         .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
-        .distinct()
       graft.ops.LabelProp.propagate(sym, 3)
         .select(col("id").as("node_id"), col("lbl").as("label"))
         .orderBy("node_id")
@@ -553,18 +596,15 @@ object GraphQueries extends QueryPack {
     // all three rounds and are released inside the call behind an eager
     // checkpoint of the O(reached) result (gr1 discipline).
     "gr4_bfs_hops" -> ((s, d) => {
-      val e = edges(s, d).repartition(col("src")).persist()
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct().persist()
+      // shared family base: edges stay src-partitioned for every round's
+      // frontier semi-join; nodes no longer recomputed per call (r11)
+      val gb = graphBase(s, d)
       val seeds = Tables.customer(s, d)
         .filter(col("c_nationkey") === BfsNation)
         .select((col("c_custkey") * 2).as("id"))
-        .join(nodes, Seq("id"), "left_semi")
-      val visited = graft.ops.Bfs.reach(e, seeds, 3)
-      val out =
-        try visited.localCheckpoint(true)
-        finally { e.unpersist(); nodes.unpersist() }
-      out.select(col("id").as("node_id"), col("hops").cast("int").as("hops"))
+        .join(gb.nodes, Seq("id"), "left_semi")
+      graft.ops.Bfs.reach(gb.e, seeds, 3)
+        .select(col("id").as("node_id"), col("hops").cast("int").as("hops"))
         .orderBy("node_id")
     }),
 
@@ -606,7 +646,7 @@ object GraphQueries extends QueryPack {
     // Triangles.orient discipline). Lifecycle: O(|V|) result eagerly
     // checkpointed, the |E| cache released inside the call.
     "gr5_hits" -> ((s, d) => {
-      val e = edges(s, d).repartition(col("src")).persist()
+      val e = graphBase(s, d).e
       val a1 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("a1"))
       val h1 = e.join(a1, col("dst") === col("id"))
         .groupBy(col("src").as("id")).agg(sum(col("a1")).as("h1"))
@@ -617,7 +657,7 @@ object GraphQueries extends QueryPack {
           coalesce(col("h1"), lit(0L)).as("hub_score"))
         .orderBy(col("auth_score").desc, col("node_id"))
         .limit(40)
-      try scored.localCheckpoint(true) finally e.unpersist()
+      scored // lazy — the shared base owns the edge blocks (r11)
     }),
 
     // Degree assortativity — the one-number mixing diagnostic (r > 0: hubs
@@ -633,7 +673,7 @@ object GraphQueries extends QueryPack {
     // AQE may choose to at toy sf); two keyed edge×degree joins, one
     // all-column aggregate. No iteration, no windows.
     "gr6_assortativity" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = graphBase(s, d).e
       val deg = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -673,8 +713,11 @@ object GraphQueries extends QueryPack {
     // the SAME sample so the err readout stays apples-to-apples; the
     // register path itself still covers every node.
     "gr7_hyperball" -> ((s, d) => {
-      val e = edges(s, d)
-      hyperballReadout(e, hbRegisters(e))
+      // shared family base (r11): before this, one gr7 call derived the
+      // node set TWICE from a freshly rebuilt edge frame (hbRegisters +
+      // the readout) — two 2|E|-row union-distinct aggregates per call
+      val gb = graphBase(s, d)
+      hyperballReadout(gb.e, hbRegisters(gb.e, gb.nodes), gb.nodes)
     }),
 
     // gr7's CROSS-SESSION form: the propagated register table — the cost
@@ -696,15 +739,23 @@ object GraphQueries extends QueryPack {
       // versions = the r10 edges()/hbRegisters() closures; hb_registers
       // must ALSO bump whenever Hll's register constants change — the
       // key fingerprints source data only (PersistedBase rule)
+      // cold build rides the in-session memo (gt2b's discipline — one
+      // edge build serves gr7b AND the whole gr family); the store entry
+      // is the same row set, so version stays 1
       val e = graft.ops.PersistedBase.getOrBuild(
           s, "graph_edges", key, version = 1) {
-        edges(s, d)
+        graphBase(s, d).e
       }
+      // nodes derive from the STORE-read frame (not the in-session base):
+      // a warm session must pay parquet reads + this aggregate, never the
+      // in-session edge build the store exists to skip
+      val nodes = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
       val regs = graft.ops.PersistedBase.getOrBuild(
           s, "hb_registers", key, version = 1) {
-        hbRegisters(e)
+        hbRegisters(e, nodes)
       }
-      hyperballReadout(e, regs)
+      hyperballReadout(e, regs, nodes)
     }),
 
     // gr4's CROSS-SESSION form: the BFS rides the persisted edge list
@@ -715,9 +766,11 @@ object GraphQueries extends QueryPack {
     // construction is what every cold session was paying for.
     "gr4b_bfs_hops_persisted" -> ((s, d) => {
       val key = graphEdgesKey(s, d)
+      // cold build rides the in-session memo (gt2b's discipline); same
+      // row set as before, so the store version stays 1
       val e = graft.ops.PersistedBase.getOrBuild(
           s, "graph_edges", key, version = 1) {
-          edges(s, d)
+          graphBase(s, d).e
         }.repartition(col("src")).persist()
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct().persist()
@@ -752,10 +805,8 @@ object GraphQueries extends QueryPack {
     * of edge-keyed max-combine propagation — the data-scale cost of the
     * hyperball family and therefore the piece gr7b persists.
     */
-  private def hbRegisters(e: DataFrame): DataFrame = {
+  private def hbRegisters(e: DataFrame, nodes: DataFrame): DataFrame = {
     import graft.functions.{Hll, StableHash}
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
     val h = StableHash.polyHash64(
       concat(lit("n"), col("id").cast("string")))
     val r0 = nodes.select(col("id"),
@@ -773,10 +824,9 @@ object GraphQueries extends QueryPack {
     * + the Gr7Cap-sampled exact calibration side, aggregated per
     * bipartite part (see gr7's scaladoc for the sampling rule).
     */
-  private def hyperballReadout(e: DataFrame, s2: DataFrame): DataFrame = {
+  private def hyperballReadout(e: DataFrame, s2: DataFrame,
+                               nodes: DataFrame): DataFrame = {
     import graft.functions.Hll
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
     val M = Hll.M.toLong
     val perNode = s2.groupBy("id").agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.W + 1} - rho)"))

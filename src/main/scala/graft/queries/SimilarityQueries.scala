@@ -237,65 +237,73 @@ object SimilarityQueries extends QueryPack {
     // d24's band sweep does for LSH: pooled recall@k AND candidate volume
     // (the cost axis: candidates scanned ∝ probe fan-out) at nprobe ∈
     // {1, 2, 4}, measured against the sim1 exhaustive baseline BEFORE a
-    // deployment commits to a probe budget. The centroid-scored ranked
-    // frame is built ONCE and persisted — assignment and all three probe
-    // tiers are filters over it (d24's share-the-signature discipline);
-    // the 3-row report is eagerly checkpointed and the corpus-scale
-    // blocks freed inside the call (gr1's lifecycle).
+    // deployment commits to a probe budget.
+    //
+    // r11 restructure (guide §2.3/§2.4, §1.2): the former spelling built
+    // an N·C ranked frame through a full window (exchange + sort with
+    // the embedding duplicated C ways), PERSISTED it, then ran the three
+    // tiers as separate filter→join→window→agg chains — ~15 jobs, three
+    // windows, an eager checkpoint, and a corpus-scale cache per call.
+    // Now: assignment is the partial-aggregable argmax
+    // ([[Similarity.assignNearest]]); the probe ranks come from a |Q|·C
+    // window over the pre-filtered query subset; and because the tier
+    // candidate sets NEST (pr ≤ 1 ⊂ pr ≤ 2 ⊂ pr ≤ 4), ONE candidate
+    // pass serves all three tiers — the rank of a candidate within tier
+    // np is the running count of pr ≤ np rows in (cos desc, neighbor)
+    // order, i.e. three conditional running sums in a single window.
+    // One aggregate then folds counts and hits for every tier; `stack`
+    // unpivots the 1-row result into the same 3-row report. Nothing
+    // persists, nothing checkpoints. Identical rows (oracle-pinned).
     "sim14_nprobe_sweep" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cent = emb
         .filter(col("vec_id") % 100 === 7 && col("vec_id") < CENT_CAP)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      val ranked = graft.ops.Dedup.parallelize(
-          emb.select(col("vec_id"), col("embedding")))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
-        .withColumn("crn", row_number().over(byVec))
-        .persist()
-      val assign = ranked.filter(col("crn") === 1)
+      val assign = Similarity.assignNearest(emb, "vec_id", "embedding", cent)
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").as("nv"), col("cid"))
       // Q_CAP (sim10's rule): the exhaustive baseline and probe set stay
       // |Q|-bounded at any corpus size; covers the full gate id range
-      val exact = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP),
+      val qPred = col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP
+      val probes = Similarity.probeLists(emb, "vec_id", "embedding", cent,
+          qPred, 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("cid"), col("crn").as("pr"))
+      val exact = Similarity.bruteForceTopK(emb, emb.filter(qPred),
           "vec_id", "embedding", TOPK)
         .select(col("query_id"), col("neighbor_id"))
       val nQ = exact.select("query_id").distinct()
         .agg(count(lit(1)).as("n_queries"))
-      val tiers = Seq(1, 2, 4).map { np =>
-        val probes = ranked
-          .filter(col("vec_id") % QMOD === 0 && col("vec_id") < Q_CAP &&
-            col("crn") <= np)
-          .select(col("vec_id").as("query_id"),
-            col("embedding").as("qv"), col("cid"))
-        val cands = probes.join(assign, Seq("cid"))
+      val byQuery = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = Seq(1, 2, 4).foldLeft(
+        assign.join(broadcast(probes), Seq("cid"))
           .filter(col("query_id") =!= col("neighbor_id"))
-        val nCand = cands.agg(count(lit(1)).as("n_cands"))
-        val byQuery = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        val hits = cands
-          .select(col("query_id"), col("neighbor_id"),
+          .select(col("query_id"), col("neighbor_id"), col("pr"),
             Similarity.cosine(col("qv"), col("nv")).as("cos"))
-          .withColumn("rank", row_number().over(byQuery))
-          .filter(col("rank") <= TOPK)
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-        broadcast(nCand).join(broadcast(hits)).join(broadcast(nQ))
-          .select(lit(np).as("nprobe"), col("n_cands"), col("n_hits"),
-            col("n_queries"),
-            expr(s"(1000000 * n_hits) div (n_queries * $TOPK)")
-              .as("recall_ppm"))
+          .join(exact.withColumn("__hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")) { (df, np) =>
+        df.withColumn(s"rk$np",
+          sum(when(col("pr") <= np, 1L).otherwise(0L)).over(byQuery))
       }
-      val report = tiers.reduce(_.unionByName(_))
-      val out =
-        try report.localCheckpoint(true)
-        finally ranked.unpersist()
-      out.orderBy("nprobe")
+      val tierCols = Seq(1, 2, 4).flatMap(np => Seq(
+        coalesce(sum(when(col("pr") <= np, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_cands$np"),
+        coalesce(sum(when(col("pr") <= np && col(s"rk$np") <= TOPK &&
+            col("__hit") === 1, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_hits$np")))
+      ranked.agg(tierCols.head, tierCols.tail: _*)
+        .join(broadcast(nQ))
+        .selectExpr(
+          """stack(3, 1, n_cands1, n_hits1, 2, n_cands2, n_hits2,
+                      4, n_cands4, n_hits4) AS (nprobe, n_cands, n_hits)""",
+          "n_queries")
+        .select(col("nprobe"), col("n_cands"), col("n_hits"),
+          col("n_queries"),
+          expr(s"(1000000 * n_hits) div (n_queries * $TOPK)")
+            .as("recall_ppm"))
+        .orderBy("nprobe")
     }),
 
     // Matryoshka truncation-recall report — the dimension-budget advisor:

@@ -270,12 +270,15 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
-  test("gr1 pagerank: returned plan reads the severed mass checkpoint — " +
-    "the |E|-scale caches were released inside the call") {
+  test("gr1 pagerank: returned plan reads the shared persisted graph base " +
+    "(r11 — the per-call edge rebuild + eager checkpoint lifecycle is gone)") {
     val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(8).mkString("\n"))
-    assert(!p.contains("InMemoryTableScan") && !p.contains("CartesianProduct"))
+    // the outdeg-attached edge frame and the node set come from the
+    // family base's InMemoryRelation; the plan is lazy (no per-call
+    // checkpoint leaf) and joins never degrade to a cartesian
+    assert(p.contains("InMemoryTableScan"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("gr2 label propagation: returned plan reads the severed label " +
