@@ -555,9 +555,18 @@ object DedupQueries extends QueryPack {
     // is bounded by the SOURCE domain (tens), never by data. All counts
     // integer; Jaccard one double division.
     "d25_source_overlap" -> ((s, d) => {
+      // r11 (guide §2.4): distinct → repartition(h) + dropDuplicates —
+      // hashpartitioning(h) satisfies the (source, h) dedup clustering
+      // (subset rule), so the dedup rides the ONE exchange the h-keyed
+      // self-join needs anyway and the old separate (source, h)-keyed
+      // distinct exchange is deleted; both join sides and the sizes
+      // aggregate reuse the same exchange (ReusedExchange), so the
+      // shingle generation runs once per call instead of twice
       val ss = Dedup.hashedShingles(Tables.documents(s, d), col("text"), K,
           Seq(col("source")))
-        .select(col("source"), explode(col("__hs")).as("h")).distinct()
+        .select(col("source"), explode(col("__hs")).as("h"))
+        .repartition(col("h"))
+        .dropDuplicates("source", "h")
       val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
       ss.select(col("source").as("src1"), col("h"))
         .join(ss.select(col("source").as("src2"), col("h")), Seq("h"))

@@ -310,16 +310,39 @@ object MiningQueries extends QueryPack {
       // see PLANS). polyHash64's ~2^60 range makes a collision ~1e-6 at
       // this corpus; the oracle uses the SAME fold, so even a collision
       // is IDENTICAL on both engines and the gate stays exact.
-      val wS = Window.partitionBy("sh")
-      Tables.documents(s, d)
+      //
+      // r11 (guide §2.3/§3.2): the per-shingle DF used to ride
+      // `count over (partition by sh)` — the posting stream's exchange
+      // plus a full SORT just to attach one count. Now the DF cut is a
+      // plain aggregate filtered down to the BOILER set — the df > cut
+      // minority by construction (the cut exists to separate a
+      // boilerplate MINORITY; here max DF 7, median 1) — attached with
+      // one unhinted equi-join that AQE broadcast-converts while the
+      // boiler set fits, SMJ (sorting what the old window sorted) past
+      // it. Honest plan note: the DF side and the probe side do NOT
+      // share an exchange — column pruning narrows the DF side's
+      // Generate (no doc_id), so the two exchanges are not
+      // canonical-equal and the shingle generation runs twice. Measured
+      // anyway: the first cut (aggregate unpartitioned + broadcast,
+      // generation 2×, sort gone) read 1.15× the window spelling; THIS
+      // spelling (repartition feeding both, still 2× generation but the
+      // probe side exchange-aligned) reads 0.73× at nominal anchors —
+      // the removed posting-stream SORT is worth more than the repeated
+      // narrow generation. Same integers, oracle unchanged.
+      val postings = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.ops.Dedup.shingles(col("text"), ShK)).as("shingle"))
         .select(col("doc_id"),
           graft.functions.StableHash.polyHash64(col("shingle")).as("sh"))
-        .withColumn("df", count(lit(1)).over(wS))
+        .repartition(col("sh"))
+      val boiler = postings.groupBy("sh")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > BoilerDf)
+        .select(col("sh"), lit(1L).as("__b"))
+      postings.join(boiler, Seq("sh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") > BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+          sum(when(col("__b") === 1L, 1L).otherwise(0L)).as("n_boiler"))
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           expr("(1000000 * n_boiler) div n_shingles").as("boiler_ppm"))
         .orderBy("doc_id")

@@ -629,10 +629,17 @@ object TextQueries extends QueryPack {
     // first (d9's knob) — the plan shape is unchanged.
     "t26_ngram_novelty" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // grams shuffle/sort as 64-bit fingerprints, not ~50-byte 8-gram
+      // strings (t35's discipline, r11): the g-keyed aggregate and join
+      // exchange ~4× fewer bytes and SMJ sorts longs. The oracle applies
+      // the SAME fold, so even a fingerprint collision (≈1e-7 here) is
+      // identical on both engines and the gate stays exact.
       val grams = docs
         .select(col("doc_id"), split(col("text"), " ").as("__ts"))
         .select(col("doc_id"),
-          explode(Dedup.shinglesFromTokens(col("__ts"), 8)).as("g"))
+          explode(Dedup.shinglesFromTokens(col("__ts"), 8)).as("gs"))
+        .select(col("doc_id"),
+          graft.functions.StableHash.polyHash64(col("gs")).as("g"))
       val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
       val per = grams.join(firstSeen, Seq("g"))
         .groupBy("doc_id")
@@ -1305,13 +1312,18 @@ object TextQueries extends QueryPack {
           WHERE c.c_ab >= 5
           ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50""",
     "t26_ngram_novelty" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
           i AS (SELECT doc_id, ts,
                        unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
                 FROM t),
-          n AS (SELECT DISTINCT doc_id,
-                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
-                FROM i),
+          ns AS (SELECT DISTINCT doc_id,
+                        array_to_string(list_slice(ts, i, i + 7), ' ') AS gs
+                 FROM i),
+          -- hash AFTER the per-doc distinct (the Spark side dedups the
+          -- STRING shingles per doc, then fingerprints)
+          n AS (SELECT doc_id,
+                       ${graft.functions.StableHash.polyHash64Sql("gs")} AS g
+                FROM ns),
           fs AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
                  FROM n GROUP BY g),
           per AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
