@@ -817,6 +817,15 @@ object GraphQueries extends QueryPack {
             col("dst") === col("nbr"))
             .select(col("src").as("id"), col("reg"), col("rho")))
         .groupBy("id", "reg").agg(max(col("rho")).as("rho"))
+    // Round 1's register table feeds round 2 TWICE (the union arm and
+    // the edge join) — but materializing it was measured WORSE, not
+    // better (ProfileGr7Prop, interleaved same-JVM reps at sf0.1: lazy
+    // 8.3–43 s vs localCheckpoint'ed 18–91 s): the intermediate is
+    // |E|-scale, so an eager checkpoint pays a full extra
+    // materialization + block-manager traffic, while the lazy duplicate
+    // costs only the reduce-side recompute above a ReuseExchange'd
+    // shuffle. Contrast Bfs.reach, where the checkpointed frontier is
+    // node-scale tiny and the same trade goes the other way.
     propagate(propagate(r0))
   }
 

@@ -957,15 +957,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("t35 boilerplate share: DF window on the shingle partition, share " +
-    "aggregate on the doc partition, no join") {
+  test("t35 boilerplate share: DF cut is an aggregate joined back " +
+    "broadcast at gate scale — the posting stream is never window-SORTED") {
     val p = plan("t35_boilerplate_share")
-    assert(!p.contains("Join"))
-    // the DF window partitions on the shingle FINGERPRINT column `sh`
-    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(w.nonEmpty && w.forall(_.contains("sh#")), w.mkString("\n"))
+    // r11: the per-shingle DF moved off `count over (partition by sh)` —
+    // no window means no full sort of the fingerprinted posting stream
+    assert(!p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    // the boiler minority attaches via an UNHINTED equi-join that the
+    // planner broadcast-converts while it fits (SMJ is the documented
+    // at-scale fallback, but at gate scale a silent SMJ would mean the
+    // size estimate regressed)
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    // shuffle exchanges: probe-side shingle repartition, the DF side's
+    // own shingle repartition (column pruning narrows its Generate, so
+    // the two are not canonical-equal — documented in the query), doc
+    // aggregate, output sort — plus the boiler set's BroadcastExchange
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(ex.size == 3, ex.mkString("\n")) // shingle, doc, output sort
+    assert(ex.count(!_.contains("BroadcastExchange")) == 4, ex.mkString("\n"))
   }
 
   test("st15 p-chart: one daily keyed aggregate, 1-row stats broadcast " +
