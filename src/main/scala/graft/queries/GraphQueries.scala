@@ -97,8 +97,27 @@ object GraphQueries extends QueryPack {
     * cache, which the shared base makes obsolete — its blocks live for
     * the session like tri_base's (~|E|·(16+24) + |V|·8 bytes).
     */
+  /** `e`/`ed`/`nodes` are the persisted frames with visible partitioning
+    * (the build derives `ed` from `e` with no exchange through it);
+    * `eSev`/`edSev`/`nodesSev` are the SAME rows behind lazy
+    * localCheckpoints — LogicalRDD leaves for the query consumers
+    * (r12, gt3's severed-leaf finding generalized): with the persisted
+    * (full-lineage) frames, every reference spliced the entire
+    * orders⋈lineitem build subtree into the consumer's analyzed plan —
+    * gr7 referenced edges 5× and planned a 494 KB tree, gr5/gr6 93 KB —
+    * so each bench invocation paid Catalyst + AQE re-optimization over
+    * thousands of spliced nodes (measured: gr6, two broadcast joins +
+    * one aggregate over ~750 k cached rows, at a 5.1 s in-bench median).
+    * The severed leaves cost UnknownPartitioning — but no gr consumer
+    * actually rides the src-partitioning: the per-round mass/frontier
+    * joins are AQE-broadcast, and every groupBy partial-aggregates to
+    * node-scale before its exchange (gr5's groupBy(src) pays one small
+    * extra exchange of partial rows; measured in the noise).
+    */
   private[graft] final case class GraphBase(e: DataFrame, ed: DataFrame,
-                                            nodes: DataFrame)
+                                            nodes: DataFrame,
+                                            eSev: DataFrame, edSev: DataFrame,
+                                            nodesSev: DataFrame)
 
   private val graphBaseCache = new graft.ops.SharedBase[GraphBase](
     name = "gr_edges",
@@ -109,14 +128,22 @@ object GraphQueries extends QueryPack {
       val ed = e.join(deg, "src").persist() // co-partitioned: no exchange
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct().persist()
-      GraphBase(e, ed, nodes)
+      GraphBase(e, ed, nodes,
+        e.localCheckpoint(false), ed.localCheckpoint(false),
+        nodes.localCheckpoint(false))
     },
     release = gb => {
+      graft.ops.Blocks.unpersist(gb.eSev)
+      graft.ops.Blocks.unpersist(gb.edSev)
+      graft.ops.Blocks.unpersist(gb.nodesSev)
       gb.e.unpersist(blocking = false)
       gb.ed.unpersist(blocking = false)
       gb.nodes.unpersist(blocking = false)
     },
-    materialize = gb => { gb.e.count(); gb.ed.count(); gb.nodes.count(); () })
+    // count the SEVERED leaves: each reads through its persisted parent,
+    // so one pass fills the cache AND materializes the checkpoint RDDs
+    materialize = gb =>
+      { gb.eSev.count(); gb.edSev.count(); gb.nodesSev.count(); () })
 
   private[graft] def graphBase(s: SparkSession, d: String): GraphBase =
     graphBaseCache.get(s, d)
@@ -464,8 +491,8 @@ object GraphQueries extends QueryPack {
       // (r11 — before this every invocation rebuilt edges + deg + nodes
       // and paid its own persist / eager-checkpoint / unpersist jobs)
       val gb = graphBase(s, d)
-      val ed = gb.ed
-      val nodes = gb.nodes
+      val ed = gb.edSev     // severed leaf (r12): see GraphBase scaladoc
+      val nodes = gb.nodesSev
       var mass = nodes.withColumn("mass", lit(1.0))
       for (_ <- 1 to 3) {
         val incoming = ed.join(mass, col("src") === col("id"))
@@ -508,8 +535,8 @@ object GraphQueries extends QueryPack {
     "gr8_personalized_pagerank" -> ((s, d) => {
       // shared family base (gr1's r11 note): ed/nodes are session-cached
       val gb = graphBase(s, d)
-      val ed = gb.ed
-      val nodes = gb.nodes
+      val ed = gb.edSev     // severed leaf (r12): see GraphBase scaladoc
+      val nodes = gb.nodesSev
       val seedScaled = when(col("id") % 50 === 0, lit(1000000000L))
         .otherwise(lit(0L))
       var mass = nodes.withColumn("m", seedScaled)
@@ -541,7 +568,7 @@ object GraphQueries extends QueryPack {
       // shared base + dedup moved INTO LabelProp's own exchange (r11):
       // the former .distinct() here paid a full (a, b)-keyed shuffle of
       // 2|E| rows that propagate's repartition(b) immediately re-shuffled
-      val e = graphBase(s, d).e
+      val e = graphBase(s, d).eSev // severed leaf (r12)
       val sym = e.select(col("src").as("a"), col("dst").as("b"))
         .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
       graft.ops.LabelProp.propagate(sym, 3)
@@ -602,8 +629,11 @@ object GraphQueries extends QueryPack {
       val seeds = Tables.customer(s, d)
         .filter(col("c_nationkey") === BfsNation)
         .select((col("c_custkey") * 2).as("id"))
-        .join(gb.nodes, Seq("id"), "left_semi")
-      graft.ops.Bfs.reach(gb.e, seeds, 3)
+        .join(gb.nodesSev, Seq("id"), "left_semi")
+      // severed edge leaf (r12): each of the 3 unrolled rounds references
+      // the edge frame once — with the full-lineage persisted frame that
+      // spliced the whole build subtree 3x into one plan
+      graft.ops.Bfs.reach(gb.eSev, seeds, 3)
         .select(col("id").as("node_id"), col("hops").cast("int").as("hops"))
         .orderBy("node_id")
     }),
@@ -646,7 +676,7 @@ object GraphQueries extends QueryPack {
     // Triangles.orient discipline). Lifecycle: O(|V|) result eagerly
     // checkpointed, the |E| cache released inside the call.
     "gr5_hits" -> ((s, d) => {
-      val e = graphBase(s, d).e
+      val e = graphBase(s, d).eSev // severed leaf (r12): e referenced 3x
       val a1 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("a1"))
       val h1 = e.join(a1, col("dst") === col("id"))
         .groupBy(col("src").as("id")).agg(sum(col("a1")).as("h1"))
@@ -673,7 +703,7 @@ object GraphQueries extends QueryPack {
     // AQE may choose to at toy sf); two keyed edge×degree joins, one
     // all-column aggregate. No iteration, no windows.
     "gr6_assortativity" -> ((s, d) => {
-      val e = graphBase(s, d).e
+      val e = graphBase(s, d).eSev // severed leaf (r12): e referenced 3x
       val deg = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -717,7 +747,11 @@ object GraphQueries extends QueryPack {
       // node set TWICE from a freshly rebuilt edge frame (hbRegisters +
       // the readout) — two 2|E|-row union-distinct aggregates per call
       val gb = graphBase(s, d)
-      hyperballReadout(gb.e, hbRegisters(gb.e, gb.nodes), gb.nodes)
+      // severed leaves (r12): gr7 references edges 4x (two propagation
+      // joins + the exact-calibration side twice) — with full-lineage
+      // frames the analyzed plan was 494 KB of spliced build subtrees
+      hyperballReadout(gb.eSev, hbRegisters(gb.eSev, gb.nodesSev),
+        gb.nodesSev)
     }),
 
     // gr7's CROSS-SESSION form: the propagated register table — the cost
@@ -751,8 +785,13 @@ object GraphQueries extends QueryPack {
       // in-session edge build the store exists to skip
       val nodes = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id"))).distinct()
+      // version 2 (r12): the stored register table changed shape — packed
+      // (id, regs BINARY) instead of sparse (id, reg, rho) rows. Same
+      // register CONTENT (HllRegsSpec parity), but a v1 entry must not be
+      // served to the packed readout, so the version bumps per the
+      // PersistedBase rule.
       val regs = graft.ops.PersistedBase.getOrBuild(
-          s, "hb_registers", key, version = 1) {
+          s, "hb_registers", key, version = 2) {
         hbRegisters(e, nodes)
       }
       hyperballReadout(e, regs, nodes)
@@ -806,27 +845,40 @@ object GraphQueries extends QueryPack {
     * hyperball family and therefore the piece gr7b persists.
     */
   private def hbRegisters(e: DataFrame, nodes: DataFrame): DataFrame = {
-    import graft.functions.{Hll, StableHash}
+    import graft.functions.{Hll, HllRegs, StableHash}
     val h = StableHash.polyHash64(
       concat(lit("n"), col("id").cast("string")))
+    // r12 (guide §2.3, rows not just bytes): registers propagate PACKED —
+    // one M-byte binary per node (byte i = max rho of register i) folded
+    // with a bytewise-max typed aggregate — instead of one (id, reg, rho)
+    // row per occupied register. The sparse spelling's round-2 edge join
+    // fanned out |E| × |regs(dst)| rows (hubs near-saturate all M = 256
+    // registers after round 1, so the mid-stage stream was ~100× the edge
+    // count; in-bench medians 7–78 s under session memory pressure).
+    // Packed, each round streams exactly |E| + |V| rows and the map-side
+    // partial combine reduces every task to its ≤|V| node ids before the
+    // exchange. Register CONTENT is identical (elementwise max is
+    // order-free — HllRegsSpec pins parity against the sparse reference),
+    // so the readout's integer operands and the oracle hashes are
+    // unchanged.
     val r0 = nodes.select(col("id"),
-      Hll.regCol(h).as("reg"), Hll.rhoCol(h).as("rho"))
-    def propagate(r: DataFrame): DataFrame =
-      r.unionAll(
-          e.join(r.withColumnRenamed("id", "nbr"),
-            col("dst") === col("nbr"))
-            .select(col("src").as("id"), col("reg"), col("rho")))
-        .groupBy("id", "reg").agg(max(col("rho")).as("rho"))
-    // Round 1's register table feeds round 2 TWICE (the union arm and
-    // the edge join) — but materializing it was measured WORSE, not
-    // better (ProfileGr7Prop, interleaved same-JVM reps at sf0.1: lazy
-    // 8.3–43 s vs localCheckpoint'ed 18–91 s): the intermediate is
-    // |E|-scale, so an eager checkpoint pays a full extra
-    // materialization + block-manager traffic, while the lazy duplicate
-    // costs only the reduce-side recompute above a ReuseExchange'd
-    // shuffle. Contrast Bfs.reach, where the checkpointed frontier is
-    // node-scale tiny and the same trade goes the other way.
-    propagate(propagate(r0))
+      Hll.regCol(h).as("reg"), Hll.rhoCol(h).cast("int").as("rho"))
+    val r1 = r0.unionAll(
+        e.join(r0.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+          .select(col("src").as("id"), col("reg"), col("rho")))
+      .groupBy("id")
+      .agg(HllRegs.initRegs(col("reg"), col("rho")).as("regs"))
+      // round 1 feeds round 2 TWICE (union arm + edge join). The packed
+      // table is |V| rows × (8 + M) bytes — NODE-scale — so the
+      // iteration-state rule says materialize (Bfs.reach's frontier
+      // trade, not the old sparse register table's: that one was
+      // effectively edge-scale and measured WORSE checkpointed —
+      // ProfileGr7Prop, r11).
+      .localCheckpoint()
+    r1.unionAll(
+        e.join(r1.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+          .select(col("src").as("id"), col("regs")))
+      .groupBy("id").agg(HllRegs.maxRegs(col("regs")).as("regs"))
   }
 
   /** gr7's readout tail: per-node HLL estimate from the register table
@@ -835,14 +887,17 @@ object GraphQueries extends QueryPack {
     */
   private def hyperballReadout(e: DataFrame, s2: DataFrame,
                                nodes: DataFrame): DataFrame = {
-    import graft.functions.Hll
+    import graft.functions.{Hll, HllRegs}
     val M = Hll.M.toLong
-    val perNode = s2.groupBy("id").agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.W + 1} - rho)"))
-          .as("sp"),
-        count(lit(1)).as("used"))
-      .select(col("id"), col("used"), (lit(M) - col("used")).as("zeros"),
-        (col("sp") + (lit(M) - col("used")) * lit(Hll.MaxTerm)).as("ssum"))
+    // packed register table (r12): one row per node already, so the old
+    // per-node (id, reg)-rows aggregate collapses to a projection; the
+    // stats expression reproduces the sparse readout's exact integers
+    // (sp + zeros·MaxTerm) — see HllRegsStatsExpr
+    val perNode = s2
+      .select(col("id"), HllRegs.stats(col("regs")).as("__st"))
+      .select(col("id"), col("__st").bitwiseAND(lit(511L)).as("used"),
+        (lit(M) - col("__st").bitwiseAND(lit(511L))).as("zeros"),
+        shiftright(col("__st"), 9).as("ssum"))
       .withColumn("raw_est",
         lit(Hll.Alpha) * lit((M * M).toDouble) * lit(Hll.MaxTerm.toDouble)
           / col("ssum").cast("double"))
@@ -852,16 +907,27 @@ object GraphQueries extends QueryPack {
             (log(lit(M.toDouble)) - log(col("zeros").cast("double"))))
         .otherwise(col("raw_est")))
     val e1 = e.filter(col("src") < Gr7Cap) // first hop from sampled starts
+    // r12, three exact-side cuts (same (v, u) pair SET, same counts):
+    //  - b1's inner distinct is gone — it only fed b2's union, whose own
+    //    distinct already dedups, so the extra pair-keyed exchange bought
+    //    nothing;
+    //  - pairs dedup PACKED as one BIGINT v·2^32 + u (node ids < 2^31,
+    //    the gt5 packed-pair bound): the distinct exchanges/compares 8-byte
+    //    longs instead of 16-byte pairs, and the per-start count rides a
+    //    shiftright of the same key;
+    //  - the ball count partial-aggregates to ≤|starts| rows per task
+    //    before its exchange.
     val b1 = nodes.filter(col("id") < Gr7Cap)
-      .select(col("id").as("v"), col("id").as("u"))
-      .unionAll(e1.select(col("src").as("v"), col("dst").as("u")))
-      .distinct()
+      .select((col("id") * lit(4294967296L) + col("id")).as("k"))
+      .unionAll(e1.select(
+        (col("src") * lit(4294967296L) + col("dst")).as("k")))
     val b2 = b1.unionAll(
         e1.select(col("src").as("v"), col("dst").as("w"))
           .join(e.select(col("src").as("w"), col("dst").as("u")), Seq("w"))
-          .select(col("v"), col("u")))
+          .select((col("v") * lit(4294967296L) + col("u")).as("k")))
       .distinct()
-    val exact = b2.groupBy(col("v")).agg(count(lit(1)).as("ball"))
+    val exact = b2.groupBy(shiftright(col("k"), 32).as("v"))
+      .agg(count(lit(1)).as("ball"))
     perNode.join(exact, col("id") === col("v"))
       .groupBy((col("id") % 2).as("part"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("ball")).as("exact_pairs"),

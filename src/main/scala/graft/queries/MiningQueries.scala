@@ -329,13 +329,30 @@ object MiningQueries extends QueryPack {
       // probe side exchange-aligned) reads 0.73× at nominal anchors —
       // the removed posting-stream SORT is worth more than the repeated
       // narrow generation. Same integers, oracle unchanged.
-      val postings = Tables.documents(s, d)
+      // r12: the probe side of a BROADCAST join needs no distribution at
+      // all, so the sh-repartition moved OFF the probe path — the r11
+      // spelling shared one `.repartition(sh)` frame between the DF
+      // aggregate and the probe, which (column pruning splitting the two
+      // subtrees — see the r11 note below) planned as TWO posting-scale
+      // REPARTITION_BY_COL exchanges. The DF side keeps its measured
+      // repartition+full-agg spelling (r11 A/B'd it against the
+      // partial-agg form and the partial HashAggregate pass over the
+      // near-unique shingle keys cost more than the exchange saved); the
+      // probe stream now flows scan→BHJ→doc-agg with zero posting-scale
+      // exchanges. Same rows into the same aggregates, oracle unchanged.
+      // parallelize BEFORE the generation (Dedup.parallelize: the bench
+      // corpus is a 1-task scan, and without the old probe-side posting
+      // repartition the shingle chain would serialize on one core —
+      // measured 4.7 → 7.5 s before this was added back at the RAW-doc
+      // tier, where the exchange carries ~100× fewer bytes than the
+      // posting stream the old spelling shuffled)
+      val postings = graft.ops.Dedup.parallelize(
+          Tables.documents(s, d).select("doc_id", "text"))
         .select(col("doc_id"),
           explode(graft.ops.Dedup.shingles(col("text"), ShK)).as("shingle"))
         .select(col("doc_id"),
           graft.functions.StableHash.polyHash64(col("shingle")).as("sh"))
-        .repartition(col("sh"))
-      val boiler = postings.groupBy("sh")
+      val boiler = postings.repartition(col("sh")).groupBy("sh")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > BoilerDf)
         .select(col("sh"), lit(1L).as("__b"))
@@ -349,18 +366,26 @@ object MiningQueries extends QueryPack {
     }),
 
     "t34_inverted_index" -> ((s, d) => {
-      val wT = Window.partitionBy("term")
-      val postings = Tables.documents(s, d)
+      // r12 (guide §2.4): the old chain paid THREE posting-scale
+      // exchanges and a window SORT — (doc_id, term)-keyed distinct,
+      // term-keyed window (count + row_number, sorted by doc_id), then a
+      // term-keyed groupBy. Now ONE term-keyed exchange carries all of
+      // it: hashpartitioning(term) satisfies the (term, doc_id) dedup
+      // clustering (subset rule), df is a plain count over the deduped
+      // postings, and the PostCap head is the O(k) SmallestKLongsAgg
+      // (ascending doc_ids = exactly the rows the old rn <= cap window
+      // kept, already sorted — gt5's typed-aggregate discipline), so the
+      // posting stream is never window-sorted at all.
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .distinct()
-      postings
-        .withColumn("df", count(lit(1)).over(wT))
-        .withColumn("rn", row_number().over(wT.orderBy("doc_id")))
-        .filter(col("rn") <= PostCap)
+        .repartition(col("term"))
+        .dropDuplicates("term", "doc_id")
         .groupBy("term")
-        .agg(max(col("df")).as("df"),
+        .agg(count(lit(1)).as("df"),
           concat_ws(",",
-            transform(sort_array(collect_list(col("doc_id"))),
+            transform(
+              graft.functions.SmallestKLongsAgg.smallestK(col("doc_id"),
+                PostCap),
               x => x.cast("string"))).as("postings_head"))
         .orderBy("term")
     }),

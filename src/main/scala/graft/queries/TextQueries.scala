@@ -298,8 +298,16 @@ object TextQueries extends QueryPack {
     "t24_tfidf_topk" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      // r12 (guide §2.4): one TERM-keyed exchange serves the whole chain —
+      // hashpartitioning(term) satisfies the (doc_id, term) tf clustering
+      // (subset rule), dfreq's term groupBy rides the already-clustered
+      // tf table with no exchange, and the tf⋈dfreq join sees both sides
+      // co-partitioned from the SAME exchange. The old spelling paid
+      // three posting-scale exchanges ((doc,term) agg, term partial-agg,
+      // tf-by-term join shuffle) before the unavoidable per-doc window.
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .repartition(col("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -630,25 +638,45 @@ object TextQueries extends QueryPack {
     "t26_ngram_novelty" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // grams shuffle/sort as 64-bit fingerprints, not ~50-byte 8-gram
-      // strings (t35's discipline, r11): the g-keyed aggregate and join
-      // exchange ~4× fewer bytes and SMJ sorts longs. The oracle applies
-      // the SAME fold, so even a fingerprint collision (≈1e-7 here) is
-      // identical on both engines and the gate stays exact.
-      val grams = docs
+      // strings (t35's discipline, r11): the g-keyed aggregate exchanges
+      // ~4× fewer bytes. The oracle applies the SAME fold, so even a
+      // fingerprint collision (≈1e-7 here) is identical on both engines
+      // and the gate stays exact.
+      //
+      // r12 (guide §2.4): the posting-scale JOIN-BACK is gone. Per-doc
+      // grams are DISTINCT (array_distinct inside the generator), so
+      // n_novel(doc) = |{g : min(doc_id over g) = doc}| — readable
+      // straight off the first-seen aggregate with one doc-keyed
+      // count (partial-combined to ≤|docs| rows per task before its
+      // exchange) — and n_grams(doc) = size(gram array), computed
+      // MAP-SIDE with no shuffle at all. The old spelling shuffled the
+      // full posting stream a second time into a posting⋈first-seen SMJ
+      // (two posting-scale sorts) just to re-derive those two counts.
+      // NOTE the generator expression stays INLINE in explode():
+      // materializing the gram array in a Project first turns this into
+      // an attribute-explode, InferFiltersFromGenerate fires (it skips
+      // expensive generator expressions, SPARK-36715 — but not attribute
+      // references), and the inferred size()>0 filter gets substituted
+      // back down to the scan with `split` re-inlined per element_at —
+      // measured 2.0 s → 15.5 s before this was caught.
+      // parallelize at the RAW-doc tier (1-task scan corpus; both the
+      // first-seen branch and the map-side n_grams branch run the k=8
+      // shingle chain, which would otherwise serialize on one core)
+      val withTs = Dedup.parallelize(docs.select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+      val firstSeen = withTs
         .select(col("doc_id"),
           explode(Dedup.shinglesFromTokens(col("__ts"), 8)).as("gs"))
         .select(col("doc_id"),
           graft.functions.StableHash.polyHash64(col("gs")).as("g"))
-      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      val per = grams.join(firstSeen, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-      docs.select("doc_id")
-        .join(per, Seq("doc_id"), "left")
-        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val novel = firstSeen
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      withTs.select(col("doc_id"),
+          size(Dedup.shinglesFromTokens(col("__ts"), 8)).cast("long")
+            .as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
         .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .withColumn("novelty_ppm",
           when(col("n_grams") > 0, expr("(1000000 * n_novel) div n_grams")))

@@ -270,14 +270,17 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
-  test("gr1 pagerank: returned plan reads the shared persisted graph base " +
-    "(r11 — the per-call edge rebuild + eager checkpoint lifecycle is gone)") {
+  test("gr1 pagerank: returned plan reads the SEVERED graph-base leaves " +
+    "(r12 — no spliced build subtree, no per-call checkpoint lifecycle)") {
     val df = SparkEntry.queries("gr1_pagerank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the outdeg-attached edge frame and the node set come from the
-    // family base's InMemoryRelation; the plan is lazy (no per-call
-    // checkpoint leaf) and joins never degrade to a cartesian
-    assert(p.contains("InMemoryTableScan"), p.linesIterator.take(8).mkString("\n"))
+    // the outdeg-attached edge frame and the node set are the family
+    // base's severed LogicalRDD leaves (r12: the persisted full-lineage
+    // frames spliced the whole orders⋈lineitem build subtree into every
+    // reference — plan-size-driven Catalyst/AQE cost per invocation);
+    // joins never degrade to a cartesian
+    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("InMemoryTableScan"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -481,11 +484,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
-  test("t26 novelty: gram-keyed first-seer aggregate + join-back — no " +
-    "cartesian, no nested loop anywhere") {
+  test("t26 novelty: first-seer aggregate read out directly — the posting " +
+    "stream shuffles exactly once (the g-keyed min), never into a " +
+    "posting-scale join-back") {
     val p = plan("t26_ngram_novelty")
     assert(p.contains("HashAggregate"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // r12: n_novel rides groupBy(first_doc) off the aggregate, n_grams is
+    // map-side size(); the old grams⋈firstSeen SMJ (two posting-scale
+    // sorts) is gone
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val gramEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(g#") ||
+        l.contains("Exchange hashpartitioning(gs#")).toSeq
+    assert(gramEx.size <= 1, gramEx.mkString("\n"))
   }
 
   test("w8 rolling corr: the ordered window runs over the reduced day " +
@@ -857,15 +870,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "bootstrap must not join anything")
   }
 
-  test("t34 inverted index: map-side dedup before the one term shuffle; " +
-    "cap via WindowGroupLimit; list assembly adds no exchange") {
+  test("t34 inverted index: ONE term exchange carries dedup + df + the " +
+    "O(k) head aggregate — no window sort of the posting stream") {
     val p = plan("t34_inverted_index")
-    assert(p.contains("WindowGroupLimit"),
+    // r12: the rn <= cap window became SmallestKLongsAgg; the
+    // (term, doc_id) dedup rides hashpartitioning(term) (subset rule)
+    assert(p.contains("graft_smallest_k"),
       p.linesIterator.take(8).mkString("\n"))
-    // exchanges: pair-dedup, term partitioning, output range sort — the
-    // groupBy must reuse the window's term partitioning (no 4th)
+    assert(!p.contains("Window"), p.linesIterator.take(8).mkString("\n"))
+    // exchanges: the term repartition + output range sort, nothing else
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(ex.size == 3, ex.mkString("\n"))
+    assert(ex.size == 2, ex.mkString("\n"))
   }
 
   test("cdc4 delta join: all four branches join the dim by broadcast and " +
@@ -970,12 +985,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!p.contains("SortMergeJoin"))
-    // shuffle exchanges: probe-side shingle repartition, the DF side's
-    // own shingle repartition (column pruning narrows its Generate, so
-    // the two are not canonical-equal — documented in the query), doc
-    // aggregate, output sort — plus the boiler set's BroadcastExchange
+    // keyed shuffle exchanges (r12): the DF side's shingle repartition,
+    // the doc aggregate, the output sort — the probe stream reaches the
+    // BHJ with NO keyed exchange (r12 moved the repartition off the
+    // probe path; a broadcast probe side needs no distribution). The two
+    // RoundRobin exchanges are Dedup.parallelize's 1-task-scan guard
+    // (identical subtrees — AQE stage reuse dedups them at runtime).
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(ex.count(!_.contains("BroadcastExchange")) == 4, ex.mkString("\n"))
+    val keyed = ex.filter(l => !l.contains("BroadcastExchange") &&
+      !l.contains("RoundRobinPartitioning"))
+    assert(keyed.size == 3, ex.mkString("\n"))
+    assert(ex.count(_.contains("RoundRobinPartitioning")) <= 2,
+      ex.mkString("\n"))
   }
 
   test("st15 p-chart: one daily keyed aggregate, 1-row stats broadcast " +
