@@ -39,9 +39,23 @@ object LabelProp {
   def propagate(sym: DataFrame, iters: Int): DataFrame = {
     val e = sym.select(col("a"), col("b")).repartition(col("b"))
       .dropDuplicates("a", "b").persist()
-    var labels = e.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    for (_ <- 1 to iters) {
+    // r12: round 1 is evaluated ALGEBRAICALLY. With every node starting
+    // as its own label, lbl(b) = b, so round 1's join against the
+    // initial labels is the identity projection (a, b AS lbl) — and
+    // because (a, b) is deduplicated, every (a, lbl) count is exactly 1,
+    // so "most frequent neighbor label, ties to smallest" degenerates to
+    // min(b). Round 1 is therefore ONE map-side-combined min aggregate
+    // riding the edge cache; the 2|E|-row distinct that built the
+    // initial label table, round 1's join/broadcast, AND round 1's
+    // repartition(a) of 2|E| rows are all gone. Rounds 2+ run the real
+    // propagate step. (iters = 0 keeps the explicit initial table.)
+    var labels =
+      if (iters == 0)
+        e.select(col("a").as("id")).distinct().withColumn("lbl", col("id"))
+      else
+        e.groupBy(col("a")).agg(min(col("b")).as("lbl"))
+          .select(col("a").as("id"), col("lbl"))
+    for (_ <- 2 to iters) {
       // argmax-with-total-tie-order as a PACKED integer max (r11, guide
       // §2.3/§2.4): the former row_number window re-SORTED the |E|-scale
       // (a, lbl, n) frame by (a, n desc, lbl) every round; max over

@@ -807,10 +807,15 @@ object GraphQueries extends QueryPack {
       val key = graphEdgesKey(s, d)
       // cold build rides the in-session memo (gt2b's discipline); same
       // row set as before, so the store version stays 1
+      // r12: no per-call repartition(src) — every round's frontier
+      // semi-join is AQE-broadcast (the node-scale tier), so the edge
+      // side never needs src clustering; the old spelling paid one full
+      // |E| exchange per invocation for nothing. persist stays: the
+      // three round jobs each read the frame.
       val e = graft.ops.PersistedBase.getOrBuild(
           s, "graph_edges", key, version = 1) {
           graphBase(s, d).e
-        }.repartition(col("src")).persist()
+        }.persist()
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct().persist()
       val seeds = Tables.customer(s, d)
