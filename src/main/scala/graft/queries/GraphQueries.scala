@@ -729,10 +729,11 @@ object GraphQueries extends QueryPack {
     // propagating the portable HLL registers two rounds along edges —
     // the published at-scale recipe for graph distance distributions,
     // composed from this repo's own sketch core (graft.functions.Hll: one
-    // definition feeds hll1, the streaming twin, and this). Scale shape:
-    // register frames are ≤ |V|·m rows; each round is ONE edge-keyed
-    // shuffle + a (node, reg) max-combine — O(t·|E|) total, never
-    // materializing a ball. The EXACT ball sizes (a genuinely quadratic
+    // definition feeds hll1, the streaming twin, and this). Scale shape
+    // (r12): register frames are |V| rows of one PACKED m-byte binary
+    // each; each round streams |E| + |V| rows through a bytewise-max
+    // typed aggregate with map-side combine — O(t·|E|) rows total,
+    // never materializing a ball (see hbRegisters). The EXACT ball sizes (a genuinely quadratic
     // 2-hop distinct-pair count) ride along as calibration per bipartite
     // side — exactly the cost the register path avoids at 100 TB — and
     // are therefore computed only for the Gr7Cap-SAMPLED start nodes
@@ -755,8 +756,8 @@ object GraphQueries extends QueryPack {
     }),
 
     // gr7's CROSS-SESSION form: the propagated register table — the cost
-    // of gr7 (two edge-keyed shuffles over |V|·m register rows) — served
-    // from the content-keyed parquet store, alongside the shared
+    // of gr7 (two packed-register propagation rounds over |E| + |V|
+    // rows each, r12) — served from the content-keyed parquet store, alongside the shared
     // persisted edge list ([[graft.ops.PersistedBase]], d7b/gt2b
     // discipline applied to the graph family per the round-9 verdict).
     // A fresh session pays two key-probe aggregates (one column-pruned
